@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a cheap count-style action (the driver's
+contract measures end-to-end plan execution, not driver-side collection of
+megabytes). A warmup run of the flagship amortizes JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from url_counter_mapreduce_spark import QUERIES, get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the reference surface + the heavy relational/LLM operators
+BENCH_QUERIES = [
+    "url_count",
+    "url_topk",
+    "sort_by_key",
+    "agg_pricing_summary",
+    "filter_shipdate",
+    "join_customer_nation",
+    "join_semi_anti",
+    "window_topn_per_group",
+    "rollup_orders",
+    "set_ops",
+    "distinct_users",
+    "scalar_functions",
+    "window_tumbling_count",
+    "udf_surface",
+]
+
+
+def _run(spark, name: str) -> float:
+    t0 = time.perf_counter()
+    df = QUERIES[name](spark, SF_DIR)
+    # force full execution without shipping the result to python
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("spark-graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup: JVM, codegen, parquet footer caches
+    QUERIES["url_topk"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        timings[name] = round(_run(spark, name), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

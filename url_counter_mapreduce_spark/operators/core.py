@@ -1,0 +1,131 @@
+"""The reference's own capability surface (SURVEY.md §2.1, O1–O12), Spark-first.
+
+The reference pipeline is: read text files whole (common_map.go:19-22) →
+split on the space character dropping empty tokens (main.go:24-26) → emit one
+{url,""} pair per token (main.go:28-31) → FNV-hash shuffle (common_map.go:34)
+→ groupByKey (common_reduce.go:24-35) → count = len(values) as a *string*
+(main.go:47-49) → per-partition then global lexicographic sort
+(common_reduce.go:37-41, master_splitmerge.go:34-49) → shell-side numeric
+top-100 (main.sh:3).
+
+Here each stage is one declarative DataFrame op; the hash shuffle, partial
+aggregation (the map-side combine the reference *lacks*, common_map.go:33-37),
+spill, and top-K-without-global-sort (TakeOrderedAndProject) all come from
+Catalyst/Tungsten. Deliberate semantic fixes vs the reference, documented per
+SURVEY.md §7.2:
+  - counts are LongType, not the reference's stringly-typed strconv.Itoa;
+  - top-K ties (unspecified in the reference, main.sh:3) are made
+    deterministic with a secondary ascending token key.
+
+Token source: the reference tokenizes URL text files; the engine's tables are
+parquet, so the flagship queries tokenize ``documents.text`` (FIXTURES.md) —
+identical semantics (space-split, drop empties), columnar input.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..tables import load_table
+
+TOPK = 100
+
+
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 text scan (common_map.go:19-22) — a raw projection-only scan.
+
+    The reference reads each input file wholly into memory; Spark's FileScan
+    streams parquet pages with column pruning (ReadSchema shows only
+    doc_id, text).
+    """
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 tokenize/flatten (main.go:22-33): split on ' ', drop empty tokens.
+
+    ``strings.FieldsFunc(contents, r==' ')`` drops empty tokens, so the
+    post-explode filter is required for faithfulness (SURVEY.md O2).
+    """
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def tokenize_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenized(spark, sf_dir)
+
+
+def url_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3–O5: hash-partitioned count per key (main.go:47-49 via common_reduce.go:52).
+
+    groupBy+count compiles to partial HashAggregate → Exchange
+    hashpartitioning → final HashAggregate: the reference's ihash()%nReduce
+    shuffle (common_map.go:34) *plus* the map-side combine it lacks.
+    """
+    return tokenized(spark, sf_dir).groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def sort_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6–O8: global lexicographic sort of counts by key
+    (master_splitmerge.go:34-49) — a range-partitioned distributed SortExec,
+    not the reference's single-threaded master-side merge."""
+    return url_count(spark, sf_dir).orderBy("token")
+
+
+def url_topk(spark: SparkSession, sf_dir: str, k: int = TOPK) -> DataFrame:
+    """O9 top-K by count (main.sh:3: ``sort -n -k2 | tail -100``).
+
+    Catalyst compiles orderBy+limit to TakeOrderedAndProjectExec — per-
+    partition heaps + driver merge, no global sort (SURVEY.md §4.2 P6).
+    Ties are broken by ascending token (deterministic; the reference leaves
+    tie order unspecified).
+    """
+    return url_count(spark, sf_dir).orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+
+
+def union_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 merge/union of partition outputs (master_splitmerge.go:13-33).
+
+    A DataFrame is already the union of its partitions; the explicit analog
+    is unionByName of two disjoint halves — Catalyst plans a zero-shuffle
+    Union of the two scans with the filters pushed down.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    return even.unionByName(odd)
+
+
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 UDF surface (main.go:22-49): the reference's only extensibility
+    point is injecting mapF/reduceF. Spark's analog for a scalar mapF is an
+    Arrow-batched pandas_udf (never row-at-a-time Python in the hot path).
+
+    Counts non-empty space-split tokens per document — the same tokenizer as
+    mapF (main.go:24-26) — as a vectorized pandas_udf.
+    """
+
+    @pandas_udf("long")
+    def n_tokens(text: pd.Series) -> pd.Series:
+        # vectorized: split on single space, drop empties, count
+        return text.str.split(" ").map(lambda toks: sum(1 for t in toks if t != ""))
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", n_tokens(F.col("text")).alias("n_tokens"))
+    )
+
+
+def sink_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 text sink format (master_splitmerge.go:46): ``"<key>: <value>"``
+    lines. Returned as a single-column DataFrame (the driver collects;
+    ``df.write.text`` would materialize the same bytes)."""
+    return url_count(spark, sf_dir).select(
+        F.concat(F.col("token"), F.lit(": "), F.col("cnt").cast("string")).alias("line")
+    )

@@ -1,0 +1,216 @@
+"""Relational extension surface (SURVEY.md §2.3 X1–X10) over the TPC-H-ish
+testdata. The reference has none of these (SURVEY.md §2.2: no joins, filters,
+windows, grouping sets, set ops, or scalar functions) — they are required by
+the driver's north star (BASELINE.json) and are all pure Catalyst built-ins:
+pushdown, pruning, broadcast, partial aggregation and AQE come free.
+
+Cross-engine determinism rules used throughout (oracle = DuckDB):
+  - every aggregate over doubles is round()ed (4dp) in BOTH engines so
+    summation-order ULP noise can't flip the driver's value-hash;
+  - per-row double arithmetic is left raw (IEEE ops are bit-identical);
+  - functions where DuckDB returns BIGINT but Spark returns INT (year(),
+    length(), …) are cast to long on the Spark side so schemas align;
+  - midnight-timestamp date columns are cast to DATE on both sides;
+  - window/top-k orderings always carry a unique tiebreak key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..tables import load_table
+
+
+def filter_shipdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 filter with parquet predicate pushdown: recent, discounted line
+    items. .explain shows PushedFilters on l_shipdate/l_discount."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")) & (F.col("l_discount") > 0.05))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            # ISO string, not DATE: keeps the collected Python type identical
+            # across Spark (datetime.date) and DuckDB (Timestamp) so any
+            # driver-side value normalization agrees
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 projection + column pruning: ReadSchema must show only the four
+    referenced columns. revenue is per-row double math (bit-identical across
+    engines, no rounding needed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 grouped multi-aggregate — TPC-H Q1 shape on lineitem.
+
+    Partial aggregation (map-side combine) + 4-group final aggregate; the
+    whole plan is one exchange. Aggregates rounded 4dp both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def join_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 equi-join with explicit broadcast of the small dimensions.
+
+    customer (fact side) keeps its partitioning; nation (25 rows) and region
+    (5 rows) ship to every executor — zero shuffle of the big side. At 100 TB
+    the same plan holds for any dim under the broadcast threshold.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 left-semi + left-anti join: customers with vs without a big order,
+    tagged and unioned. Catalyst plans BroadcastHashJoin(LeftSemi/LeftAnti)
+    when the filtered orders side is small; at scale it falls back to
+    shuffle-hash with AQE deciding."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0).select("o_custkey")
+    with_big = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").withColumn(
+        "kind", F.lit("has_big_order")
+    )
+    without = cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").withColumn(
+        "kind", F.lit("no_big_order")
+    )
+    return with_big.unionByName(without)
+
+
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 distinct: unique (user_id, event_type) pairs — a hash aggregate
+    with partial dedup before the exchange."""
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6b approx distinct: HyperLogLog++ count of users per event type.
+    Engine-specific sketch values → rows-only driver check (no SQL oracle);
+    tests assert the estimate is within rsd of the exact count."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 window functions: top-3 events by value per event_type with
+    row_number + lag, deterministic via the unique event_id tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.lag("value", 1).over(w).alias("prev_value"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 rollup: order counts + totals at (status, priority), (status), ()
+    grain. NULL grouping markers match ANSI ROLLUP in both engines."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total_price"))
+    )
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8b cube: all 4 grouping sets over (status, priority)."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 set operators: INTERSECT (distinct) and EXCEPT (distinct) between
+    big-spender custkeys (orders) and positive-balance custkeys (customer),
+    tagged and unioned."""
+    big_spenders = (
+        load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0).select(F.col("o_custkey").alias("custkey"))
+    )
+    positive = (
+        load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0).select(F.col("c_custkey").alias("custkey"))
+    )
+    both = big_spenders.intersect(positive).withColumn("tag", F.lit("both"))
+    only_orders = big_spenders.subtract(positive).withColumn("tag", F.lit("only_orders"))
+    return both.unionByName(only_orders)
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 scalar function library: string / JSON / math / date built-ins over
+    events. Every function stays JVM-side (whole-stage codegen). Columns where
+    DuckDB's return type is BIGINT (length, date parts) are cast to long."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper(F.col("event_type")).alias("type_upper"),
+        F.substring(F.col("event_type"), 1, 3).alias("type_prefix"),
+        F.length(F.col("props")).cast("long").alias("props_len"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_val"),
+        F.abs(F.col("value")).alias("abs_value"),
+        F.round(F.sqrt(F.abs(F.col("value"))), 4).alias("sqrt_value"),
+        F.year("ts").cast("long").alias("ev_year"),
+        F.month("ts").cast("long").alias("ev_month"),
+        F.dayofmonth("ts").cast("long").alias("ev_day"),
+        F.when(F.col("value") >= 100.0, F.lit("high")).otherwise(F.lit("low")).alias("value_band"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("ok")).alias("non_error_type"),
+    )
+
+
+def window_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming query (X14): events per hour per type via
+    date_trunc — identical semantics to the Structured Streaming tumbling
+    window, SQL-expressible so it gets a full oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )

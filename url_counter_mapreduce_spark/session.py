@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-minded defaults.
+
+The reference hard-codes its parallelism knobs (nReduce=3 at
+src/main/main.go:61,64; ≤128 MB per map task at README.md:20). Spark's
+equivalents are config, not code — we centralize them here so every entry
+point (tests, bench, driver harness) runs the same way.
+
+Scale posture (designed for ~100 TB on a 1000-executor cluster, tested on
+local[32]):
+  - AQE on: runtime partition coalescing + skew-join splitting replaces the
+    reference's fixed nReduce and its unhandled-skew gap (SURVEY.md §4.2 P10).
+  - shuffle.partitions: small for local test scale; at 100 TB you want
+    ~2-3× total executor cores with AQE coalescing down (docs/SCALE.md).
+  - files.maxPartitionBytes left at the 128 MB default — the same constant the
+    reference adopts as its per-map-task input cap (README.md:20).
+  - Arrow enabled: every Python-side exchange (pandas_udf, mapInPandas,
+    toPandas) is columnar-batched, never row-at-a-time pickling.
+  - Session timezone UTC: the driver testdata's parquet timestamps are
+    timezone-naive; a fixed UTC session makes Spark's TIMESTAMP_LTZ
+    read/collect round-trip the naive values bit-for-bit, matching DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to an externally-created session.
+
+    The driver harness creates its own SparkSession and hands it to
+    ``__spark_entry__.entry``/``queries()`` callables; those can't choose
+    JVM-startup configs, but the semantics-relevant ones (timezone, AQE,
+    shuffle partitions) are runtime-settable and applied here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    except Exception:
+        pass  # immutable under some configs; harmless
+    return spark
