@@ -1,0 +1,60 @@
+"""Physical-plan assertions — the 100 TB scale posture, checked in CI:
+pushdown reaches the scan, projections prune columns, small dims broadcast,
+top-K avoids a global sort, aggregation is partial before the exchange.
+These encode SURVEY.md §4.2's 'Spark disposition' column as tests."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from url_counter_mapreduce_spark import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_shipdate")
+    assert "PushedFilters" in plan
+    assert "l_discount" in plan.split("PushedFilters")[1][:300]
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "project_columns")
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema  # unused column must not be read
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_customer_nation")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region both broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "url_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_count_has_partial_aggregation(spark, sf_dir):
+    """The map-side combine the reference lacks (common_map.go:33-37) —
+    partial_count before the exchange, final count after."""
+    plan = _plan(spark, sf_dir, "url_count")
+    assert "partial_count" in plan
+    assert "Exchange" in plan
+
+
+def test_agg_stays_jvm_side(spark, sf_dir):
+    """TPC-H Q1 shape must be pure codegen'd HashAggregate — partial+final,
+    no Python evaluation anywhere in the plan. (AQE's pre-execution
+    'formatted' output hides WholeStageCodegen spans, so assert on the
+    operator mix instead.)"""
+    plan = _plan(spark, sf_dir, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,35 @@
+"""Vector math as Catalyst expressions over array<float> columns.
+
+Everything here is JVM-side (zip_with/aggregate → whole-stage codegen), no
+Python UDFs. Floats are cast to DOUBLE *before* multiplication and the fold
+is left-to-right — DuckDB's list_transform/list_sum does the same, so the
+oracle computes bit-comparable values (both sides additionally round).
+"""
+
+from __future__ import annotations
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Double-accumulated dot product of two array<float> columns."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> str:
+    return f"sqrt({dot_expr(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
+
+
+def sign_bucket_expr(a: str, bits: int) -> str:
+    """Axis-aligned hyperplane LSH bucket: integer whose bit i is the sign of
+    dimension i (first `bits` dims). Vectors at small angles agree on most
+    sign bits → same bucket with high probability."""
+    return (
+        f"aggregate(sequence(0, {bits - 1}), 0L, "
+        f"(acc, i) -> acc + IF({a}[i] >= 0.0, shiftleft(1L, i), 0L))"
+    )

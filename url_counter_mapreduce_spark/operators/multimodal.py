@@ -1,0 +1,101 @@
+"""Multimodal column plumbing (driver north star): image/audio/video are
+opaque ``binary`` columns with typed metadata; decode / feature-extraction
+run as Arrow-batched Python over ``mapInPandas``.
+
+The container has no image/audio libraries, so the decode step is STUBBED
+(deterministic fake behind an import-try; real decode raises
+NotImplementedError) — but the Spark-side plumbing is real and tested:
+binary column handling, mapInPandas schema contract, Arrow batch shape,
+partition-preserving metadata extraction.
+
+Since the testdata has no binary table, the binary payload is derived
+in-engine (utf-8 bytes of documents.text) — deterministic, so the metadata
+query still gets an exact DuckDB oracle (octet_length/sha256 agree with
+Python's len/hashlib over the same bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+META_SCHEMA = "doc_id long, n_bytes long, digest string, decode_status string"
+DECODE_SCHEMA = "doc_id long, width int, height int, n_frames int, decode_status string"
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text as an opaque binary payload column."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata extraction over a binary column via mapInPandas:
+    byte length + content digest per blob. Arrow moves the binary batches;
+    Python touches each blob once. This is the shape of EXIF/container-header
+    extraction at 100 TB: embarrassingly parallel, no shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "digest": pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "decode_status": "stub",
+                }
+            )
+
+    return _payloads(spark, sf_dir).mapInPandas(extract, schema=META_SCHEMA)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub decode over binary payloads: same mapInPandas plumbing a real
+    image/video decode uses (schema, batching, per-blob Python), with the
+    decoder faked deterministically. With PIL installed the real path would
+    run instead — it currently raises to make the stub boundary explicit.
+
+    NB: the closure is deliberately self-contained (imports + helpers
+    inside) so cloudpickle ships it by value — executors' Python workers
+    need no access to this package on their sys.path.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        try:
+            from PIL import Image  # type: ignore # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        def fake_decode(blob: bytes) -> tuple[int, int, int]:
+            d = _hl.sha256(blob).digest()
+            return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 30
+
+        for pdf in batches:
+            if have_pil:
+                raise NotImplementedError(
+                    "real image decode not wired: container lacks test images; "
+                    "replace fake_decode with PIL.Image.open over io.BytesIO"
+                )
+            dims = pdf["payload"].map(fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": dims.map(lambda t: t[0]).astype("int32"),
+                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "n_frames": dims.map(lambda t: t[2]).astype("int32"),
+                    "decode_status": "fake",
+                }
+            )
+
+    return _payloads(spark, sf_dir).mapInPandas(decode, schema=DECODE_SCHEMA)

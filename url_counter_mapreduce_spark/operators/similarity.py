@@ -1,0 +1,84 @@
+"""Similarity search over embedding columns (SURVEY.md §2.3 X12 + north
+star): brute-force cosine top-k as the exact baseline, and a sign-bit-LSH
+bucketed variant as the scale path.
+
+Shapes are chosen for a 100 TB corpus:
+  - brute force broadcasts the (small) query set against the full corpus —
+    a BroadcastNestedLoopJoin where the corpus side streams through one
+    projection + TakeOrdered per query; exact, O(|Q|·N), the right baseline
+    when |Q| is small;
+  - the LSH variant equi-joins on a bucket key, reducing the candidate set
+    by ~2^bits; recall is tunable via the number of sign bits (and, in a
+    multi-probe extension, by also probing neighboring buckets).
+
+All vector math is JVM-side Catalyst expressions (functions/vector.py) —
+an Arrow-batched pandas_udf alternative is benchmarked in tests but the
+expression form wins by staying inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine_expr, sign_bucket_expr
+from ..tables import load_table
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+
+
+def _scored_pairs(emb: DataFrame, queries: DataFrame) -> DataFrame:
+    return (
+        broadcast(queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")))
+        .join(emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb")))
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            F.round(F.expr(cosine_expr("q_emb", "v_emb")), 6).alias("cosine"),
+        )
+    )
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force ANN baseline: top-5 nearest neighbors by cosine for
+    each of the 8 query vectors. Ranking uses the *rounded* cosine with a
+    vec_id tiebreak so Spark and the DuckDB oracle rank identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid").asc())
+    return (
+        _scored_pairs(emb, queries)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "vid", "cosine", "rank")
+    )
+
+
+def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: candidates restricted to the query's sign-bit LSH
+    bucket (8 hyperplane bits → ~2^8 bucket reduction), then exact cosine +
+    top-3 within the bucket. At 100 TB the bucket join replaces the full
+    scan; recall < 1 by design (measured against brute force in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(sign_bucket_expr("embedding", 8))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid").asc())
+    return (
+        broadcast(queries)
+        .join(
+            emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb"), "bucket"),
+            F.col("q_bucket") == F.col("bucket"),
+        )
+        .filter(F.col("qid") != F.col("vid"))
+        .select("qid", "vid", F.round(F.expr(cosine_expr("q_emb", "v_emb")), 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "vid", "cosine", "rank")
+    )

@@ -1,0 +1,135 @@
+"""Text analysis for LLM-data pipelines (SURVEY.md §2.3 X13 + north star):
+token statistics, language-ID heuristic, quality scoring, regex ("BPE-ish")
+token counting, and document fingerprinting.
+
+Everything is built-in pyspark.sql.functions / higher-order expressions —
+JVM-side, whole-stage-codegen'd, with exact DuckDB oracles. The reference's
+only text operation is the space-split tokenizer (main.go:24-26); these
+generalize it into the analysis battery a 100 TB corpus curation pass needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+_TOKS = "filter(split(text, ' '), x -> x != '')"
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Deliberately minimal: the heuristic's mechanics (score → argmax with a
+# deterministic preference order) are what the operator demonstrates.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+}
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, average token
+    length — one projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(size(array_distinct({_TOKS})) AS BIGINT)").alias("n_uniq_tokens"),
+        F.expr(
+            f"round(CAST(aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
+            f" / size({_TOKS}), 6)"
+        ).alias("avg_token_len"),
+        F.col("n_chars"),
+    )
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit counts per candidate language,
+    argmax with deterministic preference order (en > es > de > unknown).
+    A real pipeline would use char-n-gram profiles; the operator shape —
+    per-doc scoring against K profiles, argmax — is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.select(
+        "doc_id",
+        *[
+            F.expr(
+                "CAST(size(array_intersect(array_distinct(%s), array(%s))) AS BIGINT)"
+                % (_TOKS, ", ".join(f"'{w}'" for w in words))
+            ).alias(f"score_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    return scores.select(
+        "doc_id",
+        "score_en",
+        "score_es",
+        "score_de",
+        F.expr(
+            """
+            CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 THEN 'unknown'
+                 WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                 WHEN score_es >= score_de THEN 'es'
+                 ELSE 'de' END
+            """
+        ).alias("lang_guess"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, mean word length, stopword ratio,
+    and a blended 0–1 score — the standard cheap pre-filter before expensive
+    model-based curation."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                f"round(CAST(aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
+                f" / size({_TOKS}), 6)"
+            ).alias("mean_word_len"),
+            F.expr(
+                f"round(CAST(size(filter({_TOKS}, t -> array_contains(array({en}), t))) AS DOUBLE)"
+                f" / size({_TOKS}), 6)"
+            ).alias("stopword_ratio"),
+        )
+        .withColumn(
+            "quality",
+            F.round(
+                F.expr(
+                    """
+                    least(1.0, n_tokens / 100.0) * 0.5
+                    + least(1.0, greatest(0.0, (mean_word_len - 2.0) / 5.0)) * 0.3
+                    + least(1.0, stopword_ratio * 5.0) * 0.2
+                    """
+                ),
+                6,
+            ),
+        )
+    )
+
+
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: word-or-punctuation pieces via regex — the
+    cheap proxy for tokenizer-cost estimation over a corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(r"CAST(size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) AS BIGINT)").alias(
+            "n_pieces"
+        ),
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_words"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercase text +
+    length — the join key for cross-snapshot exact dedup at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
+        F.length("text").cast("long").alias("text_len"),
+    )

@@ -14,8 +14,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import core, relational
+from .operators import core, dedup, multimodal, relational, similarity, text
 from .session import prep
+from .streaming import event_count
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -268,3 +269,299 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline surface: dedup / similarity / text analysis / multimodal
+# (SURVEY.md §2.3 X11–X13 + driver north star). The cross-engine hash
+# primitive is md5 — identical in Spark and DuckDB — so even MinHash and
+# SimHash signatures have exact oracles.
+# --------------------------------------------------------------------------
+
+# DuckDB twins of operators/dedup.py's shingle + signature expressions
+_SHINGLES_CTE = """
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(toks) < 3 THEN [text]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS shingles
+  FROM t
+)
+"""
+
+_MH = ", ".join(
+    f"list_min(list_transform(shingles, s -> substr(md5('{j}:' || s), 1, 16))) AS mh{j}"
+    for j in range(dedup.MINHASH_K)
+)
+
+_SIGS_CTE = _SHINGLES_CTE + f", sigs AS (SELECT doc_id, {_MH} FROM sh)\n"
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS key FROM sigs"
+    for b in range(dedup.MINHASH_BANDS)
+)
+
+_register(
+    "dedup_exact",
+    dedup.dedup_exact,
+    """
+    SELECT text, min(doc_id) AS keeper_id, COUNT(*) AS copies
+    FROM documents GROUP BY text
+    """,
+)
+
+_register(
+    "dedup_minhash",
+    dedup.dedup_minhash,
+    _SIGS_CTE + "SELECT * FROM sigs",
+)
+
+_register(
+    "dedup_minhash_pairs",
+    dedup.dedup_minhash_pairs,
+    _SIGS_CTE
+    + f", bands AS ({_BANDS_SQL})"
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.5
+    """,
+)
+
+_SIMHASH_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
+                        tok -> CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)) AS hashes
+  FROM documents
+), sigs AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), j ->
+              CASE WHEN list_sum(list_transform(hashes, h ->
+                         CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM t
+)
+"""
+
+_register("dedup_simhash", dedup.dedup_simhash, _SIMHASH_SQL + "SELECT doc_id, simhash FROM sigs")
+
+_SIMHASH_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8*b}) & 255 AS key FROM sigs"
+    for b in range(4)
+)
+
+_register(
+    "dedup_simhash_pairs",
+    dedup.dedup_simhash_pairs,
+    _SIMHASH_SQL
+    + f", bands AS ({_SIMHASH_BANDS})"
+    + """
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
+
+_register(
+    "dedup_ngram_topk",
+    dedup.dedup_ngram_topk,
+    _SHINGLES_CTE
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+_EMB_BUCKET_SQL = (
+    "CAST(list_sum(list_transform(range(0, 8), "
+    "j -> CASE WHEN embedding[j + 1] >= 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
+)
+
+_register(
+    "dedup_embedding_cosine",
+    dedup.dedup_embedding_cosine,
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_EMB_BUCKET_SQL} AS bucket FROM embeddings)
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.9
+    """,
+)
+
+_register(
+    "similarity_topk",
+    similarity.similarity_topk,
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {similarity.N_QUERIES}),
+    scored AS (
+        SELECT qid, e.vec_id AS vid,
+               round({_cosine_sql('qe', 'e.embedding')}, 6) AS cosine
+        FROM q, embeddings e WHERE e.vec_id <> qid
+    ), ranked AS (
+        SELECT qid, vid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT qid, vid, cosine, rank FROM ranked WHERE rank <= {similarity.TOP_K}
+    """,
+)
+
+_register(
+    "similarity_lsh",
+    similarity.similarity_lsh,
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_EMB_BUCKET_SQL} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS q_bucket FROM e WHERE vec_id < {similarity.N_QUERIES}),
+    scored AS (
+        SELECT qid, e.vec_id AS vid,
+               round({_cosine_sql('qe', 'e.embedding')}, 6) AS cosine
+        FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id <> qid
+    ), ranked AS (
+        SELECT qid, vid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT qid, vid, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+
+# ---- text analysis -------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _stoplist_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS[lang]) + "]"
+
+
+_register(
+    "text_token_stats",
+    text.text_token_stats,
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL})::BIGINT AS n_tokens,
+           len(list_distinct({_TOKS_SQL}))::BIGINT AS n_uniq_tokens,
+           round(CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+                 / len({_TOKS_SQL}), 6) AS avg_token_len,
+           n_chars
+    FROM documents
+    """,
+)
+
+_register(
+    "lang_id_heuristic",
+    text.lang_id_heuristic,
+    f"""
+    WITH scores AS (
+        SELECT doc_id,
+               len(list_intersect(list_distinct({_TOKS_SQL}), {_stoplist_sql('en')}))::BIGINT AS score_en,
+               len(list_intersect(list_distinct({_TOKS_SQL}), {_stoplist_sql('es')}))::BIGINT AS score_es,
+               len(list_intersect(list_distinct({_TOKS_SQL}), {_stoplist_sql('de')}))::BIGINT AS score_de
+        FROM documents
+    )
+    SELECT doc_id, score_en, score_es, score_de,
+           CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 THEN 'unknown'
+                WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                WHEN score_es >= score_de THEN 'es'
+                ELSE 'de' END AS lang_guess
+    FROM scores
+    """,
+)
+
+_register(
+    "quality_score",
+    text.quality_score,
+    f"""
+    WITH base AS (
+        SELECT doc_id, n_chars,
+               len({_TOKS_SQL})::BIGINT AS n_tokens,
+               round(CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+                     / len({_TOKS_SQL}), 6) AS mean_word_len,
+               round(CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_stoplist_sql('en')}, t))) AS DOUBLE)
+                     / len({_TOKS_SQL}), 6) AS stopword_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, mean_word_len, stopword_ratio,
+           round(least(1.0, n_tokens / 100.0) * 0.5
+                 + least(1.0, greatest(0.0, (mean_word_len - 2.0) / 5.0)) * 0.3
+                 + least(1.0, stopword_ratio * 5.0) * 0.2, 6) AS quality
+    FROM base
+    """,
+)
+
+_register(
+    "token_count_regex",
+    text.token_count_regex,
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_pieces,
+           len({_TOKS_SQL})::BIGINT AS n_words
+    FROM documents
+    """,
+)
+
+_register(
+    "doc_fingerprint",
+    text.doc_fingerprint,
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+           length(text)::BIGINT AS text_len
+    FROM documents
+    """,
+)
+
+# ---- multimodal ----------------------------------------------------------
+
+_register(
+    "multimodal_meta",
+    multimodal.multimodal_meta,
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           sha256(text) AS digest,
+           'stub' AS decode_status
+    FROM documents
+    """,
+)
+
+# fake decode dims are a Python-side stub → rows-only check
+_register("multimodal_decode", multimodal.multimodal_decode, None)
+
+# ---- streaming (X14): stateful streaming aggregation → rows-only ----------
+
+_register("stream_event_count", event_count.stream_event_count, None)

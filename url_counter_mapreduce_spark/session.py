@@ -53,7 +53,9 @@ def prep(spark: SparkSession) -> SparkSession:
     The driver harness creates its own SparkSession and hands it to
     ``__spark_entry__.entry``/``queries()`` callables; those can't choose
     JVM-startup configs, but the semantics-relevant ones (timezone, AQE,
-    shuffle partitions) are runtime-settable and applied here.
+    shuffle partitions) are runtime-settable and applied here. Also ships
+    this package to executor Python workers (addPyFile) so UDF closures
+    resolve regardless of the driver process's cwd/sys.path.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -62,4 +64,25 @@ def prep(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
     except Exception:
         pass  # immutable under some configs; harmless
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    if getattr(spark, "_spark_graft_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        zip_base = os.path.join(tempfile.gettempdir(), "url_counter_mapreduce_spark_pkg")
+        zip_path = zip_base + ".zip"
+        if not os.path.exists(zip_path):
+            shutil.make_archive(
+                zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir)
+            )
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Spark Connect without SparkContext; closures are self-contained anyway
+    spark._spark_graft_shipped = True

@@ -1,0 +1,85 @@
+"""Streaming event counting (X14): the reference's count-by-key query as a
+Structured Streaming job — file source → watermark → tumbling window →
+stateful count — verified against its batch twin
+(relational.window_tumbling_count) on the same data.
+
+Batch-testable via Trigger.AvailableNow + memory sink: the stream drains the
+parquet once and terminates, so the driver's rows-only check and the local
+batch-equivalence test both see a finished, deterministic result. At scale
+the same plan runs unmodified against a Kafka/file stream with the watermark
+bounding state (late events beyond 1h are dropped, state GC'd per window).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """Spark's file streaming source requires a *directory*; testdata is one
+    parquet file per table (read-only). Expose events.parquet through a
+    per-sf_dir temp directory holding a symlink — zero copy."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # file streaming source needs an explicit schema; ts is TIMESTAMP(NANOS)
+    # in the parquet (FIXTURES.md) → read as long, truncate to micros, same
+    # as the batch loader (tables.load_table).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+        ]
+    ).add("event_type", "string").add("value", "double").add("props", "string")
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(_stream_dir(sf_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def stream_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window count per event_type with a 1-hour watermark.
+
+    Returns the finished result as a DataFrame (memory sink, AvailableNow).
+    Column names/types match the batch twin window_tumbling_count so
+    equivalence is a direct frame comparison.
+    """
+    windowed = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = "stream_event_count_sink"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
