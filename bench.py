@@ -38,6 +38,17 @@ BENCH_QUERIES = [
     "scalar_functions",
     "window_tumbling_count",
     "udf_surface",
+    # LLM-pipeline surface
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_topk",
+    "similarity_topk",
+    "similarity_lsh",
+    "text_token_stats",
+    "quality_score",
+    "doc_fingerprint",
+    "multimodal_meta",
 ]
 
 

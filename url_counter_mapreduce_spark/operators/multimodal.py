@@ -31,6 +31,10 @@ DECODE_SCHEMA = "doc_id long, width int, height int, n_frames int, decode_status
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text as an opaque binary payload column."""
+    # NB: deliberately NOT spread(): fanning 5k small blobs across 32
+    # Python workers costs more in worker startup than it buys (measured
+    # 0.7s → 2.7s); at real multimodal scale the input splits already
+    # provide parallelism.
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )

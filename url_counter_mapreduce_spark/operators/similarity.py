@@ -24,7 +24,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from ..functions.vector import cosine_expr, sign_bucket_expr
-from ..tables import load_table
+from ..tables import load_table, spread
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -33,7 +33,7 @@ TOP_K = 5
 def _scored_pairs(emb: DataFrame, queries: DataFrame) -> DataFrame:
     return (
         broadcast(queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")))
-        .join(emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb")))
+        .join(spread(emb).select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb")))
         .filter(F.col("qid") != F.col("vid"))
         .select(
             "qid",
@@ -63,7 +63,7 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (8 hyperplane bits → ~2^8 bucket reduction), then exact cosine +
     top-3 within the bucket. At 100 TB the bucket join replaces the full
     scan; recall < 1 by design (measured against brute force in tests)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", F.expr(sign_bucket_expr("embedding", 8))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(

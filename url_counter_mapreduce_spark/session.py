@@ -43,6 +43,10 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     return builder.getOrCreate()
 
@@ -60,6 +64,15 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # InferFiltersFromGenerate synthesizes size(e)>0 pre-filters for every
+    # explode; with computed arrays (shingles, token lists) the filter
+    # inlines the whole array expression below the exchange and re-evaluates
+    # it per row on the scan side (measured 5× slowdown on the MinHash
+    # pipeline). Our exploded arrays are non-empty by construction.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     try:
         spark.conf.set("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
     except Exception:

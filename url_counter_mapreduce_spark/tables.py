@@ -44,6 +44,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a compute-dense-per-byte input to full parallelism.
+
+    A small parquet file arrives as ONE input split (≤128 MB ⇒ 1 task), so
+    hash/shingle/vector pipelines would run single-threaded regardless of
+    core count. One cheap round-robin shuffle of the raw rows buys N-way
+    parallelism for everything downstream. At 100 TB the scan has plenty of
+    splits, but hash-heavy stages still benefit from decoupling compute
+    parallelism from the 128 MB input-split granularity."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works too."""
     for name in TABLES:
