@@ -122,6 +122,24 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12's reduceF slot (main.go:47-49; signature master.go:57-59): the
+    reference's second injection point is a per-key aggregation function.
+    Spark's analog for a custom aggregate is an Arrow-batched GROUPED_AGG
+    pandas_udf — here a median over each language group (not expressible as
+    len(values) to show a genuinely custom reducer)."""
+
+    @pandas_udf("double")
+    def median_chars(n: pd.Series) -> float:
+        return float(n.median())
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.round(median_chars(F.col("n_chars")), 4).alias("median_chars"))
+    )
+
+
 def sink_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10 text sink format (master_splitmerge.go:46): ``"<key>: <value>"``
     lines. Returned as a single-column DataFrame (the driver collects;

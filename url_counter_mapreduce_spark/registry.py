@@ -108,6 +108,15 @@ _register(
 )
 
 _register(
+    "udaf_surface",
+    core.udaf_surface,
+    """
+    SELECT lang, round(CAST(median(n_chars) AS DOUBLE), 4) AS median_chars
+    FROM documents GROUP BY lang
+    """,
+)
+
+_register(
     "sink_rows",
     core.sink_rows,
     _COUNTS_CTE + "SELECT token || ': ' || CAST(cnt AS VARCHAR) AS line FROM counts",
