@@ -44,6 +44,11 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     o = _canon(oracle_pdf)
     for col in s.columns:
         sv, ov = s[col], o[col]
+        # dtype-class drift (e.g. DuckDB HUGEINT → float64 vs Spark int64)
+        # breaks the driver's value hash even when values agree numerically
+        assert pd.api.types.is_float_dtype(sv) == pd.api.types.is_float_dtype(ov), (
+            f"{name}.{col}: dtype class mismatch {sv.dtype} (spark) vs {ov.dtype} (duckdb)"
+        )
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             for i, (a, b) in enumerate(zip(sv.astype(float), ov.astype(float))):
                 na, nb = pd.isna(a), pd.isna(b)

@@ -122,3 +122,46 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
     b = sorted(QUERIES["multimodal_decode"](spark, sf_dir).collect())
     assert a == b
     assert all(64 <= r.width < 256 and 64 <= r.height < 256 and 1 <= r.n_frames <= 30 for r in a)
+
+
+def test_stream_sessionize_subset_of_batch(spark, sf_dir):
+    """Append-mode session_window emits only watermark-closed sessions;
+    every emitted session must exactly match a batch gap-sessionization
+    session (same user, same bounds, same count)."""
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in QUERIES["sessionize_events"](spark, sf_dir).collect()
+    }
+    stream = QUERIES["stream_sessionize"](spark, sf_dir).collect()
+    assert len(stream) > 0
+    for r in stream:
+        # NB: session_window's end is last_event + gap, not max(ts), so the
+        # join key is (user, start); counts and sums must agree exactly.
+        key = (r.user_id, r.session_start)
+        assert key in batch, f"stream session {key} not found in batch sessions"
+        assert batch[key] == (r.n_events, r.sum_value)
+
+
+def test_stream_user_stats_matches_batch(spark, sf_dir):
+    """The applyInPandasWithState running totals, after draining the whole
+    stream, must equal the batch per-user aggregates."""
+    batch = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    }
+    stream = {r.user_id: (r.n_events, r.sum_value) for r in QUERIES["stream_user_stats"](spark, sf_dir).collect()}
+    assert stream == batch
+
+
+def test_asof_join_prev_view_is_strictly_earlier(spark, sf_dir):
+    rows = QUERIES["join_asof"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    n_with_view = 0
+    for r in rows:
+        if r.prev_view_ts is not None:
+            n_with_view += 1
+            assert r.prev_view_ts < r.purchase_ts  # ISO strings order like timestamps
+    assert n_with_view > 0

@@ -1,0 +1,123 @@
+"""Temporal / event-sequence operators: gap-based sessionization, as-of
+join, exact quantiles, pivot — the event-analytics layer a training-data
+pipeline needs over an `events` stream table (driver north star; the
+reference has no temporal operators at all, SURVEY.md §2.2).
+
+Oracle notes:
+  - sessionize_events is mirrored in DuckDB with the identical window SQL;
+  - join_asof is deliberately formulated DIFFERENTLY in the oracle (DuckDB's
+    native ASOF JOIN vs Spark's range-frame window max) — two independent
+    derivations agreeing is a stronger correctness signal than a
+    transliterated query;
+  - quantiles use exact linear-interpolation percentiles in both engines
+    (Spark `percentile`, DuckDB `quantile_cont`).
+
+Timestamps in outputs are ISO strings with microseconds (project convention
+— see relational.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load_table
+
+SESSION_GAP_MIN = 30
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a session ends after 30 idle minutes.
+    Classic two-window formulation — lag to flag session starts, running
+    sum to number sessions — then one aggregate per session. Both windows
+    and the aggregate shuffle on user_id only (one exchange; the windows
+    and groupBy share partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+            > SESSION_GAP_MIN * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+        F.date_format(F.max("ts"), TS_FMT).alias("session_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the timestamp of the same
+    user's most recent strictly-earlier view event (NULL if none).
+
+    Spark lacks a native ASOF JOIN; the idiomatic formulation is a
+    range-frame window over the unioned event stream: one shuffle on
+    user_id, no join at all. (The DuckDB oracle uses its native ASOF JOIN —
+    an independent derivation of the same semantics.) At 100 TB this is
+    the right shape: sort-within-partition + running max, versus a
+    backward-scan nested-loop per probe row."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "purchase"))
+    us = ev.withColumn("ts_us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)  # strictly earlier ts
+    )
+    enriched = us.withColumn(
+        "prev_view_us", F.max(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT).alias("purchase_ts"),
+            F.date_format(F.timestamp_micros(F.col("prev_view_us")), TS_FMT).alias("prev_view_ts"),
+        )
+    )
+
+
+def quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles of value per event_type.
+    Spark's `percentile` (exact, sort-based) — the approx_percentile
+    variant is the 100 TB default; exact is kept here because the oracle
+    can verify it bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type. Explicit
+    value list (no discovery pass over the data — at 100 TB the implicit
+    distinct scan is a full extra job); absent combinations filled with 0
+    to match ANSI conditional-aggregation semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )

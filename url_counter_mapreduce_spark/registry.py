@@ -574,3 +574,79 @@ _register("multimodal_decode", multimodal.multimodal_decode, None)
 # ---- streaming (X14): stateful streaming aggregation → rows-only ----------
 
 _register("stream_event_count", event_count.stream_event_count, None)
+
+# --------------------------------------------------------------------------
+# Temporal / event-sequence surface + custom stateful streaming
+# --------------------------------------------------------------------------
+
+from .operators import temporal  # noqa: E402
+from .streaming import stateful  # noqa: E402
+
+_register(
+    "sessionize_events",
+    temporal.sessionize_events,
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > {temporal.SESSION_GAP_MIN * 60}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           round(SUM(value), 4) AS sum_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+
+_register(
+    "join_asof",
+    temporal.join_asof,
+    """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS prev_view_ts
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts > v.ts
+    """,
+)
+
+_register(
+    "quantiles_value",
+    temporal.quantiles_value,
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+
+_register(
+    "pivot_events",
+    temporal.pivot_events,
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+
+# streaming stateful ops: not SQL-expressible → rows-only
+_register("stream_sessionize", stateful.stream_sessionize, None)
+_register("stream_user_stats", stateful.stream_user_stats, None)
