@@ -49,15 +49,28 @@ BENCH_QUERIES = [
     "quality_score",
     "doc_fingerprint",
     "multimodal_meta",
+    # temporal / advanced relational
+    "sessionize_events",
+    "join_asof",
+    "quantiles_value",
+    "pivot_events",
+    "range_join_events",
+    "sql_surface",
 ]
 
 
-def _run(spark, name: str) -> float:
+def _run_once(spark, name: str) -> float:
     t0 = time.perf_counter()
     df = QUERIES[name](spark, SF_DIR)
     # force full execution without shipping the result to python
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def _run(spark, name: str) -> float:
+    # best of 2: the first run can absorb codegen/python-worker startup and
+    # GC noise; the minimum is the steady-state cost
+    return min(_run_once(spark, name), _run_once(spark, name))
 
 
 def main() -> None:

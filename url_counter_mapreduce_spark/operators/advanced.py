@@ -1,0 +1,92 @@
+"""Advanced relational shapes: range (interval) self-join, explicit
+GROUPING SETS, and the SQL entry surface (spark.sql over registered views).
+
+The range join uses the banded-bucket pattern — the scalable formulation of
+an inequality join: bucketize the ordering key, equi-join on (key, bucket)
+for the candidate bucket pair, then apply the exact inequality. Catalyst
+turns a naive t1.ts BETWEEN t2.ts - d AND t2.ts into a cross/BNL join;
+bucketing makes it an equi-join shuffle. The DuckDB oracle states the
+inequality directly (its IEJoin handles it) — independent formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table, register_views
+
+RANGE_WINDOW_S = 120  # pair events of the same user within 2 minutes
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of distinct events by the same user within 120 s of each other
+    (a < b). Banded equi-join: each event joins buckets b and b+1 of the
+    floor(ts/120s) grid, which covers every pair within 120 s; the exact
+    |Δt| predicate filters the false candidates. One shuffle on
+    (user_id, bucket) — no cross join at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    bucketed = ev.withColumn("bucket", F.expr(f"us div {RANGE_WINDOW_S * 1_000_000}"))
+    # any pair within the window sits in the same or an adjacent bucket, so
+    # the probe side lands in buckets {k-1, k, k+1}: every qualifying pair
+    # meets exactly once per overlapping shift (distinct dedups)
+    probe = (
+        bucketed.withColumn("bucket", F.col("bucket") - 1)
+        .union(bucketed)
+        .union(bucketed.withColumn("bucket", F.col("bucket") + 1))
+    ).select(
+        F.col("event_id").alias("event_b"), F.col("user_id"), F.col("us").alias("us_b"), "bucket"
+    )
+    build = bucketed.select(
+        F.col("event_id").alias("event_a"), "user_id", F.col("us").alias("us_a"), "bucket"
+    )
+    return (
+        build.join(probe, ["user_id", "bucket"])
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.col("us_b") - F.col("us_a") <= RANGE_WINDOW_S * 1_000_000)
+            & (F.col("us_b") - F.col("us_a") >= -RANGE_WINDOW_S * 1_000_000)
+        )
+        .select("user_id", "event_a", "event_b", (F.col("us_b") - F.col("us_a")).alias("delta_us"))
+        .distinct()  # bucket b and b+1 can both produce the same in-bucket pair
+    )
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): exactly the
+    {(status), (priority)} grain pair — expressed in SQL, which is the
+    idiomatic Spark surface for grouping sets."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(1) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point end-to-end: a TPC-H-Q3-shaped 3-table join +
+    aggregation + top-K written as plain SQL over registered views —
+    proving the engine's tables and semantics are fully reachable through
+    spark.sql, not only the DataFrame API."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               COUNT(1) AS n_items
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 20
+        """
+    )

@@ -650,3 +650,54 @@ _register(
 # streaming stateful ops: not SQL-expressible → rows-only
 _register("stream_sessionize", stateful.stream_sessionize, None)
 _register("stream_user_stats", stateful.stream_user_stats, None)
+
+# --------------------------------------------------------------------------
+# Advanced relational shapes: range join, grouping sets, SQL surface
+# --------------------------------------------------------------------------
+
+from .operators import advanced  # noqa: E402
+
+_register(
+    "range_join_events",
+    advanced.range_join_events,
+    f"""
+    SELECT a.user_id,
+           a.event_id AS event_a,
+           b.event_id AS event_b,
+           epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts BETWEEN a.ts - INTERVAL {advanced.RANGE_WINDOW_S} SECONDS
+                  AND a.ts + INTERVAL {advanced.RANGE_WINDOW_S} SECONDS
+    """,
+)
+
+_register(
+    "grouping_sets_orders",
+    advanced.grouping_sets_orders,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(1) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+
+_register(
+    "sql_surface",
+    advanced.sql_surface,
+    """
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(1) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
