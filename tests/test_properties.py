@@ -165,3 +165,11 @@ def test_asof_join_prev_view_is_strictly_earlier(spark, sf_dir):
             n_with_view += 1
             assert r.prev_view_ts < r.purchase_ts  # ISO strings order like timestamps
     assert n_with_view > 0
+
+
+def test_stream_url_count_matches_batch_topk(spark, sf_dir):
+    """The flagship query's streaming twin: complete-mode running counts
+    over the bounded document stream must equal batch url_topk exactly."""
+    batch = [(r.token, r.cnt) for r in QUERIES["url_topk"](spark, sf_dir).collect()]
+    stream = [(r.token, r.cnt) for r in QUERIES["stream_url_count"](spark, sf_dir).collect()]
+    assert stream == batch

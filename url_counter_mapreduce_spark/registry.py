@@ -701,3 +701,8 @@ _register(
     LIMIT 20
     """,
 )
+
+# streaming flagship twin (rows-only; equality vs batch url_topk in tests)
+from .streaming import url_count as _stream_url_count  # noqa: E402
+
+_register("stream_url_count", _stream_url_count.stream_url_count, None)

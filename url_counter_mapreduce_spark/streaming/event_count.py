@@ -21,17 +21,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 
-def _stream_dir(sf_dir: str) -> str:
+def _stream_dir_for(sf_dir: str, table: str) -> str:
     """Spark's file streaming source requires a *directory*; testdata is one
-    parquet file per table (read-only). Expose events.parquet through a
-    per-sf_dir temp directory holding a symlink — zero copy."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    parquet file per table (read-only). Expose <table>.parquet through a
+    per-(sf_dir, table) temp directory holding a symlink — zero copy."""
+    tag = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
     return d
+
+
+def _stream_dir(sf_dir: str) -> str:
+    return _stream_dir_for(sf_dir, "events")
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
