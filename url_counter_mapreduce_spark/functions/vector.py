@@ -25,6 +25,14 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
 
 
+def finite_norm_pred(a: str) -> str:
+    """Guard for degenerate vectors: zero-norm → division by zero (NULL in
+    Spark, ±inf in DuckDB) and NaN components sort differently across
+    engines — exclude both up front, identically on both sides."""
+    n2 = dot_expr(a, a)
+    return f"({n2} > 0.0 AND NOT isnan({n2}))"
+
+
 def sign_bucket_expr(a: str, bits: int) -> str:
     """Axis-aligned hyperplane LSH bucket: integer whose bit i is the sign of
     dimension i (first `bits` dims). Vectors at small angles agree on most

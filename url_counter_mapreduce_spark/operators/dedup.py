@@ -291,14 +291,19 @@ def dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine ≥ 0.9, blocked by the 8-bit
-    sign pattern of the first 8 dimensions (axis-aligned hyperplane LSH —
-    vectors with cosine→1 agree on almost all sign bits). Equi-join on the
-    bucket key; exact cosine verified on candidates only."""
-    from ..functions.vector import cosine_expr, sign_bucket_expr
+    """Embedding near-dup report: the 20 most-similar vector pairs among
+    LSH candidates — blocked by the 8-bit sign pattern of the first 8
+    dimensions (axis-aligned hyperplane LSH — vectors with cosine→1 agree
+    on almost all sign bits). Equi-join on the bucket key; exact cosine on
+    candidates only. A production dedup pass would apply a threshold
+    filter instead of top-K; top-K keeps the report informative on
+    dup-free corpora (and the oracle comparison non-vacuous)."""
+    from ..functions.vector import cosine_expr, finite_norm_pred, sign_bucket_expr
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(sign_bucket_expr("embedding", 8))
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.expr(finite_norm_pred("embedding")))
+        .withColumn("bucket", F.expr(sign_bucket_expr("embedding", 8)))
     )
     a, b = emb.alias("a"), emb.alias("b")
     return (
@@ -309,5 +314,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(F.expr(cosine_expr("a.embedding", "b.embedding")), 6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.9)
+        .orderBy(F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+        .limit(20)
     )

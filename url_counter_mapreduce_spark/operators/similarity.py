@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine_expr, sign_bucket_expr
+from ..functions.vector import cosine_expr, finite_norm_pred, sign_bucket_expr
 from ..tables import load_table, spread
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -47,7 +47,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force ANN baseline: top-5 nearest neighbors by cosine for
     each of the 8 query vectors. Ranking uses the *rounded* cosine with a
     vec_id tiebreak so Spark and the DuckDB oracle rank identically."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.expr(finite_norm_pred("embedding")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid").asc())
     return (
@@ -63,8 +63,10 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (8 hyperplane bits → ~2^8 bucket reduction), then exact cosine +
     top-3 within the bucket. At 100 TB the bucket join replaces the full
     scan; recall < 1 by design (measured against brute force in tests)."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", F.expr(sign_bucket_expr("embedding", 8))
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.expr(finite_norm_pred("embedding")))
+        .withColumn("bucket", F.expr(sign_bucket_expr("embedding", 8)))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")

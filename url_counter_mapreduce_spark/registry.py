@@ -422,12 +422,12 @@ _register(
     "dedup_embedding_cosine",
     dedup.dedup_embedding_cosine,
     f"""
-    WITH e AS (SELECT vec_id, embedding, {_EMB_BUCKET_SQL} AS bucket FROM embeddings)
+    WITH e AS (SELECT vec_id, embedding, {_EMB_BUCKET_SQL} AS bucket FROM embeddings WHERE (list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0.0 AND NOT isnan(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))))
     SELECT vec_a, vec_b, cosine FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.9
+    ) ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 20
     """,
 )
 
@@ -435,11 +435,12 @@ _register(
     "similarity_topk",
     similarity.similarity_topk,
     f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {similarity.N_QUERIES}),
+    WITH emb AS (SELECT * FROM embeddings WHERE (list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0.0 AND NOT isnan(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM emb WHERE vec_id < {similarity.N_QUERIES}),
     scored AS (
         SELECT qid, e.vec_id AS vid,
                round({_cosine_sql('qe', 'e.embedding')}, 6) AS cosine
-        FROM q, embeddings e WHERE e.vec_id <> qid
+        FROM q, emb e WHERE e.vec_id <> qid
     ), ranked AS (
         SELECT qid, vid, cosine,
                CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS INT) AS rank
@@ -453,7 +454,7 @@ _register(
     "similarity_lsh",
     similarity.similarity_lsh,
     f"""
-    WITH e AS (SELECT vec_id, embedding, {_EMB_BUCKET_SQL} AS bucket FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding, {_EMB_BUCKET_SQL} AS bucket FROM embeddings WHERE (list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0.0 AND NOT isnan(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))),
     q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS q_bucket FROM e WHERE vec_id < {similarity.N_QUERIES}),
     scored AS (
         SELECT qid, e.vec_id AS vid,
