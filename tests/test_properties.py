@@ -173,3 +173,32 @@ def test_stream_url_count_matches_batch_topk(spark, sf_dir):
     batch = [(r.token, r.cnt) for r in QUERIES["url_topk"](spark, sf_dir).collect()]
     stream = [(r.token, r.cnt) for r in QUERIES["stream_url_count"](spark, sf_dir).collect()]
     assert stream == batch
+
+
+def test_ivf_results_share_cell_and_match_bruteforce_scores(spark, sf_dir):
+    """IVF hits must carry the same cosine as brute force for the same pair
+    (same definition), and IVF recall@3 vs brute-force top-3 is measured —
+    it varies with how well labels cluster the space, but must be > 0."""
+    brute = {(r.qid, r.vid): r.cosine for r in QUERIES["similarity_topk"](spark, sf_dir).collect()}
+    top3 = {}
+    for (qid, vid), c in brute.items():
+        top3.setdefault(qid, []).append((c, vid))
+    hits = 0
+    total = 0
+    ivf = QUERIES["similarity_ivf"](spark, sf_dir).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        if (r.qid, r.vid) in brute:
+            assert abs(brute[(r.qid, r.vid)] - r.cosine) < 1e-9
+    for qid, scored in top3.items():
+        best3 = {v for _, v in sorted(scored, reverse=True)[:3]}
+        got = {r.vid for r in ivf if r.qid == qid}
+        hits += len(best3 & got)
+        total += len(best3)
+    assert hits > 0, "IVF recall@3 is zero — cell assignment is broken"
+
+
+def test_salted_count_equals_plain_count(spark, sf_dir):
+    plain = {(r.token, r.cnt) for r in QUERIES["url_count"](spark, sf_dir).collect()}
+    salted = {(r.token, r.cnt) for r in QUERIES["url_count_salted"](spark, sf_dir).collect()}
+    assert salted == plain

@@ -90,3 +90,48 @@ def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+def join_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation for one region — a 6-table join
+    graph (lineitem⋈orders⋈customer⋈supplier⋈nation⋈region) with dimension
+    broadcasts and a single grouped aggregate. The canonical operator-graph
+    stressor: Catalyst must order the joins, broadcast the small sides, and
+    keep the fact scan pruned to 4 columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter((F.col("r_name") == "AMERICA") & (supp.s_nationkey == cust.c_nationkey))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def url_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship count with explicit two-stage salting — the manual
+    skew recipe from docs/SCALE.md §3 demonstrated end-to-end: stage 1
+    aggregates on (token, salt) spreading any single hot key over 16
+    reducers, stage 2 re-aggregates per token. Results are identical to
+    url_count by construction — and the oracle is literally url_count's,
+    proving salting is semantics-free. (For plain counts Spark's partial
+    aggregation already absorbs skew; the pattern matters for aggregates
+    without map-side combine, e.g. collect_list or exact distinct.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    salted = tokens.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(16)))
+    stage1 = salted.groupBy("token", "salt").agg(F.count(F.lit(1)).alias("c"))
+    return stage1.groupBy("token").agg(F.sum("c").alias("cnt"))

@@ -84,3 +84,59 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("qid", "vid", "cosine", "rank")
     )
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label mean embedding (the
+    label column stands in for learned k-means centroids — deterministic
+    and data-derived); each query searches only its nearest centroid's
+    cell. Two broadcast joins (centroid table is tiny), corpus scanned
+    once; the drop-in for learned centroids is replacing the centroid
+    DataFrame. Engine-internal ranking semantics (centroid assignment
+    feeds top-k) are not SQL-expressible compactly → rows-only check;
+    recall vs brute force is measured in tests."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    # per-dimension mean per label, reassembled into a centroid vector
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    centroids = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("centroid"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    # assign each query to its nearest centroid (broadcast: |labels| rows)
+    q_cent = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            "qid",
+            "q_emb",
+            "label",
+            F.expr(cosine_expr("q_emb", "centroid")).alias("c_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("c_sim").desc(), F.col("label").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("qid", "q_emb", F.col("label").alias("cell"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid").asc())
+    return (
+        F.broadcast(q_cent)
+        .join(
+            emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb"), "label"),
+            F.col("cell") == F.col("label"),
+        )
+        .filter(F.col("qid") != F.col("vid"))
+        .select("qid", "vid", F.round(F.expr(cosine_expr("q_emb", "v_emb")), 6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "vid", "cosine", "rank")
+    )

@@ -707,3 +707,27 @@ _register(
 from .streaming import url_count as _stream_url_count  # noqa: E402
 
 _register("stream_url_count", _stream_url_count.stream_url_count, None)
+
+_register(
+    "join_multi_table",
+    advanced.join_multi_table,
+    """
+    SELECT n_name,
+           round(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(1) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA' AND s_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+
+# salting is semantics-free: the salted two-stage count shares url_count's oracle
+_register("url_count_salted", advanced.url_count_salted, ORACLES["url_count"])
+
+# IVF cell assignment feeds ranking — not compactly SQL-expressible → rows-only
+_register("similarity_ivf", similarity.similarity_ivf, None)
