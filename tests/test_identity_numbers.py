@@ -12,17 +12,19 @@ import pytest
 
 from url_counter_mapreduce_spark.sources.text import read_url_text, tokenize_urls
 
-N_NUMBERS = 20000
-N_FILES = 5
+N_NUMBERS = 100000  # §A2 / test_test.go:16: nNumber = 100000
+N_FILES = 7  # deliberately not a divisor — chunking must not drop the tail
 
 
 @pytest.fixture(scope="module")
 def numbers_fixture(tmp_path_factory):
     root = tmp_path_factory.mktemp("numbers")
-    per_file = N_NUMBERS // N_FILES
+    nums = [str(n) for n in range(N_NUMBERS)]
+    per_file = -(-N_NUMBERS // N_FILES)  # ceil: every number lands in a file
     for i in range(N_FILES):
-        lines = [str(n) for n in range(i * per_file, (i + 1) * per_file)]
-        (root / f"n{i}.txt").write_text("\n".join(lines) + "\n")
+        chunk = nums[i * per_file : (i + 1) * per_file]
+        if chunk:
+            (root / f"n{i}.txt").write_text("\n".join(chunk) + "\n")
     return str(root)
 
 

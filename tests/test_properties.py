@@ -175,27 +175,77 @@ def test_stream_url_count_matches_batch_topk(spark, sf_dir):
     assert stream == batch
 
 
-def test_ivf_results_share_cell_and_match_bruteforce_scores(spark, sf_dir):
+def test_ivf_scores_match_bruteforce_on_real_data(spark, sf_dir):
     """IVF hits must carry the same cosine as brute force for the same pair
-    (same definition), and IVF recall@3 vs brute-force top-3 is measured —
-    it varies with how well labels cluster the space, but must be > 0."""
+    (same score definition). The driver embeddings are uniform (no cluster
+    structure: within-label mean cosine ~0.009), so recall is only sanity-
+    floored here; the recall contract is asserted on clustered data below."""
     brute = {(r.qid, r.vid): r.cosine for r in QUERIES["similarity_topk"](spark, sf_dir).collect()}
-    top3 = {}
-    for (qid, vid), c in brute.items():
-        top3.setdefault(qid, []).append((c, vid))
-    hits = 0
-    total = 0
     ivf = QUERIES["similarity_ivf"](spark, sf_dir).collect()
     assert len(ivf) > 0
     for r in ivf:
         if (r.qid, r.vid) in brute:
             assert abs(brute[(r.qid, r.vid)] - r.cosine) < 1e-9
+    top3 = {}
+    for (qid, vid), c in brute.items():
+        top3.setdefault(qid, []).append((c, vid))
+    hits = total = 0
     for qid, scored in top3.items():
-        best3 = {v for _, v in sorted(scored, reverse=True)[:3]}
+        best3 = {v for _, v in sorted(scored, key=lambda t: (-t[0], t[1]))[:3]}
         got = {r.vid for r in ivf if r.qid == qid}
         hits += len(best3 & got)
         total += len(best3)
-    assert hits > 0, "IVF recall@3 is zero — cell assignment is broken"
+    assert hits > 0, f"IVF found nothing from brute-force top-3 ({hits}/{total})"
+
+
+def _clustered_embeddings(spark, n_clusters=5, per_cluster=40, dim=16):
+    """Deterministic clustered vectors: unit-ish cluster axes + small noise
+    from a seeded LCG — the data shape IVF is designed for."""
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (1103515245 * x + 12345) % (1 << 31)
+            yield (x / (1 << 31)) - 0.5
+
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        noise = lcg(42 + c)
+        center = [1.0 if d == c else 0.0 for d in range(dim)]
+        for _ in range(per_cluster):
+            vec = [center[d] + 0.15 * next(noise) for d in range(dim)]
+            rows.append((vid, vec, c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """On clustered data (IVF's contract) k-means cells align with the
+    clusters and recall@3 must be high."""
+    from url_counter_mapreduce_spark.operators.similarity import ivf_topk
+    from url_counter_mapreduce_spark.functions.vector import cosine_expr
+
+    emb = _clustered_embeddings(spark)
+    ivf = ivf_topk(emb, n_queries=8, k=3, n_cells=5, nprobe=2, iters=3).collect()
+    # brute force on the same frame
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")).filter("qid < 8")
+    b = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve"))
+    scored = (
+        a.join(b)
+        .filter("qid != vid")
+        .select("qid", "vid", F.round(F.expr(cosine_expr("qe", "ve")), 6).alias("c"))
+        .collect()
+    )
+    top3 = {}
+    for r in scored:
+        top3.setdefault(r.qid, []).append((r.c, r.vid))
+    hits = total = 0
+    for qid, sc in top3.items():
+        best3 = {v for _, v in sorted(sc, key=lambda t: (-t[0], t[1]))[:3]}
+        got = {r.vid for r in ivf if r.qid == qid}
+        hits += len(best3 & got)
+        total += len(best3)
+    assert hits / total >= 0.8, f"IVF recall@3 on clustered data: {hits}/{total}"
 
 
 def test_salted_count_equals_plain_count(spark, sf_dir):

@@ -122,16 +122,17 @@ def join_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 def url_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship count with explicit two-stage salting — the manual
     skew recipe from docs/SCALE.md §3 demonstrated end-to-end: stage 1
-    aggregates on (token, salt) spreading any single hot key over 16
-    reducers, stage 2 re-aggregates per token. Results are identical to
-    url_count by construction — and the oracle is literally url_count's,
-    proving salting is semantics-free. (For plain counts Spark's partial
-    aggregation already absorbs skew; the pattern matters for aggregates
-    without map-side combine, e.g. collect_list or exact distinct.)"""
-    docs = load_table(spark, sf_dir, "documents")
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
-    ).filter(F.col("token") != "")
-    salted = tokens.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(16)))
+    aggregates on (token, salt), stage 2 re-aggregates per token. The salt
+    is per-OCCURRENCE (doc_id + within-doc position), so a hot key spreads
+    over all 16 reducers even when concentrated in a single giant document.
+    Results are identical to url_count by construction — the oracle is
+    literally url_count's, proving salting is semantics-free. (For plain
+    counts Spark's partial aggregation already absorbs skew; the pattern
+    matters for aggregates without map-side combine, e.g. collect_list or
+    exact distinct.)"""
+    from .core import tokenized_with_position
+
+    tokens = tokenized_with_position(load_table(spark, sf_dir, "documents"))
+    salted = tokens.withColumn("salt", F.pmod(F.col("doc_id") + F.col("pos"), F.lit(16)))
     stage1 = salted.groupBy("token", "salt").agg(F.count(F.lit(1)).alias("c"))
     return stage1.groupBy("token").agg(F.sum("c").alias("cnt"))

@@ -61,6 +61,17 @@ def tokenize_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenized(spark, sf_dir)
 
 
+def tokenized_with_position(docs: DataFrame) -> DataFrame:
+    """Tokenizer variant keeping (doc_id, pos, token) — same split-on-space /
+    drop-empties semantics as ``tokenized`` (main.go:24-26), with the
+    within-document position for consumers that need per-occurrence
+    identity (e.g. the salted aggregation's row-level salt)."""
+    return (
+        docs.select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"))
+        .filter(F.col("token") != "")
+    )
+
+
 def url_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3–O5: hash-partitioned count per key (main.go:47-49 via common_reduce.go:52).
 

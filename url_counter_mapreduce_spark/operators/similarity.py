@@ -86,57 +86,106 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer = per-label mean embedding (the
-    label column stands in for learned k-means centroids — deterministic
-    and data-derived); each query searches only its nearest centroid's
-    cell. Two broadcast joins (centroid table is tiny), corpus scanned
-    once; the drop-in for learned centroids is replacing the centroid
-    DataFrame. Engine-internal ranking semantics (centroid assignment
-    feeds top-k) are not SQL-expressible compactly → rows-only check;
-    recall vs brute force is measured in tests."""
-    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
-        F.expr(finite_norm_pred("embedding"))
-    )
-    # per-dimension mean per label, reassembled into a centroid vector
-    dims = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
-    centroids = (
-        dims.groupBy("label", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("label")
-        .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("centroid"))
-    )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
-    )
-    # assign each query to its nearest centroid (broadcast: |labels| rows)
-    q_cent = (
-        queries.join(F.broadcast(centroids))
-        .select(
-            "qid",
-            "q_emb",
-            "label",
-            F.expr(cosine_expr("q_emb", "centroid")).alias("c_sim"),
+def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int) -> list:
+    """Deterministic Lloyd k-means over an embedding DataFrame: seeds are
+    the vectors with vec_id < n_cells; each iteration assigns every vector
+    to its max-cosine centroid (broadcast nested-loop: corpus × k) and
+    recomputes per-dimension means. Centroids (k × d floats) are collected
+    to the driver between iterations — O(k·d), not O(N) — which breaks the
+    exponential lineage growth a pure-DataFrame loop would build. Returns
+    [(cell, [centroid])]. Cells that lose all members drop out."""
+    spark = emb.sparkSession
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect()
+    ]
+    for _ in range(iters):
+        cent_df = F.broadcast(
+            spark.createDataFrame(cents, "cell int, centroid array<double>")
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("c_sim").desc(), F.col("label").asc())
-            ),
+        w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+        assigned = (
+            emb.join(cent_df)
+            .select(
+                "vec_id",
+                "embedding",
+                "cell",
+                F.expr(cosine_expr("embedding", "centroid")).alias("sim"),
+            )
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
         )
+        new = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("c"))
+            .collect()
+        )
+        cents = sorted((int(r.cell), [float(x) for x in r.c]) for r in new)
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF search core: assign the corpus to k-means cells, probe each
+    query's nprobe nearest cells, exact cosine + top-k within the probed
+    cells. One corpus-wide assignment pass + an equi-join on cell — the
+    100 TB shape (the assignment table would be precomputed and persisted;
+    nprobe trades recall for candidates scanned)."""
+    spark = emb.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(_kmeans_centroids(emb, n_cells, iters), "cell int, centroid array<double>")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    assigned = (
+        emb.join(cent_df)
+        .select("vec_id", "embedding", "cell", F.expr(cosine_expr("embedding", "centroid")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("qid", "q_emb", F.col("label").alias("cell"))
+        .select("vec_id", "embedding", "cell")
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+        .join(cent_df)
+        .select("qid", "q_emb", "cell", F.expr(cosine_expr("q_emb", "centroid")).alias("sim"))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cell").asc())))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "q_emb", "cell")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid").asc())
     return (
-        F.broadcast(q_cent)
+        F.broadcast(queries)
         .join(
-            emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb"), "label"),
-            F.col("cell") == F.col("label"),
+            assigned.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb"), "cell"),
+            "cell",
         )
         .filter(F.col("qid") != F.col("vid"))
         .select("qid", "vid", F.round(F.expr(cosine_expr("q_emb", "v_emb")), 6).alias("cosine"))
+        .dropDuplicates(["qid", "vid"])
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= k)
         .select("qid", "vid", "cosine", "rank")
     )
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic Lloyd k-means (seeds = first k vectors,
+    3 iterations) as the coarse quantizer, nprobe=2 cells searched per
+    query with exact cosine re-ranking. An iterative algorithm per the
+    driver contract -> rows-only check; recall is asserted on synthetic
+    *clustered* data in tests (IVF\'s contract), and measured-but-weak on
+    the uniform driver embeddings (no cluster structure exists to exploit:
+    within-label mean cosine ~0.009 vs cross-label ~-0.004)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    return ivf_topk(emb)
