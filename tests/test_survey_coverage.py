@@ -70,6 +70,8 @@ NORTH_STAR_SURFACE = [
     "stream_sessionize",
     "stream_user_stats",
     "stream_url_count",
+    "text_hashing_features",
+    "multimodal_framesample",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design
@@ -81,6 +83,7 @@ ROWS_ONLY_BY_DESIGN = {
     "stream_sessionize",
     "stream_user_stats",
     "stream_url_count",
+    "multimodal_framesample",  # Python-side stub sampler
 }
 
 

@@ -103,3 +103,32 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return _payloads(spark, sf_dir).mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
+
+
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque video-like blobs: the 1→N mapInPandas
+    shape (each input row expands to a variable number of frame rows).
+    The stub samples every ~256th byte offset as a 'frame' and digests a
+    64-byte window — deterministic; a real ffmpeg-backed sampler slots in
+    behind the identical schema and batch contract."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            out_doc, out_idx, out_dig = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(blob) // 256)
+                for i in range(n_frames):
+                    window = bytes(blob[i * 256 : i * 256 + 64])
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_dig.append(_hl.sha256(window).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_digest": out_dig}
+            )
+
+    return _payloads(spark, sf_dir).mapInPandas(sample, schema=FRAMES_SCHEMA)

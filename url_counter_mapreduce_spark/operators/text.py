@@ -133,3 +133,34 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
         F.length("text").cast("long").alias("text_len"),
     )
+
+
+HASH_DIMS = 16
+
+
+def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction via the hashing trick: token occurrence counts
+    folded into HASH_DIMS buckets by the md5-derived 32-bit token hash —
+    the deterministic, vocabulary-free vectorizer used to featurize text at
+    corpus scale (one explode + one pivot-style aggregate, no vocabulary
+    broadcast, no Python). Emitted as f0..f15 columns (not an array) so the
+    DuckDB oracle compares plain integer columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr("filter(split(text, ' '), x -> x != '')")).alias("t")
+    )
+    dim = tok.withColumn(
+        "dim", F.expr("pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), %d)" % HASH_DIMS)
+    )
+    counts = dim.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("dim") == d, 1).otherwise(0)).cast("long").alias(f"f{d}")
+            for d in range(HASH_DIMS)
+        ]
+    )
+    # docs whose text has no tokens would drop out of the aggregate
+    return (
+        docs.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .na.fill(0, [f"f{d}" for d in range(HASH_DIMS)])
+    )

@@ -731,3 +731,30 @@ _register("url_count_salted", advanced.url_count_salted, ORACLES["url_count"])
 
 # IVF cell assignment feeds ranking — not compactly SQL-expressible → rows-only
 _register("similarity_ivf", similarity.similarity_ivf, None)
+
+# hashing-trick featurizer (oracle: identical md5-derived bucket counts)
+_HASH_FEATURE_COLS = ",\n           ".join(
+    f"CAST(SUM(CASE WHEN (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {text.HASH_DIMS}) = {d} "
+    f"THEN 1 ELSE 0 END) AS BIGINT) AS f{d}"
+    for d in range(text.HASH_DIMS)
+)
+
+_register(
+    "text_hashing_features",
+    text.text_hashing_features,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        FROM documents
+    ), counts AS (
+        SELECT doc_id,
+           {_HASH_FEATURE_COLS}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id, {", ".join(f"coalesce(f{d}, 0) AS f{d}" for d in range(text.HASH_DIMS))}
+    FROM documents d LEFT JOIN counts USING (doc_id)
+    """,
+)
+
+# 1→N frame sampling is Python-side stub logic → rows-only
+_register("multimodal_framesample", multimodal.multimodal_framesample, None)
