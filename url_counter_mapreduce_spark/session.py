@@ -84,12 +84,23 @@ def prep(spark: SparkSession) -> SparkSession:
 def _ship_package(spark: SparkSession) -> None:
     if getattr(spark, "_spark_graft_shipped", False):
         return
+    import hashlib
     import shutil
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        zip_base = os.path.join(tempfile.gettempdir(), "url_counter_mapreduce_spark_pkg")
+        # key the archive by source content so a stale zip from a previous
+        # run of older code can never be shipped to executors
+        digest = hashlib.md5()
+        for root, _dirs, files in sorted(os.walk(pkg_dir)):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    with open(os.path.join(root, f), "rb") as fh:
+                        digest.update(fh.read())
+        zip_base = os.path.join(
+            tempfile.gettempdir(), f"url_counter_mapreduce_spark_pkg_{digest.hexdigest()[:12]}"
+        )
         zip_path = zip_base + ".zip"
         if not os.path.exists(zip_path):
             shutil.make_archive(
