@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "pivot_events",
     "range_join_events",
     "sql_surface",
+    "agg_filtered_revenue",
+    "decorrelated_subquery",
+    "running_total_orders",
+    "agg_string_concat",
 ]
 
 

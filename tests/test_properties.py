@@ -252,3 +252,15 @@ def test_salted_count_equals_plain_count(spark, sf_dir):
     plain = {(r.token, r.cnt) for r in QUERIES["url_count"](spark, sf_dir).collect()}
     salted = {(r.token, r.cnt) for r in QUERIES["url_count_salted"](spark, sf_dir).collect()}
     assert salted == plain
+
+
+def test_mllib_minhash_recall_on_injected_dups(spark):
+    """The MLlib LSH path must catch the same injected duplicates the
+    expression-built pipeline catches (token-set Jaccard >= 0.5)."""
+    from url_counter_mapreduce_spark.operators.mllib_lsh import mllib_minhash_pairs
+
+    docs = _synthetic_docs(spark)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in mllib_minhash_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup (unigram jaccard)
+    assert not any(4 in p for p in pairs)

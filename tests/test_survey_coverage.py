@@ -72,6 +72,11 @@ NORTH_STAR_SURFACE = [
     "stream_url_count",
     "text_hashing_features",
     "multimodal_framesample",
+    "agg_filtered_revenue",
+    "decorrelated_subquery",
+    "running_total_orders",
+    "agg_string_concat",
+    "dedup_mllib_minhash",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design
@@ -84,6 +89,7 @@ ROWS_ONLY_BY_DESIGN = {
     "stream_user_stats",
     "stream_url_count",
     "multimodal_framesample",  # Python-side stub sampler
+    "dedup_mllib_minhash",  # MLlib seeded hash family, not DuckDB-reproducible
 }
 
 

@@ -1,0 +1,92 @@
+"""Additional analytic shapes, all oracle-checked: single-agg scan (TPC-H
+Q6), decorrelated scalar subquery, running totals, and order-deterministic
+string aggregation. Each is a distinct Catalyst planning exercise: pushdown
+into a bare scan, subquery decorrelation into a join, an unbounded-preceding
+window frame, and a sort-inside-aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load_table
+
+
+def agg_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: one filtered scan, one global aggregate, no groups.
+    The entire query is a pushed-down scan + partial/final agg — the
+    cheapest possible plan; .explain shows PushedFilters on all three
+    predicates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 25.0)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def decorrelated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — customers with above-average balance
+    within their nation — written as correlated SQL so Catalyst's
+    decorrelation rewrites it into an aggregate + join (the plan a
+    hand-written join would produce; at 100 TB the rewrite is the
+    difference between one pass and a per-row subquery)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey,
+               ROUND(c_acctbal, 4) AS acctbal
+        FROM customer c1
+        WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer c2
+            WHERE c2.c_nationkey = c1.c_nationkey
+        )
+        """
+    )
+
+
+def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over their order history — the
+    unbounded-preceding window frame (one shuffle on o_custkey, sort within
+    partition, single pass)."""
+    od = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc()))
+        .alias("order_seq"),
+    )
+
+
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-deterministic string aggregation: per nation, the
+    comma-joined sorted list of its customer names. collect_list has no
+    deterministic order under parallel aggregation — sorting inside the
+    aggregate (array_sort before concat) restores determinism; the DuckDB
+    twin is string_agg(... ORDER BY ...)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.expr("concat_ws(',', array_sort(collect_list(c_name)))").alias("names"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )

@@ -758,3 +758,68 @@ _register(
 
 # 1→N frame sampling is Python-side stub logic → rows-only
 _register("multimodal_framesample", multimodal.multimodal_framesample, None)
+
+# --------------------------------------------------------------------------
+# Analytic shapes: Q6, decorrelated subquery, running totals, string agg
+# --------------------------------------------------------------------------
+
+from .operators import analytic  # noqa: E402
+
+_register(
+    "agg_filtered_revenue",
+    analytic.agg_filtered_revenue,
+    """
+    SELECT round(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l_shipdate <  TIMESTAMP '2001-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25.0
+    """,
+)
+
+_register(
+    "decorrelated_subquery",
+    analytic.decorrelated_subquery,
+    """
+    SELECT c_custkey, c_name, c_nationkey,
+           ROUND(c_acctbal, 4) AS acctbal
+    FROM customer c1
+    WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer c2
+        WHERE c2.c_nationkey = c1.c_nationkey
+    )
+    """,
+)
+
+_register(
+    "running_total_orders",
+    analytic.running_total_orders,
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(SUM(o_totalprice) OVER w, 4) AS running_total,
+           CAST(row_number() OVER w AS INT) AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+
+_register(
+    "agg_string_concat",
+    analytic.agg_string_concat,
+    """
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+
+# MLlib MinHashLSH (X12's library path): seeded-random hash family, not
+# reproducible in DuckDB → rows-only
+from .operators import mllib_lsh  # noqa: E402
+
+_register("dedup_mllib_minhash", mllib_lsh.dedup_mllib_minhash, None)
