@@ -1,0 +1,73 @@
+"""Drive the driver contract exactly as the round harness would:
+fresh SparkSession, import __spark_entry__, smoke entry(), then for each
+queries() entry run Spark vs DuckDB oracle and compare rowcount+cols+valuehash."""
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as e
+
+SF = "/root/testdata/sf0.01"
+
+# plain session, like an external driver: no spark-graft configs preapplied
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("contract-driver")
+    .config("spark.driver.memory", "6g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+df = e.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={df.schema.simpleString()}")
+print("  head:", [(r[0], r[1]) for r in rows[:3]])
+assert len(rows) > 0
+
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+
+def value_hash(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    cells = []
+    for _, row in pdf.iterrows():
+        cells.append("|".join(_norm(v) for v in row))
+    return hashlib.md5("\n".join(sorted(cells)).encode()).hexdigest()
+
+
+def _norm(v):
+    import math
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    return str(v)
+
+
+q = e.queries()
+o = e.oracle_sql()
+fails = []
+for name in sorted(q):
+    spdf = q[name](spark, SF).toPandas()
+    if name not in o:
+        print(f"{name}: rows-only, {len(spdf)} rows")
+        continue
+    opdf = con.sql(o[name]).df()
+    ok_rows = len(spdf) == len(opdf)
+    ok_cols = sorted(spdf.columns) == sorted(opdf.columns)
+    ok_hash = value_hash(spdf) == value_hash(opdf)
+    status = "OK" if (ok_rows and ok_cols and ok_hash) else "MISMATCH"
+    print(f"{name}: {status} rows={len(spdf)}/{len(opdf)} cols={ok_cols} hash={ok_hash}")
+    if status != "OK":
+        fails.append(name)
+
+print("FAILS:", fails if fails else "none")
+sys.exit(1 if fails else 0)
