@@ -77,6 +77,9 @@ NORTH_STAR_SURFACE = [
     "running_total_orders",
     "agg_string_concat",
     "dedup_mllib_minhash",
+    "topk_per_group",
+    "bigram_topk",
+    "incremental_new_docs",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -158,3 +158,23 @@ def sink_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_count(spark, sf_dir).select(
         F.concat(F.col("token"), F.lit(": "), F.col("cnt").cast("string")).alias("line")
     )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Grouped top-K: the flagship ranking per language — per-group heaps
+    via a rank window rather than one global TakeOrdered. At 100 TB this is
+    the 'top URLs per domain/shard' query: one shuffle on the group+key
+    count, one shuffle on the group for the window."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tokens.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("lang", "token", "cnt", "rn")
+    )

@@ -317,3 +317,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
         .limit(20)
     )
+
+
+def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: which docs of the 'new' snapshot
+    (doc_id % 3 = 0 — a deterministic stand-in for today's crawl) carry
+    content not present in the 'previous' snapshot (the rest)? Anti-join on
+    the normalized-content fingerprint — the 100 TB shape for 'only process
+    documents we have never seen', where the previous side is a persisted
+    fingerprint table, not a scan."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+    cur = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "fp")
+    prev = docs.filter(F.col("doc_id") % 3 != 0).select("fp")
+    return cur.join(prev, "fp", "left_anti").select("doc_id", "fp")

@@ -164,3 +164,25 @@ def text_hashing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "doc_id", "left")
         .na.fill(0, [f"f{d}" for d in range(HASH_DIMS)])
     )
+
+
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram language-model statistics: top-50 token bigrams by count —
+    the flagship count over a derived 2-gram key (explode of a windowed
+    zip, partial agg, TakeOrdered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn("toks", F.expr(_TOKS))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1])) END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(50)
+    )

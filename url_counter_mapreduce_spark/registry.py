@@ -823,3 +823,56 @@ _register(
 from .operators import mllib_lsh  # noqa: E402
 
 _register("dedup_mllib_minhash", mllib_lsh.dedup_mllib_minhash, None)
+
+# --------------------------------------------------------------------------
+# Corpus-management additions: grouped top-K, bigram stats, incremental dedup
+# --------------------------------------------------------------------------
+
+_register(
+    "topk_per_group",
+    core.topk_per_group,
+    """
+    WITH tokens AS (
+        SELECT lang, t.token FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        ) t(lang, token) WHERE t.token <> ''
+    ), counts AS (
+        SELECT lang, token, COUNT(*) AS cnt FROM tokens GROUP BY lang, token
+    )
+    SELECT lang, token, cnt, rn FROM (
+        SELECT lang, token, cnt,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS INT) AS rn
+        FROM counts
+    ) WHERE rn <= 10
+    """,
+)
+
+_register(
+    "bigram_topk",
+    text.bigram_topk,
+    """
+    WITH t AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+    ), bigrams AS (
+        SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+                           ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                      END) AS bigram
+        FROM t
+    )
+    SELECT bigram, COUNT(*) AS cnt FROM bigrams GROUP BY bigram
+    ORDER BY cnt DESC, bigram ASC LIMIT 50
+    """,
+)
+
+_register(
+    "incremental_new_docs",
+    dedup.incremental_new_docs,
+    r"""
+    WITH fps AS (
+        SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM documents
+    )
+    SELECT doc_id, fp FROM fps c
+    WHERE c.doc_id % 3 = 0
+      AND NOT EXISTS (SELECT 1 FROM fps p WHERE p.doc_id % 3 <> 0 AND p.fp = c.fp)
+    """,
+)
