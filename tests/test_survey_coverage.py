@@ -80,6 +80,7 @@ NORTH_STAR_SURFACE = [
     "topk_per_group",
     "bigram_topk",
     "incremental_new_docs",
+    "curation_pipeline",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

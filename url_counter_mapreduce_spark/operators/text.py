@@ -186,3 +186,33 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
         .limit(50)
     )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — a realistic corpus-curation pass as ONE
+    Catalyst plan: quality gate (≥20 tokens and mean word length ≥2) →
+    exact dedup on normalized fingerprint (keep min doc_id) → tokenize the
+    survivors → top-50 tokens. Four pipeline stages, two shuffles total
+    (dedup group + count group); the filters fuse into the scan projection.
+    The oracle replays the identical pipeline in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CAST(aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
+            f" / size({_TOKS})"
+        ).alias("mwl"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fp"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("mwl") >= 2.0))
+    keepers = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = keepers.join(scored.select("doc_id", "text"), "doc_id")
+    return (
+        survivors.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(50)
+    )

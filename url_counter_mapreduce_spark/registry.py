@@ -876,3 +876,29 @@ _register(
       AND NOT EXISTS (SELECT 1 FROM fps p WHERE p.doc_id % 3 <> 0 AND p.fp = c.fp)
     """,
 )
+
+_register(
+    "curation_pipeline",
+    text.curation_pipeline,
+    r"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+               CAST(list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), t -> length(t))) AS DOUBLE)
+                   / len(list_filter(string_split(text, ' '), x -> x <> '')) AS mwl,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), gated AS (
+        SELECT * FROM scored WHERE n_tokens >= 20 AND mwl >= 2.0
+    ), keepers AS (
+        SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp
+    ), survivors AS (
+        SELECT g.text FROM keepers k JOIN gated g ON g.doc_id = k.doc_id
+    ), tokens AS (
+        SELECT t.token FROM (SELECT unnest(string_split(text, ' ')) AS token FROM survivors) t
+        WHERE t.token <> ''
+    )
+    SELECT token, COUNT(*) AS cnt FROM tokens GROUP BY token
+    ORDER BY cnt DESC, token ASC LIMIT 50
+    """,
+)
