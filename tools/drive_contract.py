@@ -12,7 +12,7 @@ from pyspark.sql import SparkSession
 
 import __spark_entry__ as e
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.01")
 
 # plain session, like an external driver: no spark-graft configs preapplied
 spark = (

@@ -41,3 +41,15 @@ def sign_bucket_expr(a: str, bits: int) -> str:
         f"aggregate(sequence(0, {bits - 1}), 0L, "
         f"(acc, i) -> acc + IF({a}[i] >= 0.0, shiftleft(1L, i), 0L))"
     )
+
+
+def stable_round(x: str, n: int) -> str:
+    """Cross-engine-stable rounding for PER-ROW-deterministic doubles:
+    floor(x·10ⁿ + 0.5)/10ⁿ — pure IEEE ops that evaluate identically in
+    Spark and DuckDB, unlike round(), whose half-way tie handling differs
+    (observed: round(0.5040625, 6) → .504063 Spark, .504062 DuckDB).
+    Only for values computed identically on both sides (per-row arithmetic,
+    in-order list folds); group aggregates keep round() since their inputs
+    already differ in the last ulp."""
+    s = 10 ** n
+    return f"(floor(({x}) * {s}.0 + 0.5) / {s}.0)"

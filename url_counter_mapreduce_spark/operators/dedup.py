@@ -173,9 +173,9 @@ def verified_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .withColumn(
             "jaccard",
-            F.round(
-                F.expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(array_union(sh_a, sh_b))"),
-                6,
+            F.expr(
+                "floor(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"
+                " / size(array_union(sh_a, sh_b)) * 1e6 + 0.5) / 1e6"
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -275,9 +275,9 @@ def dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(
-                F.expr("CAST(size(array_intersect(a.shingles, b.shingles)) AS DOUBLE) / size(array_union(a.shingles, b.shingles))"),
-                6,
+            F.expr(
+                "floor(CAST(size(array_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+                " / size(array_union(a.shingles, b.shingles)) * 1e6 + 0.5) / 1e6"
             ).alias("jaccard"),
         )
         .orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc())

@@ -36,8 +36,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
         F.expr(f"CAST(size(array_distinct({_TOKS})) AS BIGINT)").alias("n_uniq_tokens"),
         F.expr(
-            f"round(CAST(aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
-            f" / size({_TOKS}), 6)"
+            f"floor(CAST(aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
+            f" / size({_TOKS}) * 1e6 + 0.5) / 1e6"
         ).alias("avg_token_len"),
         F.col("n_chars"),
     )
@@ -91,21 +91,18 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" / size({_TOKS}), 6)"
             ).alias("mean_word_len"),
             F.expr(
-                f"round(CAST(size(filter({_TOKS}, t -> array_contains(array({en}), t))) AS DOUBLE)"
-                f" / size({_TOKS}), 6)"
+                f"floor(CAST(size(filter({_TOKS}, t -> array_contains(array({en}), t))) AS DOUBLE)"
+                f" / size({_TOKS}) * 1e6 + 0.5) / 1e6"
             ).alias("stopword_ratio"),
         )
         .withColumn(
             "quality",
-            F.round(
-                F.expr(
-                    """
-                    least(1.0, n_tokens / 100.0) * 0.5
-                    + least(1.0, greatest(0.0, (mean_word_len - 2.0) / 5.0)) * 0.3
-                    + least(1.0, stopword_ratio * 5.0) * 0.2
-                    """
-                ),
-                6,
+            F.expr(
+                """
+                floor((least(1.0, n_tokens / 100.0) * 0.5
+                       + least(1.0, greatest(0.0, (mean_word_len - 2.0) / 5.0)) * 0.3
+                       + least(1.0, stopword_ratio * 5.0) * 0.2) * 1e6 + 0.5) / 1e6
+                """
             ),
         )
     )

@@ -340,13 +340,13 @@ _register(
         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+           floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(sa.shingles || sb.shingles)) * 1e6 + 0.5) / 1e6 AS jaccard
     FROM cand
     JOIN sh sa ON sa.doc_id = doc_a
     JOIN sh sb ON sb.doc_id = doc_b
-    WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.5
+    WHERE floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                / len(list_distinct(sa.shingles || sb.shingles)) * 1e6 + 0.5) / 1e6 >= 0.5
     """,
 )
 
@@ -393,8 +393,8 @@ _register(
     _SHINGLES_CTE
     + """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+           floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(a.shingles || b.shingles)) * 1e6 + 0.5) / 1e6 AS jaccard
     FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
     LIMIT 20
@@ -485,8 +485,8 @@ _register(
     SELECT doc_id,
            len({_TOKS_SQL})::BIGINT AS n_tokens,
            len(list_distinct({_TOKS_SQL}))::BIGINT AS n_uniq_tokens,
-           round(CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE)
-                 / len({_TOKS_SQL}), 6) AS avg_token_len,
+           floor(CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+                 / len({_TOKS_SQL}) * 1e6 + 0.5) / 1e6 AS avg_token_len,
            n_chars
     FROM documents
     """,
@@ -519,16 +519,16 @@ _register(
     WITH base AS (
         SELECT doc_id, n_chars,
                len({_TOKS_SQL})::BIGINT AS n_tokens,
-               round(CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE)
-                     / len({_TOKS_SQL}), 6) AS mean_word_len,
-               round(CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_stoplist_sql('en')}, t))) AS DOUBLE)
-                     / len({_TOKS_SQL}), 6) AS stopword_ratio
+               floor(CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE)
+                     / len({_TOKS_SQL}) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+               floor(CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_stoplist_sql('en')}, t))) AS DOUBLE)
+                     / len({_TOKS_SQL}) * 1e6 + 0.5) / 1e6 AS stopword_ratio
         FROM documents
     )
     SELECT doc_id, n_chars, n_tokens, mean_word_len, stopword_ratio,
-           round(least(1.0, n_tokens / 100.0) * 0.5
-                 + least(1.0, greatest(0.0, (mean_word_len - 2.0) / 5.0)) * 0.3
-                 + least(1.0, stopword_ratio * 5.0) * 0.2, 6) AS quality
+           floor((least(1.0, n_tokens / 100.0) * 0.5
+                  + least(1.0, greatest(0.0, (mean_word_len - 2.0) / 5.0)) * 0.3
+                  + least(1.0, stopword_ratio * 5.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
     FROM base
     """,
 )
