@@ -58,3 +58,23 @@ def test_agg_stays_jvm_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_pricing_summary")
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    """Blanket scale guard: no batch query may plan a CartesianProduct.
+    Broadcast nested-loop joins are allowed only where deliberate (the
+    similarity brute-force scorers broadcast a tiny query/centroid set
+    against the corpus — O(|Q|·N) by design)."""
+    from url_counter_mapreduce_spark import QUERIES, ORACLES
+
+    bnl_allowed = {"similarity_topk", "similarity_ivf"}
+    streaming = {n for n in QUERIES if n.startswith("stream_")}
+    for name in QUERIES:
+        if name in streaming:
+            continue  # streaming queries execute on build; plan asserted via their batch twins
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name not in bnl_allowed:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans an unintended broadcast nested-loop join"
+            )

@@ -264,3 +264,24 @@ def test_mllib_minhash_recall_on_injected_dups(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
     assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup (unigram jaccard)
     assert not any(4 in p for p in pairs)
+
+
+def test_stream_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static broadcast join: drained streaming counts per nation
+    must equal the batch join+count on the same data."""
+    from url_counter_mapreduce_spark.tables import load_table as _lt
+
+    nation = _lt(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("dim_key"), F.col("n_name").alias("nation")
+    )
+    batch = {
+        r.nation: r.n_events
+        for r in _lt(spark, sf_dir, "events")
+        .withColumn("dim_key", (F.col("user_id") % 25).cast("int"))
+        .join(F.broadcast(nation), "dim_key")
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    stream = {r.nation: r.n_events for r in QUERIES["stream_enriched_counts"](spark, sf_dir).collect()}
+    assert stream == batch

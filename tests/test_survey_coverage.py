@@ -81,6 +81,7 @@ NORTH_STAR_SURFACE = [
     "bigram_topk",
     "incremental_new_docs",
     "curation_pipeline",
+    "stream_enriched_counts",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design
@@ -94,6 +95,7 @@ ROWS_ONLY_BY_DESIGN = {
     "stream_url_count",
     "multimodal_framesample",  # Python-side stub sampler
     "dedup_mllib_minhash",  # MLlib seeded hash family, not DuckDB-reproducible
+    "stream_enriched_counts",
 }
 
 

@@ -902,3 +902,8 @@ _register(
     ORDER BY cnt DESC, token ASC LIMIT 50
     """,
 )
+
+# stream-static broadcast enrichment join → rows-only (streaming)
+from .streaming import enrich as _stream_enrich  # noqa: E402
+
+_register("stream_enriched_counts", _stream_enrich.stream_enriched_counts, None)
