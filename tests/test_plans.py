@@ -60,6 +60,29 @@ def test_agg_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_spread_is_gated_on_input_splits(spark, sf_dir):
+    """spread() must be a no-op when the input already has enough splits —
+    at 100 TB an unconditional repartition() would be a full extra exchange
+    of the raw corpus (VERDICT r01 finding #1)."""
+    from url_counter_mapreduce_spark.tables import spread
+
+    par = spark.sparkContext.defaultParallelism
+    well_split = spark.range(0, 1000, 1, numPartitions=par * 2)
+    assert spread(well_split) is well_split  # untouched: no Exchange injected
+    under_split = spark.range(0, 1000, 1, numPartitions=1)
+    assert spread(under_split).rdd.getNumPartitions() == par
+
+
+def test_ivf_query_path_has_no_bnl_and_no_corpus_window(spark, sf_dir):
+    """The per-query IVF path must be: broadcast probe table → hash equi-join
+    on cell → rank. Assignment is a literal-centroid projection, so no
+    BroadcastNestedLoopJoin may appear anywhere (VERDICT r01 finding #3)."""
+    plan = _plan(spark, sf_dir, "similarity_ivf")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_no_accidental_cartesian_products(spark, sf_dir):
     """Blanket scale guard: no batch query may plan a CartesianProduct.
     Broadcast nested-loop joins are allowed only where deliberate (the
@@ -67,7 +90,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     against the corpus — O(|Q|·N) by design)."""
     from url_counter_mapreduce_spark import QUERIES, ORACLES
 
-    bnl_allowed = {"similarity_topk", "similarity_ivf"}
+    # similarity_topk is the ONLY deliberate BNL (exact brute-force baseline);
+    # similarity_ivf's literal-centroid rework removed its BNL entirely
+    bnl_allowed = {"similarity_topk"}
     streaming = {n for n in QUERIES if n.startswith("stream_")}
     for name in QUERIES:
         if name in streaming:

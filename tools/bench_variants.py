@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""A/B bench for formulation tradeoffs, run at sf0.1 (VERDICT r01 #5):
+
+1. verified_jaccard_pairs: shingle arrays CARRIED through the 4-band shuffle
+   (4× payload, zero re-joins) vs id-only band join + shingle RE-JOIN
+   (lean shuffle, two extra joins against the persisted signature table).
+
+Prints per-variant best-of-3 seconds and asserts both produce identical
+results. The winner ships as dedup_minhash_pairs; the loser stays available
+as verified_jaccard_pairs_rejoin with the measured numbers in the docstring.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from url_counter_mapreduce_spark import get_spark  # noqa: E402
+from url_counter_mapreduce_spark.operators import dedup  # noqa: E402
+from url_counter_mapreduce_spark.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def timed(fn, n=3):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        df = fn()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark("bench-variants")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF_DIR, "documents")
+    # warmup
+    dedup.verified_jaccard_pairs(docs, 0.5).write.format("noop").mode("overwrite").save()
+
+    carry = timed(lambda: dedup.verified_jaccard_pairs(docs, 0.5))
+    rejoin = timed(lambda: dedup.verified_jaccard_pairs_rejoin(docs, 0.5))
+
+    a = sorted(map(tuple, dedup.verified_jaccard_pairs(docs, 0.5).collect()))
+    b = sorted(map(tuple, dedup.verified_jaccard_pairs_rejoin(docs, 0.5).collect()))
+    assert a == b, f"variant results differ: {len(a)} vs {len(b)} rows"
+
+    print(f"sf_dir={SF_DIR}")
+    print(f"carry  (shingles ride the band shuffle): {carry:.3f}s")
+    print(f"rejoin (id-only bands + 2 shingle joins): {rejoin:.3f}s")
+    print(f"winner: {'carry' if carry <= rejoin else 'rejoin'}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

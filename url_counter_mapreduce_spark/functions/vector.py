@@ -50,6 +50,9 @@ def stable_round(x: str, n: int) -> str:
     (observed: round(0.5040625, 6) → .504063 Spark, .504062 DuckDB).
     Only for values computed identically on both sides (per-row arithmetic,
     in-order list folds); group aggregates keep round() since their inputs
-    already differ in the last ulp."""
-    s = 10 ** n
-    return f"(floor(({x}) * {s}.0 + 0.5) / {s}.0)"
+    already differ in the last ulp.
+
+    NB the scale constant is written 1eN, not N-zeros-point-0: Spark parses
+    `1000000.0` as DECIMAL(8,1) and bigint/decimal division yields DECIMAL
+    (→ pandas object dtype, driver hash mismatch); `1e6` is DOUBLE."""
+    return f"(floor(({x}) * 1e{n} + 0.5) / 1e{n})"

@@ -21,36 +21,44 @@ RANGE_WINDOW_S = 120  # pair events of the same user within 2 minutes
 
 def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of distinct events by the same user within 120 s of each other
-    (a < b). Banded equi-join: each event joins buckets b and b+1 of the
-    floor(ts/120s) grid, which covers every pair within 120 s; the exact
-    |Δt| predicate filters the false candidates. One shuffle on
-    (user_id, bucket) — no cross join at any scale."""
+    (event_a < event_b by id; delta_us = ts_b − ts_a, either sign).
+
+    Standard 2-bucket band join on the floor(ts/120s) grid, formulated over
+    TIME-ordered roles: the 'early' event keeps its own bucket k; the 'late'
+    event is replicated to buckets {k, k−1}. A pair within the window spans
+    at most adjacent buckets, so exactly ONE late-copy lands in the early
+    event's bucket — every qualifying pair meets exactly once and no
+    dedup pass is needed. The strict time order (ts, then id on ties) keeps
+    the mirrored orientation out. vs the 3-bucket+distinct formulation:
+    2/3 the replicated shuffle volume and one whole shuffle (the distinct)
+    removed. One equi-join shuffle on (user_id, bucket) — no cross join at
+    any scale."""
+    w_us = RANGE_WINDOW_S * 1_000_000
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_micros("ts").alias("us")
     )
-    bucketed = ev.withColumn("bucket", F.expr(f"us div {RANGE_WINDOW_S * 1_000_000}"))
-    # any pair within the window sits in the same or an adjacent bucket, so
-    # the probe side lands in buckets {k-1, k, k+1}: every qualifying pair
-    # meets exactly once per overlapping shift (distinct dedups)
-    probe = (
-        bucketed.withColumn("bucket", F.col("bucket") - 1)
-        .union(bucketed)
-        .union(bucketed.withColumn("bucket", F.col("bucket") + 1))
-    ).select(
-        F.col("event_id").alias("event_b"), F.col("user_id"), F.col("us").alias("us_b"), "bucket"
+    bucketed = ev.withColumn("bucket", F.expr(f"us div {w_us}"))
+    early = bucketed.select(
+        F.col("event_id").alias("id_e"), "user_id", F.col("us").alias("us_e"), "bucket"
     )
-    build = bucketed.select(
-        F.col("event_id").alias("event_a"), "user_id", F.col("us").alias("us_a"), "bucket"
-    )
-    return (
-        build.join(probe, ["user_id", "bucket"])
-        .filter(
-            (F.col("event_a") < F.col("event_b"))
-            & (F.col("us_b") - F.col("us_a") <= RANGE_WINDOW_S * 1_000_000)
-            & (F.col("us_b") - F.col("us_a") >= -RANGE_WINDOW_S * 1_000_000)
+    late = (
+        bucketed.union(bucketed.withColumn("bucket", F.col("bucket") - 1))
+    ).select(F.col("event_id").alias("id_l"), "user_id", F.col("us").alias("us_l"), "bucket")
+    pairs = early.join(late, ["user_id", "bucket"]).filter(
+        (F.col("us_l") - F.col("us_e") <= w_us)
+        & (
+            (F.col("us_e") < F.col("us_l"))
+            | ((F.col("us_e") == F.col("us_l")) & (F.col("id_e") < F.col("id_l")))
         )
-        .select("user_id", "event_a", "event_b", (F.col("us_b") - F.col("us_a")).alias("delta_us"))
-        .distinct()  # bucket b and b+1 can both produce the same in-bucket pair
+    )
+    return pairs.select(
+        "user_id",
+        F.least("id_e", "id_l").alias("event_a"),
+        F.greatest("id_e", "id_l").alias("event_b"),
+        # delta is signed relative to the id order of the pair
+        F.when(F.col("id_e") < F.col("id_l"), F.col("us_l") - F.col("us_e"))
+        .otherwise(F.col("us_e") - F.col("us_l"))
+        .alias("delta_us"),
     )
 
 

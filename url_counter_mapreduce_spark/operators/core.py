@@ -124,8 +124,9 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def n_tokens(text: pd.Series) -> pd.Series:
-        # vectorized: split on single space, drop empties, count
-        return text.str.split(" ").map(lambda toks: sum(1 for t in toks if t != ""))
+        # non-empty space-split tokens == maximal runs of non-space chars;
+        # str.count stays inside pandas' string engine (no per-row lambda)
+        return text.str.count("[^ ]+").astype("int64")
 
     return (
         load_table(spark, sf_dir, "documents")

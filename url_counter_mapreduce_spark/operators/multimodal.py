@@ -60,11 +60,17 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payloads(spark, sf_dir).mapInPandas(extract, schema=META_SCHEMA)
 
 
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub decode over binary payloads: same mapInPandas plumbing a real
-    image/video decode uses (schema, batching, per-blob Python), with the
-    decoder faked deterministically. With PIL installed the real path would
-    run instead — it currently raises to make the stub boundary explicit.
+def decode_blobs(payloads: DataFrame) -> DataFrame:
+    """Decode an opaque (doc_id, payload binary) frame to typed image
+    metadata via mapInPandas — the real schema/batching/per-blob-Python
+    plumbing of an image decode stage.
+
+    Per blob: if PIL is importable AND the bytes parse as an image, the
+    real decode runs (status 'pil'); otherwise a deterministic fake derived
+    from the blob's sha256 stands in (status 'fake'). The driver container
+    has no PIL, so driver output is all-'fake'; where PIL exists the real
+    path is exercised with synthetic in-test PNG bytes
+    (tests/test_multimodal_decode.py).
 
     NB: the closure is deliberately self-contained (imports + helpers
     inside) so cloudpickle ships it by value — executors' Python workers
@@ -73,36 +79,43 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+        import io as _io
 
         try:
-            from PIL import Image  # type: ignore # noqa: F401
-
-            have_pil = True
+            from PIL import Image  # type: ignore
         except ImportError:
-            have_pil = False
+            Image = None
 
-        def fake_decode(blob: bytes) -> tuple[int, int, int]:
+        def decode_one(blob: bytes) -> tuple[int, int, int, str]:
+            if Image is not None:
+                try:
+                    with Image.open(_io.BytesIO(blob)) as im:
+                        return im.width, im.height, getattr(im, "n_frames", 1), "pil"
+                except Exception:
+                    pass  # not an image (or truncated) → deterministic fake
             d = _hl.sha256(blob).digest()
-            return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 30
+            return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 30, "fake"
 
         for pdf in batches:
-            if have_pil:
-                raise NotImplementedError(
-                    "real image decode not wired: container lacks test images; "
-                    "replace fake_decode with PIL.Image.open over io.BytesIO"
-                )
-            dims = pdf["payload"].map(fake_decode)
+            dims = pdf["payload"].map(decode_one)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": dims.map(lambda t: t[0]).astype("int32"),
                     "height": dims.map(lambda t: t[1]).astype("int32"),
                     "n_frames": dims.map(lambda t: t[2]).astype("int32"),
-                    "decode_status": "fake",
+                    "decode_status": dims.map(lambda t: t[3]),
                 }
             )
 
-    return _payloads(spark, sf_dir).mapInPandas(decode, schema=DECODE_SCHEMA)
+    return payloads.mapInPandas(decode, schema=DECODE_SCHEMA)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode stage over the documents-derived binary payloads (which
+    are utf-8 text, not images — so every row takes the deterministic-fake
+    branch here; the PIL branch is exercised in tests with real PNG bytes)."""
+    return decode_blobs(_payloads(spark, sf_dir))
 
 
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_digest string"

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine_expr, finite_norm_pred, sign_bucket_expr
+from ..functions.vector import cosine_expr, finite_norm_pred, sign_bucket_expr, stable_round
 from ..tables import load_table, spread
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -38,7 +38,10 @@ def _scored_pairs(emb: DataFrame, queries: DataFrame) -> DataFrame:
         .select(
             "qid",
             "vid",
-            F.round(F.expr(cosine_expr("q_emb", "v_emb")), 6).alias("cosine"),
+            # stable_round, not round(): the cosine is per-row-deterministic
+            # (in-order fold), so both engines see the same double and the
+            # floor-form rounds it identically (round()'s halfway ties don't)
+            F.expr(stable_round(cosine_expr("q_emb", "v_emb"), 6)).alias("cosine"),
         )
     )
 
@@ -79,42 +82,70 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q_bucket") == F.col("bucket"),
         )
         .filter(F.col("qid") != F.col("vid"))
-        .select("qid", "vid", F.round(F.expr(cosine_expr("q_emb", "v_emb")), 6).alias("cosine"))
+        .select("qid", "vid", F.expr(stable_round(cosine_expr("q_emb", "v_emb"), 6)).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("qid", "vid", "cosine", "rank")
     )
 
 
+def _lit_arr(vec: list[float]) -> str:
+    """A list of driver-side floats as a Spark SQL array<double> literal.
+    repr() round-trips doubles exactly, so the literal is bit-faithful."""
+    return "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in vec) + ")"
+
+
+def _unit(vec: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in vec))
+    return [x / n for x in vec] if n > 0 else list(vec)
+
+
+def _cell_scores_sql(cents: list, col: str) -> str:
+    """Per-row array of (cell, sim) structs sorted best-first, with the
+    centroids embedded as LITERALS — cell scoring is a pure projection
+    (map-only, zero shuffle, no join), the 100 TB shape for quantizer
+    assignment. Centroids are pre-normalized on the driver so the score is
+    a plain dot product: argmax_cell dot(v, ĉ) == argmax_cell cosine(v, c)
+    for any v (the row norm is a shared positive factor)."""
+    from ..functions.vector import dot_expr
+
+    structs = ", ".join(
+        f"named_struct('cell', {cell}, 'sim', {dot_expr(col, _lit_arr(_unit(c)))})"
+        for cell, c in cents
+    )
+    return (
+        f"array_sort(array({structs}), (a, b) -> CASE WHEN a.sim > b.sim THEN -1 "
+        f"WHEN a.sim < b.sim THEN 1 WHEN a.cell < b.cell THEN -1 ELSE 1 END)"
+    )
+
+
+def _best_cell_sql(cents: list, col: str) -> str:
+    return f"{_cell_scores_sql(cents, col)}[0].cell"
+
+
+def _probe_cells_sql(cents: list, col: str, nprobe: int) -> str:
+    return f"slice(transform({_cell_scores_sql(cents, col)}, s -> s.cell), 1, {nprobe})"
+
+
 def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int) -> list:
     """Deterministic Lloyd k-means over an embedding DataFrame: seeds are
     the vectors with vec_id < n_cells; each iteration assigns every vector
-    to its max-cosine centroid (broadcast nested-loop: corpus × k) and
-    recomputes per-dimension means. Centroids (k × d floats) are collected
-    to the driver between iterations — O(k·d), not O(N) — which breaks the
+    to its best cell via the literal-centroid projection (no join, no
+    window — one codegen'd pass over the cached corpus) and recomputes
+    per-dimension means. Centroids (k × d floats) are collected to the
+    driver between iterations — O(k·d), not O(N) — which breaks the
     exponential lineage growth a pure-DataFrame loop would build. Returns
-    [(cell, [centroid])]. Cells that lose all members drop out."""
-    spark = emb.sparkSession
+    [(cell, [centroid])]. Cells that lose all members drop out.
+
+    The caller is expected to persist() emb — each iteration re-reads it."""
     cents = [
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect()
     ]
     for _ in range(iters):
-        cent_df = F.broadcast(
-            spark.createDataFrame(cents, "cell int, centroid array<double>")
-        )
-        w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
-        assigned = (
-            emb.join(cent_df)
-            .select(
-                "vec_id",
-                "embedding",
-                "cell",
-                F.expr(cosine_expr("embedding", "centroid")).alias("sim"),
-            )
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-        )
+        assigned = emb.withColumn("cell", F.expr(_best_cell_sql(cents, "embedding")))
         new = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -127,6 +158,36 @@ def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int) -> list:
     return cents
 
 
+# (applicationId, sf_dir/caller key, n_cells, iters) → (centroids, persisted
+# assignment DataFrame). The IVF index is TRAINED AND ASSIGNED ONCE and
+# reused across query calls — the 'precomputed and persisted' posture a real
+# deployment has, instead of rebuilding the quantizer per query.
+_IVF_INDEX: dict = {}
+
+
+def build_ivf_index(
+    emb: DataFrame, n_cells: int = 8, iters: int = 3, cache_key=None
+) -> tuple:
+    """Train the coarse quantizer and materialize the cell-assignment table.
+
+    Corpus passes: `iters` training passes over the CACHED embedding frame
+    + one assignment pass, all map-only projections (literal centroids) —
+    no BroadcastNestedLoopJoin, no per-row window. The assignment table is
+    persisted and (with cache_key) memoized, so subsequent queries do
+    probe + rank only."""
+    full_key = (cache_key, n_cells, iters) if cache_key is not None else None
+    if full_key is not None and full_key in _IVF_INDEX:
+        return _IVF_INDEX[full_key]
+    emb = emb.persist()
+    cents = _kmeans_centroids(emb, n_cells, iters)
+    assigned = emb.withColumn("cell", F.expr(_best_cell_sql(cents, "embedding"))).persist()
+    assigned.count()  # materialize the index; training cache no longer needed
+    emb.unpersist()
+    if full_key is not None:
+        _IVF_INDEX[full_key] = (cents, assigned)
+    return cents, assigned
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = N_QUERIES,
@@ -134,43 +195,33 @@ def ivf_topk(
     n_cells: int = 8,
     nprobe: int = 2,
     iters: int = 3,
+    cache_key=None,
 ) -> DataFrame:
-    """IVF search core: assign the corpus to k-means cells, probe each
-    query's nprobe nearest cells, exact cosine + top-k within the probed
-    cells. One corpus-wide assignment pass + an equi-join on cell — the
-    100 TB shape (the assignment table would be precomputed and persisted;
-    nprobe trades recall for candidates scanned)."""
-    spark = emb.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(_kmeans_centroids(emb, n_cells, iters), "cell int, centroid array<double>")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
-    assigned = (
-        emb.join(cent_df)
-        .select("vec_id", "embedding", "cell", F.expr(cosine_expr("embedding", "centroid")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
-    queries = (
-        emb.filter(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
-        .join(cent_df)
-        .select("qid", "q_emb", "cell", F.expr(cosine_expr("q_emb", "centroid")).alias("sim"))
-        .withColumn("rn", F.row_number().over(Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cell").asc())))
-        .filter(F.col("rn") <= nprobe)
-        .select("qid", "q_emb", "cell")
+    """IVF search core: probe each query's nprobe nearest cells (computed
+    by the same literal-centroid projection — no join), exact cosine +
+    top-k within the probed cells. The per-query path is: tiny probe table
+    broadcast → hash equi-join on cell against the persisted assignment
+    table → rank. No BNL, no corpus pass beyond the probed cells."""
+    cents, assigned = build_ivf_index(emb, n_cells, iters, cache_key)
+    probes = (
+        assigned.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(F.expr(_probe_cells_sql(cents, "embedding", nprobe))).alias("cell"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid").asc())
     return (
-        F.broadcast(queries)
+        broadcast(probes)
         .join(
             assigned.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb"), "cell"),
             "cell",
         )
         .filter(F.col("qid") != F.col("vid"))
-        .select("qid", "vid", F.round(F.expr(cosine_expr("q_emb", "v_emb")), 6).alias("cosine"))
-        .dropDuplicates(["qid", "vid"])
+        # each vector lives in exactly one cell and probe cells are distinct,
+        # so (qid, vid) pairs are already unique — no dedup pass needed
+        .select("qid", "vid", F.expr(stable_round(cosine_expr("q_emb", "v_emb"), 6)).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "vid", "cosine", "rank")
@@ -180,12 +231,14 @@ def ivf_topk(
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: deterministic Lloyd k-means (seeds = first k vectors,
     3 iterations) as the coarse quantizer, nprobe=2 cells searched per
-    query with exact cosine re-ranking. An iterative algorithm per the
+    query with exact cosine re-ranking. The index (centroids + persisted
+    cell assignments) is built once per (session, sf_dir) and reused, so
+    repeat calls are probe + rank only. An iterative algorithm per the
     driver contract -> rows-only check; recall is asserted on synthetic
-    *clustered* data in tests (IVF\'s contract), and measured-but-weak on
+    *clustered* data in tests (IVF's contract), and measured-but-weak on
     the uniform driver embeddings (no cluster structure exists to exploit:
     within-label mean cosine ~0.009 vs cross-label ~-0.004)."""
     emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
         F.expr(finite_norm_pred("embedding"))
     )
-    return ivf_topk(emb)
+    return ivf_topk(emb, cache_key=(spark.sparkContext.applicationId, sf_dir))

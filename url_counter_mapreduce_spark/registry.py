@@ -387,15 +387,27 @@ _register(
     """,
 )
 
+# wide-recall banding for the similarity report: 8 bands × 1 minhash row
+_BANDS8_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, mh{j} AS key FROM sigs" for j in range(dedup.MINHASH_K)
+)
+
 _register(
     "dedup_ngram_topk",
     dedup.dedup_ngram_topk,
-    _SHINGLES_CTE
+    _SIGS_CTE
+    + f", bands AS ({_BANDS8_SQL})"
     + """
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                 / len(list_distinct(a.shingles || b.shingles)) * 1e6 + 0.5) / 1e6 AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(sa.shingles || sb.shingles)) * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
     ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
     LIMIT 20
     """,
@@ -413,6 +425,14 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
 
 
+def _stable_round_sql(x: str, n: int = 6) -> str:
+    """DuckDB twin of functions.vector.stable_round — floor(x·10ⁿ+0.5)/10ⁿ,
+    pure IEEE ops, so representable-halfway cosines round identically in
+    both engines (round()'s tie handling differs)."""
+    s = 10 ** n
+    return f"(floor(({x}) * {s} + 0.5) / {s})"
+
+
 _EMB_BUCKET_SQL = (
     "CAST(list_sum(list_transform(range(0, 8), "
     "j -> CASE WHEN embedding[j + 1] >= 0.0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)"
@@ -425,7 +445,7 @@ _register(
     WITH e AS (SELECT vec_id, embedding, {_EMB_BUCKET_SQL} AS bucket FROM embeddings WHERE (list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0.0 AND NOT isnan(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))))
     SELECT vec_a, vec_b, cosine FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+               {_stable_round_sql(_cosine_sql('a.embedding', 'b.embedding'))} AS cosine
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     ) ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 20
     """,
@@ -439,7 +459,7 @@ _register(
     q AS (SELECT vec_id AS qid, embedding AS qe FROM emb WHERE vec_id < {similarity.N_QUERIES}),
     scored AS (
         SELECT qid, e.vec_id AS vid,
-               round({_cosine_sql('qe', 'e.embedding')}, 6) AS cosine
+               {_stable_round_sql(_cosine_sql('qe', 'e.embedding'))} AS cosine
         FROM q, emb e WHERE e.vec_id <> qid
     ), ranked AS (
         SELECT qid, vid, cosine,
@@ -458,7 +478,7 @@ _register(
     q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS q_bucket FROM e WHERE vec_id < {similarity.N_QUERIES}),
     scored AS (
         SELECT qid, e.vec_id AS vid,
-               round({_cosine_sql('qe', 'e.embedding')}, 6) AS cosine
+               {_stable_round_sql(_cosine_sql('qe', 'e.embedding'))} AS cosine
         FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id <> qid
     ), ranked AS (
         SELECT qid, vid, cosine,
@@ -588,14 +608,17 @@ _register(
     temporal.sessionize_events,
     f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > {temporal.SESSION_GAP_MIN * 60}
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
+        -- (ts, event_id) tiebreak must match flagged's window order, or two
+        -- events with identical timestamps at a session boundary could be
+        -- numbered in a different order than they were flagged
         SELECT user_id, ts, value,
-               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM flagged
     )

@@ -24,13 +24,28 @@ from pyspark.sql.types import LongType, StructField, StructType
 def _stream_dir_for(sf_dir: str, table: str) -> str:
     """Spark's file streaming source requires a *directory*; testdata is one
     parquet file per table (read-only). Expose <table>.parquet through a
-    per-(sf_dir, table) temp directory holding a symlink — zero copy."""
+    per-(sf_dir, table, uid) temp directory holding a symlink — zero copy.
+
+    ``os.path.exists`` follows symlinks, so a stale link (target deleted)
+    would look absent and the recreate would raise FileExistsError — use
+    ``lexists`` and unlink-then-recreate instead. The uid in the directory
+    name keeps the fixed path from colliding across users of a shared /tmp.
+    """
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     tag = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{uid}_{tag}")
     os.makedirs(d, exist_ok=True)
+    target = os.path.join(sf_dir, f"{table}.parquet")
     link = os.path.join(d, f"{table}.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    if os.path.lexists(link) and (
+        not os.path.exists(link) or os.path.realpath(link) != os.path.realpath(target)
+    ):
+        os.unlink(link)  # dangling, or pointing at a different target
+    if not os.path.lexists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass  # concurrent creator won the race; link now exists
     return d
 
 

@@ -45,16 +45,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Repartition a compute-dense-per-byte input to full parallelism.
+    """Repartition a compute-dense-per-byte input to full parallelism —
+    ONLY when the input is under-split.
 
     A small parquet file arrives as ONE input split (≤128 MB ⇒ 1 task), so
     hash/shingle/vector pipelines would run single-threaded regardless of
-    core count. One cheap round-robin shuffle of the raw rows buys N-way
-    parallelism for everything downstream. At 100 TB the scan has plenty of
-    splits, but hash-heavy stages still benefit from decoupling compute
-    parallelism from the 128 MB input-split granularity."""
+    core count; there a round-robin shuffle of the raw rows buys N-way
+    parallelism for everything downstream. At 100 TB the scan already has
+    ~820k splits and an unconditional ``repartition()`` would be a full
+    extra exchange of the raw corpus — so the shuffle is gated on the
+    actual split count: with >= defaultParallelism input partitions the
+    DataFrame is returned untouched (no Exchange in the plan; asserted in
+    tests/test_plans.py)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
