@@ -77,6 +77,26 @@ def _run(spark, name: str) -> float:
     return min(_run_once(spark, name), _run_once(spark, name))
 
 
+def _previous_round_timings() -> tuple[str | None, dict[str, float]]:
+    """Latest driver-recorded BENCH_r{N}.json in the repo root (the driver
+    benches at sf0.1; the comparison is only meaningful at that sf)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        return None, {}
+    try:
+        with open(files[-1]) as fh:
+            data = json.load(fh)
+        parsed = data.get("parsed") or data
+        if parsed.get("sf") != 0.1:
+            return None, {}
+        return os.path.basename(files[-1]), dict(parsed.get("queries") or {})
+    except Exception:
+        return None, {}
+
+
 def main() -> None:
     spark = get_spark("spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,6 +117,17 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # regression guard: flag queries >1.5× slower than the last recorded
+    # round (ignoring sub-0.2s noise); informational, emitted in the JSON
+    baseline_file, prev = _previous_round_timings()
+    if prev and out["sf"] == 0.1:
+        regressions = {
+            name: {"prev": prev[name], "now": t}
+            for name, t in timings.items()
+            if name in prev and t > 0.2 and t > 1.5 * prev[name]
+        }
+        out["baseline"] = baseline_file
+        out["regressions"] = regressions
     print(json.dumps(out))
     spark.stop()
 

@@ -1,0 +1,71 @@
+"""Multi-mode equivalence (SURVEY.md §5; reference src/mapreduce/
+test_test.go:145-171): the reference runs every job twice — Sequential and
+Distributed — and asserts byte-identical output. The Spark analog is the
+same queries under local[1] (sequential) and local[8] (parallel) masters
+with different shuffle-partition counts: results must be identical because
+partitioning is semantics-free.
+
+Masters are fixed at JVM startup, so each mode runs in its own subprocess
+(the in-process session fixture can't switch masters). One subprocess per
+mode executes the flagship plus the shuffle-heaviest shapes (banded LSH
+join, sessionization windows, range join) at sf0.001 and prints sorted
+rows; the parent compares."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+EQUIV_QUERIES = ["url_topk", "dedup_minhash_pairs", "sessionize_events", "range_join_events"]
+
+_CHILD = r"""
+import json, sys
+cores, sf_dir = sys.argv[1], sys.argv[2]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master(f"local[{cores}]")
+    .appName(f"multimode-{cores}")
+    .config("spark.sql.shuffle.partitions", cores)
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "3g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+qs = e.queries()
+out = {}
+for name in %(queries)s:
+    rows = qs[name](spark, sf_dir).collect()
+    out[name] = sorted(str(tuple(r)) for r in rows)
+spark.stop()
+print("RESULT:" + json.dumps(out))
+"""
+
+
+def _run_mode(cores: int, sf_dir: str) -> dict:
+    script = _CHILD % {"queries": json.dumps(EQUIV_QUERIES)}
+    env = dict(os.environ, PYTHONPATH=REPO_ROOT)
+    proc = subprocess.run(
+        [sys.executable, "-c", script, str(cores), sf_dir],
+        capture_output=True,
+        text=True,
+        cwd=REPO_ROOT,
+        env=env,
+        timeout=540,
+    )
+    assert proc.returncode == 0, f"local[{cores}] child failed:\n{proc.stderr[-3000:]}"
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT:"))
+    return json.loads(line[len("RESULT:"):])
+
+
+def test_sequential_and_parallel_modes_agree():
+    sf_dir = "/root/testdata/sf0.001"
+    seq = _run_mode(1, sf_dir)
+    par = _run_mode(8, sf_dir)
+    for name in EQUIV_QUERIES:
+        assert seq[name] == par[name], f"{name}: local[1] vs local[8] results differ"
+        assert len(seq[name]) > 0 or name == "dedup_minhash_pairs"  # may be dup-free
