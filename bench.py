@@ -49,6 +49,13 @@ BENCH_QUERIES = [
     "quality_score",
     "doc_fingerprint",
     "multimodal_meta",
+    # round-2 pipeline surface
+    "dedup_groups",
+    "tf_idf_topk",
+    "vocab_build",
+    "events_dedup_latest",
+    "embedding_quantize",
+    "bucketed_join",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

@@ -83,6 +83,15 @@ def test_ivf_query_path_has_no_bnl_and_no_corpus_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed+sorted by the join key → the sort-merge join must
+    read bucket i vs bucket i directly: no Exchange anywhere in the plan
+    (the co-located-join posture for repeated joins at 100 TB)."""
+    plan = _plan(spark, sf_dir, "bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
 def test_no_accidental_cartesian_products(spark, sf_dir):
     """Blanket scale guard: no batch query may plan a CartesianProduct.
     Broadcast nested-loop joins are allowed only where deliberate (the

@@ -248,6 +248,30 @@ def test_ivf_recall_on_clustered_data(spark):
     assert hits / total >= 0.8, f"IVF recall@3 on clustered data: {hits}/{total}"
 
 
+def test_connected_components_transitive_chain(spark):
+    """Label propagation must close transitive chains (1~2, 2~3 ⇒ one
+    cluster even with no direct 1~3 edge) and leave singletons alone."""
+    from url_counter_mapreduce_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    labels = {r.doc_id: r.group_id for r in connected_components(nodes, edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_groups_cluster_injected_dups(spark):
+    """End-to-end cluster resolution on injected duplicates: the exact dup,
+    its near dup, and the original collapse into one group; the unrelated
+    doc stays its own representative."""
+    from url_counter_mapreduce_spark.operators.dedup import verified_jaccard_pairs_rejoin
+    from url_counter_mapreduce_spark.operators.graph import connected_components
+
+    docs = _synthetic_docs(spark)
+    edges = verified_jaccard_pairs_rejoin(docs, 0.5).select("doc_a", "doc_b")
+    labels = {r.doc_id: r.group_id for r in connected_components(docs.select("doc_id"), edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
 def test_salted_count_equals_plain_count(spark, sf_dir):
     plain = {(r.token, r.cnt) for r in QUERIES["url_count"](spark, sf_dir).collect()}
     salted = {(r.token, r.cnt) for r in QUERIES["url_count_salted"](spark, sf_dir).collect()}

@@ -82,6 +82,16 @@ NORTH_STAR_SURFACE = [
     "incremental_new_docs",
     "curation_pipeline",
     "stream_enriched_counts",
+    # round-2 pipeline surface
+    "dedup_groups",
+    "train_test_split",
+    "events_dedup_latest",
+    "vocab_build",
+    "tf_idf_topk",
+    "embedding_quantize",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "bucketed_join",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -11,6 +11,10 @@ inequality directly (its IEJoin handles it) — independent formulations.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -124,6 +128,54 @@ def join_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
+    )
+
+
+N_BUCKETS = 8
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketing — the pre-partitioning
+    strategy for joins that repeat on the same key at 100 TB: both sides
+    are written bucketed (and sorted) by doc_id into N_BUCKETS buckets, so
+    the sort-merge join reads bucket i against bucket i directly — the plan
+    contains NO Exchange (asserted in tests/test_plans.py). The
+    repartition-before-write aligns write tasks with buckets (one file per
+    bucket, which also lets the scan reuse the sort order); the MERGE hint
+    pins SMJ so the tiny local tables don't take the broadcast path that
+    would hide the demonstration at test scale.
+
+    Tables are external (explicit /tmp path per uid+sf), dropped and
+    rewritten idempotently per call."""
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{uid}_{tag}")
+    docs = load_table(spark, sf_dir, "documents")
+    sides = {
+        "spark_graft_bdocs": docs.select("doc_id", "lang"),
+        "spark_graft_bstats": docs.select(
+            "doc_id",
+            F.expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").alias(
+                "n_tokens"
+            ),
+        ),
+    }
+    for name, df in sides.items():
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.repartition(N_BUCKETS, "doc_id")
+            .write.format("parquet")
+            .mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(N_BUCKETS, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(name)
+        )
+    return (
+        spark.table("spark_graft_bdocs")
+        .hint("MERGE")
+        .join(spark.table("spark_graft_bstats"), "doc_id")
+        .select("doc_id", "lang", "n_tokens")
     )
 
 

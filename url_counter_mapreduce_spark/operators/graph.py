@@ -1,0 +1,79 @@
+"""Duplicate-cluster resolution: connected components over the near-dup
+pair graph. Pairwise dedup (dedup_minhash_pairs) finds EDGES; an actual
+corpus dedup pass must resolve them into CLUSTERS (A~B, B~C ⇒ {A,B,C} keep
+one representative) — transitive closure, which no single join expresses.
+
+Implemented as iterative min-label propagation on DataFrames: each round
+every node takes the min label among itself and its neighbors; fixpoint in
+O(diameter) rounds. Near-dup cluster diameters are tiny (dups of dups of a
+common source), so convergence is fast; iterations are driver-controlled
+with per-round persist + count (the count is simultaneously the
+materialization barrier and the convergence check) and lineage truncation
+via localCheckpoint so the plan doesn't grow per round. At real scale the
+same loop holds — the per-round cost is one join + one aggregate on the
+EDGE set (candidates, not corpus); the large-star/small-star optimization
+(alternating conditional propagation) halves rounds on long chains but the
+plain form is already shuffle-proportional to the dup graph, not the
+corpus.
+
+Deterministic end state (min doc_id of the component) → exact DuckDB
+oracle via a recursive CTE over the same edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .dedup import verified_jaccard_pairs_rejoin
+
+MAX_CC_ITERS = 20
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(doc_id) nodes + (doc_a, doc_b) undirected edges → (doc_id, group_id)
+    where group_id = min doc_id reachable. Singletons keep their own id."""
+    sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    sym = sym.persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("group_id")).localCheckpoint()
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("group_id").alias("nbr_gid"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("group_id"), F.coalesce("nbr_gid", F.col("group_id"))).alias(
+                    "new_gid"
+                ),
+                "group_id",
+            )
+        )
+        # checkpoint BEFORE the convergence count so the join executes once;
+        # the count then reads the materialized blocks
+        updated = updated.localCheckpoint()
+        changed = updated.filter(F.col("new_gid") != F.col("group_id")).count()
+        labels = updated.select("doc_id", F.col("new_gid").alias("group_id"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {MAX_CC_ITERS} rounds")
+    sym.unpersist()
+    return labels
+
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters over the whole corpus: every document labeled
+    with its cluster representative (min doc_id connected via MinHash-LSH-
+    verified Jaccard ≥ 0.5 edges); singletons label themselves. This is the
+    operator whose output actually drives deletion: keep rows where
+    doc_id = group_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = verified_jaccard_pairs_rejoin(docs, 0.5).select("doc_a", "doc_b")
+    return connected_components(docs.select("doc_id"), edges)

@@ -1,0 +1,159 @@
+"""Corpus-pipeline operators a large-scale training-data build needs beyond
+dedup/similarity: deterministic dataset splitting, keep-latest record dedup,
+vocabulary construction, TF-IDF keyword extraction, and int8 embedding
+quantization. All built-in-expression plans with exact DuckDB oracles.
+
+The reference's surface stops at count/sort/top-K (src/main/main.go:22-49);
+these are the curation stages that sit downstream of its tokenizer in a real
+pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import stable_round
+from ..tables import load_table
+
+_TOKS = "filter(split(text, ' '), x -> x != '')"
+
+# md5-derived 32-bit doc hash → decile: the cross-engine-reproducible
+# stand-in for a seeded RNG (same trick as the SimHash token hash)
+_DECILE = "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), 10)"
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by content-independent
+    doc_id hash — the reproducible-split idiom for corpus building (every
+    engine, every run, every shard assigns each doc identically; no RNG
+    state to ship). Returns per-(lang, split) counts. A full pipeline would
+    carry the split column on the rows; the counts keep the oracle result
+    small while verifying every row's assignment (a single misassigned doc
+    shifts two group counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.expr(
+        f"CASE WHEN {_DECILE} < 8 THEN 'train' WHEN {_DECILE} < 9 THEN 'valid' ELSE 'test' END"
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest record dedup: one row per (user_id, event_type) — the
+    newest by (ts, event_id). The canonical 'latest snapshot per key'
+    compaction over an append-only log: one shuffle on the key, per-group
+    top-1 via a rank window (max_by would also work but loses the
+    deterministic tiebreak contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "value",
+        )
+    )
+
+
+VOCAB_MIN_COUNT = 5
+
+
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: tokens with corpus frequency ≥ 5, assigned
+    contiguous ids by (count desc, token asc) — the tokenizer-training
+    precursor (BPE seeding, embedding-table layout). The global row_number
+    window is a deliberate single-partition sort over the VOCABULARY, which
+    is orders of magnitude smaller than the corpus (the heavy part — the
+    token count — is a partial-aggregated shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= VOCAB_MIN_COUNT)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return counts.select(
+        "token", "cnt", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    )
+
+
+TFIDF_TOP_PER_DOC = 3
+
+
+def tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by tf·idf. The idf is
+    the RATIONAL form (N + 1)/(df + 1) rather than its logarithm: rank
+    order per document is identical (log is monotone) and the score stays
+    pure +,·,÷ arithmetic, which Spark and DuckDB evaluate bit-identically
+    (ln() differs in the last ulp between libm implementations, which a
+    6 dp round can't always hide). Plan shape: tf = one (doc, token)
+    aggregate; df = one token aggregate of that; N is a driver-computed
+    corpus statistic embedded as a literal (at scale it comes from the
+    table catalog — joining a 1-row frame just degenerates into a
+    nested-loop join the plan guard rightly bans); rank window per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.expr(
+            stable_round(f"tf * {n_docs + 1.0!r}D / (CAST(df AS DOUBLE) + 1.0D)", 6)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOP_PER_DOC)
+        .select("doc_id", "token", "tf", "score", "rank")
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization report per embedding: per-vector scale
+    (127 / max|x|), quantized min/max, saturation count, and dequantization
+    MSE — the storage-reduction pass a 100 TB vector corpus runs before
+    indexing (4× smaller than float32). Quantization uses the half-up
+    floor(x·s + 0.5) form so both engines round identically (round()'s
+    half-even ties differ); everything is a per-row projection, zero
+    shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr("aggregate(embedding, 0.0D, (a, x) -> a + abs(CAST(x AS DOUBLE))) > 0.0")
+    )
+    maxabs = "aggregate(embedding, 0.0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    q = f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / ({maxabs})) + 0.5D) AS INT))"
+    # squared error via multiplication, not pow(): pow's integer-exponent
+    # exactness is libm-dependent, v*v is IEEE-exact in both engines
+    diff = f"(CAST(x AS DOUBLE) - CAST(qi AS DOUBLE) / (127.0D / ({maxabs})))"
+    err = (
+        f"aggregate(zip_with(embedding, {q}, (x, qi) -> {diff} * {diff}), "
+        f"0.0D, (a, v) -> a + v) / size(embedding)"
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(stable_round(maxabs, 6)).alias("max_abs"),
+        F.expr(f"array_min({q})").alias("q_min"),
+        F.expr(f"array_max({q})").alias("q_max"),
+        F.expr(f"CAST(size(filter({q}, v -> abs(v) = 127)) AS BIGINT)").alias("n_sat"),
+        F.expr(stable_round(err, 9)).alias("mse"),
+    )

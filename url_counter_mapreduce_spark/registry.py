@@ -930,3 +930,157 @@ _register(
 from .streaming import enrich as _stream_enrich  # noqa: E402
 
 _register("stream_enriched_counts", _stream_enrich.stream_enriched_counts, None)
+
+# --------------------------------------------------------------------------
+# Round-2 pipeline surface: cluster resolution, dataset splitting, vocab,
+# TF-IDF, quantization, interchange round-trips, bucketed co-located join
+# --------------------------------------------------------------------------
+
+from .operators import graph as _graph  # noqa: E402
+from .operators import pipeline as _pipeline  # noqa: E402
+from .sources import roundtrip as _roundtrip  # noqa: E402
+
+# transitive closure of the verified near-dup edges, as a recursive CTE;
+# the non-recursive prefix (sigs/bands/cand/pairs) mirrors dedup_minhash_pairs
+_register(
+    "dedup_groups",
+    _graph.dedup_groups,
+    _SIGS_CTE.replace("WITH", "WITH RECURSIVE", 1)
+    + f", bands AS ({_BANDS_SQL})"
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                    / len(list_distinct(sa.shingles || sb.shingles)) * 1e6 + 0.5) / 1e6 >= 0.5
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src
+    """,
+)
+
+_register(
+    "train_test_split",
+    _pipeline.train_test_split,
+    """
+    WITH s AS (
+        SELECT lang, n_chars,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 AS decile
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN decile < 8 THEN 'train' WHEN decile < 9 THEN 'valid' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM s GROUP BY 1, 2
+    """,
+)
+
+_register(
+    "events_dedup_latest",
+    _pipeline.events_dedup_latest,
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+
+_register(
+    "vocab_build",
+    _pipeline.vocab_build,
+    _COUNTS_CTE
+    + f"""
+    SELECT token, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS INT) AS token_id
+    FROM counts WHERE cnt >= {_pipeline.VOCAB_MIN_COUNT}
+    """,
+)
+
+_register(
+    "tf_idf_topk",
+    _pipeline.tf_idf_topk,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, token, tf,
+               floor(tf * (CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0) * 1e6 + 0.5) / 1e6 AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, score, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {_pipeline.TFIDF_TOP_PER_DOC}
+    """,
+)
+
+_register(
+    "embedding_quantize",
+    _pipeline.embedding_quantize,
+    """
+    WITH e AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings
+        WHERE list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0.0
+    ), q AS (
+        SELECT vec_id, embedding, maxabs,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS INT)) AS qv
+        FROM e
+    )
+    SELECT vec_id,
+           floor(maxabs * 1e6 + 0.5) / 1e6 AS max_abs,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max,
+           CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+           floor(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+               (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) / (127.0 / maxabs))
+             * (CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) / (127.0 / maxabs))
+           )) / len(embedding) * 1e9 + 0.5) / 1e9 AS mse
+    FROM q
+    """,
+)
+
+_ROUNDTRIP_ORACLE = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(bit_xor(CAST('0x' || substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), text, source)), 1, 15) AS BIGINT)) AS BIGINT) AS content_sig
+    FROM documents GROUP BY lang
+"""
+
+_register("source_jsonl_roundtrip", _roundtrip.source_jsonl_roundtrip, _ROUNDTRIP_ORACLE)
+_register("source_csv_roundtrip", _roundtrip.source_csv_roundtrip, _ROUNDTRIP_ORACLE)
+
+_register(
+    "bucketed_join",
+    advanced.bucketed_join,
+    """
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
