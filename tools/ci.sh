@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Full local gate, all legs. Each leg is independently useful; run all
+# before calling a round done.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== leg 1: full suite at sf0.001 (fast) =="
+python -m pytest tests/ -q
+
+echo "== leg 2: oracle parity at sf0.01 (the driver's scale) =="
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+
+echo "== leg 3: oracle parity at sf0.1 (scale-dependent drift: rounding, overflow) =="
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 python -m pytest tests/test_oracle_parity.py -q
+
+echo "== leg 4: driver-style contract harness (plain session, sf0.01) =="
+python tools/drive_contract.py 2>&1 | tail -3
+
+echo "== leg 5: bench JSON line at sf0.1 =="
+python bench.py 2>/dev/null | tail -1
