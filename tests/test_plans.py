@@ -92,6 +92,15 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_partitioned_sink_reread_prunes_partitions(spark, sf_dir):
+    """The read-back of the lang-partitioned dataset with a lang filter must
+    prune at the directory level: PartitionFilters on lang in the scan (at
+    100 TB this is the difference between reading one partition and all)."""
+    plan = _plan(spark, sf_dir, "sink_partitioned_parquet")
+    pf = plan.split("PartitionFilters")[1][:200] if "PartitionFilters" in plan else ""
+    assert "lang" in pf, f"no partition pruning on lang:\n{plan[:800]}"
+
+
 def test_no_accidental_cartesian_products(spark, sf_dir):
     """Blanket scale guard: no batch query may plan a CartesianProduct.
     Broadcast nested-loop joins are allowed only where deliberate (the

@@ -272,6 +272,56 @@ def test_dedup_groups_cluster_injected_dups(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """percentile_approx guarantees RANK error (≤ n/accuracy), not value
+    error — so assert the rank of each returned value among the exact
+    sorted values, with slack for the sketch returning an actual data point
+    where the exact quantile interpolates."""
+    vals = {}
+    for r in load_table(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    approx = {r.event_type: r for r in QUERIES["approx_quantiles_value"](spark, sf_dir).collect()}
+    assert set(approx) == set(vals)
+    import bisect
+
+    for et, a in approx.items():
+        xs = sorted(vals[et])
+        n = len(xs)
+        assert a.n == n
+        for q, v in ((0.5, a.p50), (0.9, a.p90), (0.99, a.p99)):
+            lo = bisect.bisect_left(xs, v)
+            hi = bisect.bisect_right(xs, v)
+            target = q * (n - 1)
+            slack = n / 100.0 + 2  # sketch rank error + discrete-vs-interpolated
+            assert lo - slack <= target <= hi + slack, (
+                f"{et} q={q}: value {v} at ranks [{lo},{hi}] vs target {target:.1f}"
+            )
+
+
+def test_skew_salted_join_equals_plain_join(spark, sf_dir):
+    """The salted join must be bit-identical to the unsalted formulation —
+    salting is semantics-free (same invariant as url_count_salted)."""
+    from url_counter_mapreduce_spark.tables import load_table as _lt
+
+    nation = _lt(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("dim_key"), F.col("n_name").alias("nation")
+    )
+    plain = {
+        r.nation: (r.n_events, r.sum_value)
+        for r in _lt(spark, sf_dir, "events")
+        .withColumn("dim_key", F.pmod(F.col("user_id"), F.lit(25)).cast("int"))
+        .join(F.broadcast(nation), "dim_key")
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    }
+    salted = {
+        r.nation: (r.n_events, r.sum_value)
+        for r in QUERIES["join_skew_salted"](spark, sf_dir).collect()
+    }
+    assert salted == plain
+
+
 def test_salted_count_equals_plain_count(spark, sf_dir):
     plain = {(r.token, r.cnt) for r in QUERIES["url_count"](spark, sf_dir).collect()}
     salted = {(r.token, r.cnt) for r in QUERIES["url_count_salted"](spark, sf_dir).collect()}

@@ -92,6 +92,10 @@ NORTH_STAR_SURFACE = [
     "source_jsonl_roundtrip",
     "source_csv_roundtrip",
     "bucketed_join",
+    "sink_partitioned_parquet",
+    "stream_foreachbatch_dedup",
+    "join_skew_salted",
+    "approx_quantiles_value",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design
@@ -106,6 +110,7 @@ ROWS_ONLY_BY_DESIGN = {
     "multimodal_framesample",  # Python-side stub sampler
     "dedup_mllib_minhash",  # MLlib seeded hash family, not DuckDB-reproducible
     "stream_enriched_counts",
+    "approx_quantiles_value",  # GK sketch values are engine-specific
 }
 
 

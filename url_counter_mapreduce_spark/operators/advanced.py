@@ -179,6 +179,51 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JOIN_SALT = 16
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew-JOIN recipe (complement of url_count_salted's skewed
+    AGGREGATION): the fact side's hot keys are spread by a deterministic
+    per-row salt, the dim side is replicated SALT ways, and the join runs
+    on (key, salt) — every hot key's rows land on 16 reducers instead of
+    one. Results are provably identical to the unsalted join (the oracle IS
+    the plain join). SHUFFLE_HASH is pinned because the recipe targets the
+    case where the dim is too big to broadcast — at test scale the 400-row
+    replicated dim would otherwise take the broadcast path and hide the
+    mechanism. (AQE's skewJoin handles moderate skew automatically; the
+    manual salt is for the pathological keys it can't split, or engines
+    without AQE.)"""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dim_key", F.pmod(F.col("user_id"), F.lit(25)).cast("int")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("dim_key"), F.col("n_name").alias("nation")
+    )
+    fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(JOIN_SALT)).cast("int"))
+    dim = nation.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT - 1))))
+    return (
+        fact.join(dim.hint("SHUFFLE_HASH"), ["dim_key", "salt"])
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per event_type via percentile_approx — the
+    mergeable-sketch path (Greenwald-Khanna): map-side partial sketches,
+    one small merge, no global sort — what replaces exact quantiles at
+    100 TB. Sketch outputs are engine-specific → rows-only driver check;
+    the rank-error bound vs the exact quantiles is asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def url_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship count with explicit two-stage salting — the manual
     skew recipe from docs/SCALE.md §3 demonstrated end-to-end: stage 1

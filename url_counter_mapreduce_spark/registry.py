@@ -1084,3 +1084,45 @@ _register(
     FROM documents
     """,
 )
+
+from .sources import partitioned as _partitioned  # noqa: E402
+from .streaming import foreach_batch as _foreach_batch  # noqa: E402
+
+_register(
+    "sink_partitioned_parquet",
+    _partitioned.sink_partitioned_parquet,
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents WHERE lang = 'en' GROUP BY source
+    """,
+)
+
+# salting is semantics-free for joins too: the oracle is the PLAIN join
+_register(
+    "join_skew_salted",
+    advanced.join_skew_salted,
+    """
+    SELECT n_name AS nation, COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+    FROM events JOIN nation ON n_nationkey = user_id % 25
+    GROUP BY n_name
+    """,
+)
+
+# GK sketch values are engine-specific → rows-only; error bound in tests
+_register("approx_quantiles_value", advanced.approx_quantiles_value, None)
+
+# foreachBatch dedup store: single AvailableNow batch ⇒ equals the batch
+# groupBy, so this streaming query carries an EXACT oracle
+_register(
+    "stream_foreachbatch_dedup",
+    _foreach_batch.stream_foreachbatch_dedup,
+    r"""
+    WITH fps AS (
+        SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp, doc_id
+        FROM documents
+    )
+    SELECT fp, min(doc_id) AS keeper_id, COUNT(*) AS copies FROM fps GROUP BY fp
+    """,
+)
