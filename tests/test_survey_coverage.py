@@ -96,6 +96,7 @@ NORTH_STAR_SURFACE = [
     "stream_foreachbatch_dedup",
     "join_skew_salted",
     "approx_quantiles_value",
+    "udtf_surface",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -152,6 +152,31 @@ def udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12's third extensibility shape: a table FUNCTION (1 row → N rows
+    with computed columns), which the reference cannot express at all (its
+    mapF emits a fixed KeyValue list, main.go:28-31). Spark's analog is a
+    Python UDTF used as a LATERAL correlated relation — here a sentence
+    splitter, the simplest 1→N text transform a curation pipeline uses.
+    Python UDTFs are the slow path (row-at-a-time) — appropriate for the
+    API-surface demo; the hot-path equivalents are explode/posexplode
+    (see tokenize_explode)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.sentence_idx, s.sentence "
+        "FROM _udtf_docs, LATERAL split_sentences(text) s"
+    )
+
+
 def sink_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O10 text sink format (master_splitmerge.go:46): ``"<key>: <value>"``
     lines. Returned as a single-column DataFrame (the driver collects;

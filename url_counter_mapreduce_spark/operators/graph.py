@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .dedup import verified_jaccard_pairs_rejoin
+from .dedup import _signatures_for, _verified_pairs_from_sigs
 
 MAX_CC_ITERS = 20
 
@@ -73,7 +73,10 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its cluster representative (min doc_id connected via MinHash-LSH-
     verified Jaccard ≥ 0.5 edges); singletons label themselves. This is the
     operator whose output actually drives deletion: keep rows where
-    doc_id = group_id."""
+    doc_id = group_id. Edges come from the shared per-(session, corpus)
+    signature index, so pair mining here never re-hashes the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = verified_jaccard_pairs_rejoin(docs, 0.5).select("doc_a", "doc_b")
+    edges = _verified_pairs_from_sigs(_signatures_for(spark, sf_dir), 0.5).select(
+        "doc_a", "doc_b"
+    )
     return connected_components(docs.select("doc_id"), edges)

@@ -117,6 +117,21 @@ _register(
 )
 
 _register(
+    "udtf_surface",
+    core.udtf_surface,
+    """
+    WITH parts AS (SELECT doc_id, string_split(text, '. ') AS p FROM documents),
+    pairs AS (
+        SELECT doc_id,
+               unnest(list_transform(p, (x, i) -> {'sentence_idx': i - 1, 'sentence': x})) AS s
+        FROM parts
+    )
+    SELECT doc_id, CAST(s.sentence_idx AS INT) AS sentence_idx, s.sentence AS sentence
+    FROM pairs
+    """,
+)
+
+_register(
     "sink_rows",
     core.sink_rows,
     _COUNTS_CTE + "SELECT token || ': ' || CAST(cnt AS VARCHAR) AS line FROM counts",

@@ -64,7 +64,18 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+# applicationId → sf_dir whose views are currently registered; re-reading
+# and re-analyzing 10 parquet footers per spark.sql query call is pure
+# constant overhead once the views exist
+_VIEWS_REGISTERED: dict = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view so ``spark.sql`` works too."""
+    """Register every table as a temp view so ``spark.sql`` works too.
+    Idempotent per (session, sf_dir); switching sf_dir re-registers."""
+    key = spark.sparkContext.applicationId
+    if _VIEWS_REGISTERED.get(key) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_REGISTERED[key] = sf_dir
