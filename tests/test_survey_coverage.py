@@ -97,6 +97,8 @@ NORTH_STAR_SURFACE = [
     "join_skew_salted",
     "approx_quantiles_value",
     "udtf_surface",
+    "stream_stream_join",
+    "stream_dedup_stateful",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

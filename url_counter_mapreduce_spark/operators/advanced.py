@@ -211,7 +211,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles per event_type via percentile_approx — the
-    mergeable-sketch path (Greenwald-Khanna): map-side partial sketches,
+    mergeable-sketch path (Greenwald & Khanna, "Space-efficient online
+    computation of quantile summaries", SIGMOD 2001): map-side partial sketches,
     one small merge, no global sort — what replaces exact quantiles at
     100 TB. Sketch outputs are engine-specific → rows-only driver check;
     the rank-error bound vs the exact quantiles is asserted in tests."""

@@ -2,6 +2,13 @@
 X11 + driver north-star extensions): exact, MinHash+LSH, SimHash, n-gram
 Jaccard, and embedding-cosine near-dup.
 
+Algorithms are the published classics: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997), banded
+LSH for candidate generation (Leskovec/Rajaraman/Ullman, Mining of Massive
+Datasets ch. 3), and SimHash (Charikar, "Similarity estimation techniques
+from rounding algorithms", STOC 2002) — re-expressed as Catalyst expression
+plans with md5 as the cross-engine hash family.
+
 Design for cross-engine verifiability: every hash is derived from md5 (the
 one hash function Spark and DuckDB compute identically), so even the MinHash
 and SimHash *signatures* get exact DuckDB oracles — not just rows-only

@@ -12,9 +12,10 @@ materialization barrier and the convergence check) and lineage truncation
 via localCheckpoint so the plan doesn't grow per round. At real scale the
 same loop holds — the per-round cost is one join + one aggregate on the
 EDGE set (candidates, not corpus); the large-star/small-star optimization
-(alternating conditional propagation) halves rounds on long chains but the
-plain form is already shuffle-proportional to the dup graph, not the
-corpus.
+(alternating conditional propagation; Kiveris et al., "Connected
+components in MapReduce and beyond", SoCC 2014) halves rounds on long
+chains but the plain form is already shuffle-proportional to the dup
+graph, not the corpus.
 
 Deterministic end state (min doc_id of the component) → exact DuckDB
 oracle via a recursive CTE over the same edge set.
@@ -33,12 +34,19 @@ MAX_CC_ITERS = 20
 
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """(doc_id) nodes + (doc_a, doc_b) undirected edges → (doc_id, group_id)
-    where group_id = min doc_id reachable. Singletons keep their own id."""
+    where group_id = min doc_id reachable. Singletons keep their own id.
+
+    The propagation loop runs ONLY over nodes that appear in an edge: on a
+    real corpus the dup graph is orders of magnitude smaller than the node
+    set, so iterating over all nodes would shuffle the whole corpus once
+    per round for no reason. Singletons are attached at the end with one
+    left join + coalesce (their label is trivially their own id)."""
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     sym = sym.persist()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("group_id")).localCheckpoint()
+    touched = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = touched.select("doc_id", F.col("doc_id").alias("group_id")).localCheckpoint()
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -65,7 +73,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     else:
         raise RuntimeError(f"connected_components did not converge in {MAX_CC_ITERS} rounds")
     sym.unpersist()
-    return labels
+    return (
+        nodes.select("doc_id")
+        .join(labels.withColumnRenamed("doc_id", "_lbl_id"), nodes.doc_id == F.col("_lbl_id"), "left")
+        .select("doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id"))
+    )
 
 
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,6 +14,11 @@ Shapes are chosen for a 100 TB corpus:
 All vector math is JVM-side Catalyst expressions (functions/vector.py) —
 an Arrow-batched pandas_udf alternative is benchmarked in tests but the
 expression form wins by staying inside whole-stage codegen.
+
+The IVF design follows the published inverted-file ANN scheme (Jégou,
+Douze, Schmid, "Product quantization for nearest neighbor search", TPAMI
+2011 — the coarse-quantizer half, without PQ residual codes); sign-bit LSH
+is the hyperplane-rounding family from Charikar (STOC 2002).
 """
 
 from __future__ import annotations

@@ -1128,6 +1128,39 @@ _register(
 # GK sketch values are engine-specific → rows-only; error bound in tests
 _register("approx_quantiles_value", advanced.approx_quantiles_value, None)
 
+from .streaming import join as _stream_join  # noqa: E402
+from .streaming import stateful_v2 as _stateful_v2  # noqa: E402
+
+# stream-stream interval join: single micro-batch per side under
+# AvailableNow ⇒ equals the batch interval join ⇒ EXACT oracle
+_register(
+    "stream_stream_join",
+    _stream_join.stream_stream_join,
+    f"""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTES AND p.ts
+    """,
+)
+
+# transformWithState first-seen dedup: deterministic keeper (min doc_id),
+# single batch ⇒ equals batch groupBy ⇒ EXACT oracle
+_register(
+    "stream_dedup_stateful",
+    _stateful_v2.stream_dedup_stateful,
+    r"""
+    WITH fps AS (
+        SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp, doc_id
+        FROM documents
+    )
+    SELECT fp, min(doc_id) AS keeper_id FROM fps GROUP BY fp
+    """,
+)
+
 # foreachBatch dedup store: single AvailableNow batch ⇒ equals the batch
 # groupBy, so this streaming query carries an EXACT oracle
 _register(

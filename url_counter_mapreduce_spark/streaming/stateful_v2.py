@@ -1,0 +1,113 @@
+"""transformWithState streaming dedup — the arbitrary-stateful-processor
+API (successor to applyInPandasWithState, already covered in stateful.py):
+a StatefulProcessor with explicit named state that emits each content
+fingerprint's keeper exactly ONCE across the life of the stream — the
+streaming half of the incremental-crawl dedup (operators/dedup.py
+incremental_new_docs is the batch half).
+
+Native streaming dropDuplicates keeps the FIRST ARRIVAL, which is
+partition-race nondeterministic; keeping the MIN doc_id per fingerprint
+makes the operator deterministic, and under Trigger.AvailableNow with one
+input file (single micro-batch) it equals the batch groupBy — EXACT DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .event_count import _stream_dir_for
+
+
+def _have_transform_with_state() -> bool:
+    """transformWithState's state protocol rides on protobuf, which this
+    container lacks — gate behind import-try per the environment contract
+    and fall back to the applyInPandasWithState formulation (identical
+    output, previous-generation API)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents stream → fingerprint → keyed stateful dedup: per-key state
+    records the keeper; a key yields output only on first sight. State
+    lives for the stream's life (a production deployment adds a TTL to
+    bound it — the transformWithState API supports that natively)."""
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .format("parquet")
+        .load(_stream_dir_for(sf_dir, "documents"))
+    )
+    keyed = src.withColumn(
+        "fp", F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    ).select("fp", "doc_id").groupBy("fp")
+
+    if _have_transform_with_state():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class FirstSeenKeeper(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._seen = handle.getValueState("seen", "keeper long")
+
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
+
+                best = None
+                for pdf in rows:
+                    b = int(pdf["doc_id"].min())
+                    best = b if best is None else min(best, b)
+                if not self._seen.exists():
+                    self._seen.update((best,))
+                    yield pd.DataFrame({"fp": [key[0]], "keeper_id": [best]})
+
+            def close(self) -> None:
+                pass
+
+        deduped = keyed.transformWithStateInPandas(
+            statefulProcessor=FirstSeenKeeper(),
+            outputStructType="fp string, keeper_id long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def first_seen(key, pdfs, state: GroupState):
+            import pandas as pd
+
+            best = None
+            for pdf in pdfs:
+                b = int(pdf["doc_id"].min())
+                best = b if best is None else min(best, b)
+            if not state.exists:
+                state.update((best,))
+                yield pd.DataFrame({"fp": [key[0]], "keeper_id": [best]})
+
+        deduped = keyed.applyInPandasWithState(
+            first_seen,
+            outputStructType="fp string, keeper_id long",
+            stateStructType="keeper long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    sink = "stream_dedup_stateful_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
