@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Scaling-curve smoke: replicate the sf0.1 documents table K× (with
+remapped doc_ids and a per-replica token so replicas are not trivial
+duplicates), run the document-only headline pipelines at each factor, and
+print time-vs-factor. Near-linear growth is the evidence that the plans
+are shuffle- and compute-proportional to input size, not super-linear —
+the local[32] stand-in for "would this hold at 1000×".
+
+Usage: python tools/scale_smoke.py            # factors 1, 4, 16
+       SCALE_FACTORS=1,8,64 python tools/scale_smoke.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from url_counter_mapreduce_spark import QUERIES, get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTORS = [int(x) for x in os.environ.get("SCALE_FACTORS", "1,4,16").split(",")]
+PIPELINES = ["url_count", "url_topk", "text_token_stats", "quality_score", "dedup_minhash"]
+
+
+def replicated_dir(spark, factor: int) -> str:
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{uid}_{factor}x")
+    marker = os.path.join(d, "documents.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+        (
+            docs.withColumn("replica", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+            .withColumn("doc_id", F.col("doc_id") * factor + F.col("replica"))
+            .withColumn("text", F.concat("text", F.lit(" rep"), F.col("replica").cast("string")))
+            .drop("replica")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "documents.parquet"))
+        )
+    return d
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup
+    QUERIES["url_count"](spark, SRC).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[int, float]] = {q: {} for q in PIPELINES}
+    for factor in FACTORS:
+        d = replicated_dir(spark, factor)
+        for q in PIPELINES:
+            t0 = time.perf_counter()
+            QUERIES[q](spark, d).write.format("noop").mode("overwrite").save()
+            results[q][factor] = round(time.perf_counter() - t0, 3)
+
+    base = FACTORS[0]
+    print(json.dumps({"factors": FACTORS, "seconds": results}))
+    print(f"\n{'pipeline':<22}" + "".join(f"{f}x".rjust(10) for f in FACTORS) + "   growth@max")
+    for q in PIPELINES:
+        times = [results[q][f] for f in FACTORS]
+        growth = (times[-1] / times[0]) / (FACTORS[-1] / base)
+        print(f"{q:<22}" + "".join(f"{t:>10.2f}" for t in times) + f"   {growth:>6.2f}x/linear")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
