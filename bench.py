@@ -88,9 +88,14 @@ def _previous_round_timings() -> tuple[str | None, dict[str, float]]:
     """Latest driver-recorded BENCH_r{N}.json in the repo root (the driver
     benches at sf0.1; the comparison is only meaningful at that sf)."""
     import glob
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    # sort by round NUMBER — lexicographic order would put r10 before r9
+    files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
     if not files:
         return None, {}
     try:

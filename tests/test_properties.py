@@ -259,6 +259,19 @@ def test_connected_components_transitive_chain(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
+def test_connected_components_long_chain(spark):
+    """A 40-node path graph: plain neighbor-min propagation needs ~40
+    rounds; pointer halving must converge well inside MAX_CC_ITERS and
+    label the whole chain with its minimum."""
+    from url_counter_mapreduce_spark.operators.graph import connected_components
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    labels = {r.doc_id: r.group_id for r in connected_components(nodes, edges).collect()}
+    assert labels == {i: 0 for i in range(n)}
+
+
 def test_dedup_groups_cluster_injected_dups(spark):
     """End-to-end cluster resolution on injected duplicates: the exact dup,
     its near dup, and the original collapse into one group; the unrelated

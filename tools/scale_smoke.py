@@ -30,8 +30,13 @@ PIPELINES = ["url_count", "url_topk", "text_token_stats", "quality_score", "dedu
 
 
 def replicated_dir(spark, factor: int) -> str:
+    import hashlib
+
     uid = os.getuid() if hasattr(os, "getuid") else 0
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{uid}_{factor}x")
+    # keyed by SOURCE as well as factor — switching SPARK_GRAFT_SF_DIR must
+    # not silently reuse replicas built from a different corpus
+    src_tag = hashlib.md5(SRC.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{uid}_{src_tag}_{factor}x")
     marker = os.path.join(d, "documents.parquet", "_SUCCESS")
     if not os.path.exists(marker):
         docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))

@@ -11,9 +11,7 @@ inequality directly (its IEJoin handles it) — independent formulations.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -147,9 +145,9 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tables are external (explicit /tmp path per uid+sf), dropped and
     rewritten idempotently per call."""
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{uid}_{tag}")
+    from ..tables import tmp_scratch_dir
+
+    base = tmp_scratch_dir("bucketed", sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     sides = {
         "spark_graft_bdocs": docs.select("doc_id", "lang"),

@@ -29,7 +29,10 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 from .dedup import _signatures_for, _verified_pairs_from_sigs
 
-MAX_CC_ITERS = 20
+# with pointer halving each round roughly halves remaining path lengths:
+# 50 rounds covers components of astronomically large diameter; hitting the
+# cap indicates a genuine bug, not long input chains
+MAX_CC_ITERS = 50
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -53,21 +56,27 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .groupBy("src")
             .agg(F.min("group_id").alias("nbr_gid"))
         )
-        updated = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("group_id"), F.coalesce("nbr_gid", F.col("group_id"))).alias(
-                    "new_gid"
-                ),
-                "group_id",
-            )
+        stepped = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left").select(
+            "doc_id",
+            F.col("group_id").alias("old_gid"),
+            F.least(F.col("group_id"), F.coalesce("nbr_gid", F.col("group_id"))).alias("gid"),
         )
-        # checkpoint BEFORE the convergence count so the join executes once;
+        # pointer halving: label(v) ← min(label(v), label(label(v))) — labels
+        # chase their own parents one hop per round, so a length-d dup chain
+        # converges in O(log d) rounds instead of O(d) (the practical core of
+        # the alternating-algorithm family; a plain neighbor-min loop would
+        # hard-fail on 20+-deep edit chains)
+        parents = stepped.select(F.col("doc_id").alias("p_id"), F.col("gid").alias("p_gid"))
+        halved = stepped.join(parents, F.col("gid") == F.col("p_id"), "left").select(
+            "doc_id",
+            "old_gid",
+            F.least(F.col("gid"), F.coalesce("p_gid", F.col("gid"))).alias("new_gid"),
+        )
+        # checkpoint BEFORE the convergence count so the joins execute once;
         # the count then reads the materialized blocks
-        updated = updated.localCheckpoint()
-        changed = updated.filter(F.col("new_gid") != F.col("group_id")).count()
-        labels = updated.select("doc_id", F.col("new_gid").alias("group_id"))
+        halved = halved.localCheckpoint()
+        changed = halved.filter(F.col("new_gid") != F.col("old_gid")).count()
+        labels = halved.select("doc_id", F.col("new_gid").alias("group_id"))
         if changed == 0:
             break
     else:

@@ -146,8 +146,13 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The MSE is a grouped float sum (accumulation order varies), so it gets
     6 dp round semantics like every other group aggregate — fine because
     ulp-order noise (~1e-20) sits far below the rounding grain."""
+    from ..functions.vector import finite_norm_pred
+
+    # same degenerate-vector guard as every other embedding consumer: a NaN
+    # component passes a plain sum(abs)>0 filter on BOTH engines and then
+    # diverges at CAST(floor(NaN) AS INT) (Spark NULL vs DuckDB error)
     emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.expr("aggregate(embedding, 0.0D, (a, x) -> a + abs(CAST(x AS DOUBLE))) > 0.0")
+        F.expr(finite_norm_pred("embedding"))
     )
     ex = emb.select("vec_id", F.explode("embedding").alias("x")).withColumn(
         "xd", F.col("x").cast("double")

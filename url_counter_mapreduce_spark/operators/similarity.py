@@ -179,7 +179,10 @@ def build_ivf_index(
     + one assignment pass, all map-only projections (literal centroids) —
     no BroadcastNestedLoopJoin, no per-row window. The assignment table is
     persisted and (with cache_key) memoized, so subsequent queries do
-    probe + rank only."""
+    probe + rank only. Without a cache_key (tests, ad-hoc calls) the
+    persisted assignment lives until the session ends — short-lived
+    processes; long-lived sessions should pass a cache_key so repeat calls
+    share one copy."""
     full_key = (cache_key, n_cells, iters) if cache_key is not None else None
     if full_key is not None and full_key in _IVF_INDEX:
         return _IVF_INDEX[full_key]

@@ -1060,7 +1060,8 @@ _register(
         SELECT vec_id, embedding,
                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
         FROM embeddings
-        WHERE list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0.0
+        WHERE (list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0.0
+               AND NOT isnan(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))
     ), q AS (
         SELECT vec_id, embedding, maxabs,
                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS INT)) AS qv

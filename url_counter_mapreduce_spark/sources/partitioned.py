@@ -10,20 +10,14 @@ the pruning itself asserted on the physical plan in tests/test_plans.py.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, tmp_scratch_dir
 
 
 def _part_dir(sf_dir: str) -> str:
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_part_{uid}_{tag}")
+    return tmp_scratch_dir("part", sf_dir)
 
 
 def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:

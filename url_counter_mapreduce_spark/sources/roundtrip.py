@@ -15,20 +15,14 @@ repeat calls are idempotent and read-only testdata is never touched.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, tmp_scratch_dir
 
 
 def _rt_dir(kind: str, sf_dir: str) -> str:
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    tag = hashlib.md5(f"{kind}:{sf_dir}".encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_rt_{uid}_{tag}")
+    return tmp_scratch_dir("rt", f"{kind}:{sf_dir}")
 
 
 def _doc_summary(back: DataFrame) -> DataFrame:

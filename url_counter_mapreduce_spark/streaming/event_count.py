@@ -12,9 +12,7 @@ bounding state (late events beyond 1h are dropped, state GC'd per window).
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,12 +26,11 @@ def _stream_dir_for(sf_dir: str, table: str) -> str:
 
     ``os.path.exists`` follows symlinks, so a stale link (target deleted)
     would look absent and the recreate would raise FileExistsError — use
-    ``lexists`` and unlink-then-recreate instead. The uid in the directory
-    name keeps the fixed path from colliding across users of a shared /tmp.
+    ``lexists`` and unlink-then-recreate instead.
     """
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    tag = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{uid}_{tag}")
+    from ..tables import tmp_scratch_dir
+
+    d = tmp_scratch_dir("stream", f"{sf_dir}:{table}")
     os.makedirs(d, exist_ok=True)
     target = os.path.join(sf_dir, f"{table}.parquet")
     link = os.path.join(d, f"{table}.parquet")

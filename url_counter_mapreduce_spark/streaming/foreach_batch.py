@@ -15,21 +15,18 @@ needed here).
 
 from __future__ import annotations
 
-import hashlib
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..tables import tmp_scratch_dir
 from .event_count import _stream_dir_for
 
 
 def _store_dir(sf_dir: str) -> str:
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_fbstore_{uid}_{tag}")
+    return tmp_scratch_dir("fbstore", sf_dir)
 
 
 def stream_foreachbatch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,7 +8,9 @@ so Catalyst gets full predicate pushdown + column pruning on every query
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +29,17 @@ TABLES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def tmp_scratch_dir(prefix: str, key: str) -> str:
+    """Deterministic per-(user, key) scratch directory under the system
+    temp dir — the single helper behind every sink/roundtrip/stream scratch
+    location. The uid keeps fixed paths from colliding across users of a
+    shared /tmp; the md5 tag keys the directory to its logical content
+    (e.g. the source sf_dir) so different inputs never share a path."""
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}_{uid}_{tag}")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
