@@ -99,6 +99,7 @@ NORTH_STAR_SURFACE = [
     "udtf_surface",
     "stream_stream_join",
     "stream_dedup_stateful",
+    "json_struct_extract",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -177,6 +177,24 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema turns the
+    props payload into a STRUCT column (scalar_functions covers the
+    stringly get_json_object path) — the schema-on-read shape for
+    semi-structured event payloads at scale, where a typed struct lets
+    Catalyst prune and fold downstream expressions instead of re-parsing
+    JSON per reference."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", F.from_json("props", "k INT").alias("p"))
+        .select(
+            "event_id",
+            F.col("p.k").alias("k_val"),
+            (F.col("p.k") % 7 == 0).alias("k_div7"),
+        )
+    )
+
+
 JOIN_SALT = 16
 
 

@@ -1115,6 +1115,17 @@ _register(
     """,
 )
 
+_register(
+    "json_struct_extract",
+    advanced.json_struct_extract,
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           (CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0) AS k_div7
+    FROM events
+    """,
+)
+
 # salting is semantics-free for joins too: the oracle is the PLAIN join
 _register(
     "join_skew_salted",
