@@ -100,6 +100,8 @@ NORTH_STAR_SURFACE = [
     "stream_stream_join",
     "stream_dedup_stateful",
     "json_struct_extract",
+    "corpus_profile",
+    "token_freq_histogram",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -129,6 +129,40 @@ def tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profiling: row count, distinct langs/sources/texts,
+    n_chars min/max/mean, empty-text count — the data-quality snapshot a
+    pipeline records per corpus drop. Multiple DISTINCT aggregates in one
+    agg compile to Catalyst's expand+partial-agg plan (one scan, no
+    self-joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("n_empty_texts"),
+    )
+
+
+def token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts: how many tokens occur exactly k times — the Zipf
+    diagnostic behind vocabulary truncation and min-count choices
+    (vocab_build's threshold is read off this histogram). An aggregation
+    OF an aggregation: both levels get map-side partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization report per embedding: per-vector scale
     (127 / max|x|), quantized min/max, saturation count, and dequantization

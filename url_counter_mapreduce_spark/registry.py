@@ -1053,6 +1053,28 @@ _register(
 )
 
 _register(
+    "corpus_profile",
+    _pipeline.corpus_profile,
+    """
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           round(AVG(n_chars), 4) AS avg_chars,
+           CAST(SUM(CASE WHEN text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_texts
+    FROM documents
+    """,
+)
+
+_register(
+    "token_freq_histogram",
+    _pipeline.token_freq_histogram,
+    _COUNTS_CTE + "SELECT cnt, COUNT(*) AS n_tokens FROM counts GROUP BY cnt",
+)
+
+_register(
     "embedding_quantize",
     _pipeline.embedding_quantize,
     """
