@@ -56,6 +56,14 @@ BENCH_QUERIES = [
     "events_dedup_latest",
     "embedding_quantize",
     "bucketed_join",
+    "corpus_profile",
+    "token_freq_histogram",
+    "json_struct_extract",
+    "join_skew_salted",
+    "udtf_surface",
+    "source_jsonl_roundtrip",
+    "sink_partitioned_parquet",
+    "train_test_split",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",
