@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "source_jsonl_roundtrip",
     "sink_partitioned_parquet",
     "train_test_split",
+    "doc_chunks",
+    "context_pack",
+    "pii_scrub",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

@@ -102,6 +102,9 @@ NORTH_STAR_SURFACE = [
     "json_struct_extract",
     "corpus_profile",
     "token_freq_histogram",
+    "doc_chunks",
+    "context_pack",
+    "pii_scrub",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

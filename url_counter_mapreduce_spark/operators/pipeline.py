@@ -129,6 +129,86 @@ def tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking — the RAG/pretraining prep step that
+    splits long documents into windows (200 chars, 50 overlap here; tokens
+    in a tokenizer-aware pipeline). One generate per doc, no shuffle;
+    chunks are represented by (idx, length, md5) so the oracle compares
+    hashes instead of hauling substrings through the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = F.expr(
+        f"""
+        transform(
+            sequence(0, CAST(floor((greatest(length(text), 1) - 1) / {CHUNK_STRIDE}) AS INT)),
+            i -> named_struct(
+                'chunk_idx', i,
+                'chunk', substring(text, i * {CHUNK_STRIDE} + 1, {CHUNK_CHARS})))
+        """
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.expr("CAST(length(c.chunk) AS BIGINT)").alias("chunk_len"),
+            F.md5(F.col("c.chunk")).alias("chunk_md5"),
+        )
+    )
+
+
+PACK_TARGET_TOKENS = 256
+PACK_BUCKETS = 32
+
+
+def context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget training contexts
+    (~256 tokens) — the pack-then-split approximation used at scale, made
+    distributed by packing WITHIN hash buckets (global greedy packing is
+    inherently sequential; per-bucket packing shuffles once on the bucket
+    key and packs each bucket independently, deterministic by doc_id
+    order). context_id = preceding cumulative token count div target."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_BUCKETS)).cast("int").alias("bucket"),
+        F.expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.withColumn(
+        "context_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_TARGET_TOKENS)
+        .cast("long"),
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact email addresses and long digit runs —
+    the compliance step every crawl corpus goes through before training.
+    Pure regexp_replace projection (RE2-compatible patterns so Spark and
+    DuckDB agree); output is (fingerprint, changed?, size delta) so the
+    oracle verifies every byte of the scrubbed text without shipping it."""
+    docs = load_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    digits = r"\d{6,}"
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), digits, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("scrubbed_md5"),
+        (clean != F.col("text")).alias("changed"),
+        (F.length(clean) - F.length("text")).cast("long").alias("len_delta"),
+    )
+
+
 def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass corpus profiling: row count, distinct langs/sources/texts,
     n_chars min/max/mean, empty-text count — the data-quality snapshot a

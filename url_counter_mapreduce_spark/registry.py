@@ -1053,6 +1053,61 @@ _register(
 )
 
 _register(
+    "doc_chunks",
+    _pipeline.doc_chunks,
+    f"""
+    WITH c AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(floor((greatest(length(text), 1) - 1) / {_pipeline.CHUNK_STRIDE}) AS INT) + 1),
+                   i -> {{'chunk_idx': CAST(i AS INT),
+                         'chunk': substr(text, CAST(i AS INT) * {_pipeline.CHUNK_STRIDE} + 1, {_pipeline.CHUNK_CHARS})}})) AS s
+        FROM documents
+    )
+    SELECT doc_id, s.chunk_idx AS chunk_idx,
+           CAST(length(s.chunk) AS BIGINT) AS chunk_len,
+           md5(s.chunk) AS chunk_md5
+    FROM c
+    """,
+)
+
+_register(
+    "context_pack",
+    _pipeline.context_pack,
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(doc_id % {_pipeline.PACK_BUCKETS} AS INT) AS bucket,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, bucket, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER w - n_tokens) / {_pipeline.PACK_TARGET_TOKENS}) AS BIGINT) AS context_id
+    FROM t
+    WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+
+_register(
+    "pii_scrub",
+    _pipeline.pii_scrub,
+    r"""
+    WITH s AS (
+        SELECT doc_id, text,
+               regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\d{6,}', '<NUM>', 'g') AS clean
+        FROM documents
+    )
+    SELECT doc_id, md5(clean) AS scrubbed_md5,
+           (clean <> text) AS changed,
+           CAST(length(clean) - length(text) AS BIGINT) AS len_delta
+    FROM s
+    """,
+)
+
+_register(
     "corpus_profile",
     _pipeline.corpus_profile,
     """
