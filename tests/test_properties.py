@@ -285,6 +285,43 @@ def test_dedup_groups_cluster_injected_dups(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_pii_scrub_redacts_synthetic_pii(spark):
+    """The driver fixtures contain no emails or digit runs, so fixture
+    parity only proves the identity path — this exercises actual redaction
+    and checks it against DuckDB running the SAME shared patterns on the
+    same rows (the cross-engine regex-dialect check the fixture can't
+    give)."""
+    import duckdb
+    import pandas as pd
+
+    from url_counter_mapreduce_spark.operators.pipeline import (
+        PII_DIGITS_RE,
+        PII_EMAIL_RE,
+        scrub_text_cols,
+    )
+
+    rows = [
+        (1, "contact alice.smith+spam@example-mail.co for details"),
+        (2, "ssn-ish 123456789 and a short 12345 stays"),
+        (3, "clean text with no pii at all"),
+        (4, "two hits: bob@x.io then 9876543210 end"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_text_cols(docs).collect()}
+    assert got[1].changed and got[2].changed and got[4].changed
+    assert not got[3].changed and got[3].len_delta == 0
+    assert got[2].len_delta == len("<NUM>") - len("123456789")
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = con.sql(
+        "SELECT doc_id, md5(regexp_replace(regexp_replace(text, '%s', '<EMAIL>', 'g'),"
+        " '%s', '<NUM>', 'g')) AS m FROM docs" % (PII_EMAIL_RE, PII_DIGITS_RE)
+    ).df()
+    for _, r in oracle.iterrows():
+        assert got[r.doc_id].scrubbed_md5 == r.m, f"regex dialect drift on doc {r.doc_id}"
+
+
 def test_approx_quantiles_within_rank_error(spark, sf_dir):
     """percentile_approx guarantees RANK error (≤ n/accuracy), not value
     error — so assert the rank of each returned value among the exact

@@ -69,6 +69,18 @@ def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_MIN_COUNT = 5
 
 
+def _token_counts(docs: DataFrame) -> DataFrame:
+    """Corpus-wide (token, cnt) under the reference tokenizer contract
+    (split on ' ', drop empties) — shared by vocab_build and
+    token_freq_histogram so the tokenizer definition cannot fork."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary construction: tokens with corpus frequency ≥ 5, assigned
     contiguous ids by (count desc, token asc) — the tokenizer-training
@@ -77,13 +89,7 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     is orders of magnitude smaller than the corpus (the heavy part — the
     token count — is a partial-aggregated shuffle)."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= VOCAB_MIN_COUNT)
-    )
+    counts = _token_counts(docs).filter(F.col("cnt") >= VOCAB_MIN_COUNT)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
     return counts.select(
         "token", "cnt", (F.row_number().over(w) - 1).cast("int").alias("token_id")
@@ -175,7 +181,7 @@ def context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.pmod(F.col("doc_id"), F.lit(PACK_BUCKETS)).cast("int").alias("bucket"),
-        F.expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("bucket")
@@ -189,17 +195,21 @@ def context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing pass: redact email addresses and long digit runs —
-    the compliance step every crawl corpus goes through before training.
-    Pure regexp_replace projection (RE2-compatible patterns so Spark and
-    DuckDB agree); output is (fingerprint, changed?, size delta) so the
-    oracle verifies every byte of the scrubbed text without shipping it."""
-    docs = load_table(spark, sf_dir, "documents")
-    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    digits = r"\d{6,}"
+# shared by the Spark operator, the registry oracle (interpolated, so the
+# two sides cannot drift), and the redaction unit test. RE2-compatible so
+# Spark's Java regex and DuckDB's RE2 agree.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITS_RE = r"\d{6,}"
+
+
+def scrub_text_cols(docs: DataFrame) -> DataFrame:
+    """(doc_id, scrubbed_md5, changed, len_delta) for any documents-shaped
+    frame — split out so the redaction logic is testable on synthetic rows
+    that actually CONTAIN emails/digit runs (the driver fixtures do not,
+    so fixture parity alone only proves the identity path; see
+    tests/test_properties.py::test_pii_scrub_redacts_synthetic_pii)."""
     clean = F.regexp_replace(
-        F.regexp_replace(F.col("text"), email, "<EMAIL>"), digits, "<NUM>"
+        F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>"), PII_DIGITS_RE, "<NUM>"
     )
     return docs.select(
         "doc_id",
@@ -207,6 +217,15 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (clean != F.col("text")).alias("changed"),
         (F.length(clean) - F.length("text")).cast("long").alias("len_delta"),
     )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: redact email addresses and long digit runs —
+    the compliance step every crawl corpus goes through before training.
+    Pure regexp_replace projection; output is (fingerprint, changed?, size
+    delta) so the oracle verifies every byte of the scrubbed text without
+    shipping it."""
+    return scrub_text_cols(load_table(spark, sf_dir, "documents"))
 
 
 def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +239,10 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
-        F.countDistinct("text").alias("n_distinct_texts"),
+        # distinct over the md5 FINGERPRINT, not the raw text: COUNT(DISTINCT
+        # text) would shuffle full document bodies as grouping keys; the
+        # fingerprint gives the identical count with 32-byte rows
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
@@ -234,13 +256,7 @@ def token_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab_build's threshold is read off this histogram). An aggregation
     OF an aggregation: both levels get map-side partial aggregation."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return _token_counts(docs).groupBy("cnt").agg(F.count(F.lit(1)).alias("n_tokens"))
 
 
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1089,22 +1089,26 @@ _register(
     """,
 )
 
+# patterns interpolated from the SAME constants the Spark operator uses —
+# the two sides cannot drift (redaction itself is exercised on synthetic
+# PII rows in tests; the driver fixtures contain none)
 _register(
     "pii_scrub",
     _pipeline.pii_scrub,
-    r"""
+    """
     WITH s AS (
         SELECT doc_id, text,
                regexp_replace(
-                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   '\d{6,}', '<NUM>', 'g') AS clean
+                   regexp_replace(text, '%s', '<EMAIL>', 'g'),
+                   '%s', '<NUM>', 'g') AS clean
         FROM documents
     )
     SELECT doc_id, md5(clean) AS scrubbed_md5,
            (clean <> text) AS changed,
            CAST(length(clean) - length(text) AS BIGINT) AS len_delta
     FROM s
-    """,
+    """
+    % (_pipeline.PII_EMAIL_RE, _pipeline.PII_DIGITS_RE),
 )
 
 _register(
@@ -1114,7 +1118,7 @@ _register(
     SELECT COUNT(*) AS n_docs,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
            round(AVG(n_chars), 4) AS avg_chars,
