@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "doc_chunks",
     "context_pack",
     "pii_scrub",
+    "merge_upsert",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

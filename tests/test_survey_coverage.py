@@ -105,6 +105,7 @@ NORTH_STAR_SURFACE = [
     "doc_chunks",
     "context_pack",
     "pii_scrub",
+    "merge_upsert",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

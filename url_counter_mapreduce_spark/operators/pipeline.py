@@ -228,6 +228,36 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_text_cols(load_table(spark, sf_dir, "documents"))
 
 
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot maintenance — the MERGE INTO shape without a table format:
+    a deterministic change set (updates for doc_id % 10 = 0, inserts above
+    the id range for doc_id % 100 = 0) full-outer-joins the current
+    snapshot on the key; each output row is tagged updated/inserted/kept.
+    At scale this is one key-shuffle join (lakehouse formats add file-level
+    pruning on top, same logical plan); the deterministic change set keeps
+    the oracle exact."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    updates = base.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.concat("text", F.lit(" v2")).alias("text")
+    )
+    inserts = base.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    changes = updates.unionByName(inserts)
+    return (
+        base.alias("b")
+        .join(changes.alias("c"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.md5(F.coalesce(F.col("c.text"), F.col("b.text"))).alias("text_md5"),
+            F.when(F.col("c.text").isNotNull() & F.col("b.text").isNotNull(), "updated")
+            .when(F.col("b.text").isNull(), "inserted")
+            .otherwise("kept")
+            .alias("action"),
+        )
+    )
+
+
 def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass corpus profiling: row count, distinct langs/sources/texts,
     n_chars min/max/mean, empty-text count — the data-quality snapshot a

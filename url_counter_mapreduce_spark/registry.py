@@ -1053,6 +1053,24 @@ _register(
 )
 
 _register(
+    "merge_upsert",
+    _pipeline.merge_upsert,
+    """
+    WITH changes AS (
+        SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           md5(COALESCE(c.text, b.text)) AS text_md5,
+           CASE WHEN c.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN 'updated'
+                WHEN b.doc_id IS NULL THEN 'inserted'
+                ELSE 'kept' END AS action
+    FROM documents b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id
+    """,
+)
+
+_register(
     "doc_chunks",
     _pipeline.doc_chunks,
     f"""
