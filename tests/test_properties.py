@@ -285,6 +285,56 @@ def test_dedup_groups_cluster_injected_dups(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_context_pack_budget_invariant(spark, sf_dir):
+    """Packing rule: context_id = floor(preceding-cumsum / target) within a
+    bucket ⇒ in every (bucket, context) all docs EXCEPT the last fit under
+    the target (the last may straddle the boundary — pack-then-split), and
+    context ids never decrease along doc order."""
+    from collections import defaultdict
+
+    from url_counter_mapreduce_spark.operators.pipeline import PACK_TARGET_TOKENS
+
+    rows = sorted(
+        QUERIES["context_pack"](spark, sf_dir).collect(), key=lambda r: (r.bucket, r.doc_id)
+    )
+    ctx = defaultdict(list)
+    last_ctx: dict = {}
+    for r in rows:
+        assert r.context_id >= last_ctx.get(r.bucket, 0)
+        last_ctx[r.bucket] = r.context_id
+        ctx[(r.bucket, r.context_id)].append(r.n_tokens)
+    for toks in ctx.values():
+        assert sum(toks) - toks[-1] < PACK_TARGET_TOKENS
+
+
+def test_doc_chunks_cover_documents(spark, sf_dir):
+    """Chunking rule: stride-150/size-200 windows ⇒ chunk count is
+    floor((len−1)/150)+1, every chunk ≤ 200 chars, consecutive chunks
+    overlap (stride < size), and the final chunk reaches the document
+    end."""
+    from url_counter_mapreduce_spark.operators.pipeline import CHUNK_CHARS, CHUNK_STRIDE
+
+    lens = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    from collections import defaultdict
+
+    chunks = defaultdict(list)
+    for r in QUERIES["doc_chunks"](spark, sf_dir).collect():
+        chunks[r.doc_id].append((r.chunk_idx, r.chunk_len))
+    assert set(chunks) == set(lens)
+    for doc_id, cl in chunks.items():
+        cl.sort()
+        n = max(lens[doc_id], 1)
+        assert len(cl) == (n - 1) // CHUNK_STRIDE + 1
+        assert all(l <= CHUNK_CHARS for _, l in cl)
+        last_idx, last_len = cl[-1]
+        assert last_idx * CHUNK_STRIDE + last_len == lens[doc_id] or lens[doc_id] == 0
+
+
 def test_pii_scrub_redacts_synthetic_pii(spark):
     """The driver fixtures contain no emails or digit runs, so fixture
     parity only proves the identity path — this exercises actual redaction
