@@ -20,7 +20,19 @@ import sys
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-EQUIV_QUERIES = ["url_topk", "dedup_minhash_pairs", "sessionize_events", "range_join_events"]
+# flagship + shuffle-heavy + the two shapes where partitioning
+# nondeterminism would actually hide: an ITERATIVE algorithm (dedup_groups'
+# label propagation) and a grouped FLOAT aggregation (embedding_quantize's
+# mse — accumulation order varies across partitionings; stable rounding
+# must absorb it)
+EQUIV_QUERIES = [
+    "url_topk",
+    "dedup_minhash_pairs",
+    "sessionize_events",
+    "range_join_events",
+    "dedup_groups",
+    "embedding_quantize",
+]
 
 _CHILD = r"""
 import json, sys

@@ -18,3 +18,6 @@ python tools/drive_contract.py 2>&1 | tail -3
 
 echo "== leg 5: bench JSON line at sf0.1 =="
 python bench.py 2>/dev/null | tail -1
+
+echo "== leg 6: physical-plan audit (red flags fail the leg) =="
+python tools/plan_audit.py 2>/dev/null | tail -1
