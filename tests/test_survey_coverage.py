@@ -142,3 +142,52 @@ def test_sql_expressible_queries_have_oracles():
             assert ORACLES[name] is None, f"{name} should be rows-only"
         else:
             assert ORACLES[name], f"{name} lacks a DuckDB oracle"
+
+
+# The §2 operator queries that MUST sit inside the driver's 50-entry
+# correctness window (the driver records the first 50 dict entries of
+# ``queries()``; see registry._CANONICAL_FIRST_50). One name per §2
+# operator, plus the X12 battery representatives and X14's batch twin.
+SECTION2_CANONICAL = (
+    REFERENCE_SURFACE
+    + ["udaf_surface", "udtf_surface"]
+    + EXTENSION_SURFACE
+    + [
+        "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+        "similarity_lsh",
+        "window_tumbling_count",
+        # §2.4 round-2 pipeline surface X15–X37 (X28 = udtf_surface above)
+        "dedup_groups",
+        "train_test_split",
+        "events_dedup_latest",
+        "vocab_build",
+        "tf_idf_topk",
+        "embedding_quantize",
+        "source_jsonl_roundtrip",
+        "source_csv_roundtrip",
+        "bucketed_join",
+        "sink_partitioned_parquet",
+        "stream_foreachbatch_dedup",
+        "join_skew_salted",
+        "approx_quantiles_value",
+        "stream_stream_join",
+        "stream_dedup_stateful",
+        "json_struct_extract",
+        "corpus_profile",
+        "token_freq_histogram",
+        "doc_chunks",
+        "context_pack",
+        "pii_scrub",
+        "merge_upsert",
+    ]
+)
+
+
+def test_section2_operators_inside_driver_window():
+    """Every §2 operator query must be among the FIRST 50 registry entries —
+    that is the window the driver's CORRECTNESS artifact records."""
+    first_50 = list(QUERIES)[:50]
+    assert len(set(SECTION2_CANONICAL)) == 50
+    outside = set(SECTION2_CANONICAL) - set(first_50)
+    assert not outside, f"§2 operators outside the driver window: {sorted(outside)}"
