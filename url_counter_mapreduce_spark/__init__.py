@@ -16,11 +16,25 @@ from .session import get_spark
 from .tables import TABLES, load_table, register_views
 from .registry import QUERIES, ORACLES
 
+
+def clear_caches() -> None:
+    """Release every persisted per-(session, corpus) artifact the package
+    memoizes (MinHash signature index, IVF assignment tables). Long-lived
+    sessions that sweep many corpora should call this between corpora; the
+    caches are also bounded internally (FIFO, oldest unpersisted)."""
+    from .operators.dedup import clear_signature_cache
+    from .operators.similarity import clear_ivf_cache
+
+    clear_signature_cache()
+    clear_ivf_cache()
+
+
 __all__ = [
     "get_spark",
     "TABLES",
     "load_table",
     "register_views",
+    "clear_caches",
     "QUERIES",
     "ORACLES",
 ]

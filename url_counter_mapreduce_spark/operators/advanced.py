@@ -131,6 +131,10 @@ def join_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_BUCKETS = 8
 
+# applicationId → sf_dir whose bucketed tables are on disk (write-once per
+# session+corpus; the catalog entries point at external /tmp paths)
+_BUCKETED_WRITTEN: dict = {}
+
 
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join via bucketing — the pre-partitioning
@@ -143,32 +147,37 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins SMJ so the tiny local tables don't take the broadcast path that
     would hide the demonstration at test scale.
 
-    Tables are external (explicit /tmp path per uid+sf), dropped and
-    rewritten idempotently per call."""
+    Tables are external (explicit /tmp path per uid+sf). The write is
+    memoized per (session app, sf_dir) — like the dedup signature index —
+    so repeat calls in one session (bench loops, registry sweeps) reuse
+    the bucketed files instead of rewriting them."""
     from ..tables import tmp_scratch_dir
 
     base = tmp_scratch_dir("bucketed", sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    sides = {
-        "spark_graft_bdocs": docs.select("doc_id", "lang"),
-        "spark_graft_bstats": docs.select(
-            "doc_id",
-            F.expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").alias(
-                "n_tokens"
+    key = spark.sparkContext.applicationId
+    if _BUCKETED_WRITTEN.get(key) != sf_dir:
+        sides = {
+            "spark_graft_bdocs": docs.select("doc_id", "lang"),
+            "spark_graft_bstats": docs.select(
+                "doc_id",
+                F.expr(
+                    "CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"
+                ).alias("n_tokens"),
             ),
-        ),
-    }
-    for name, df in sides.items():
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.repartition(N_BUCKETS, "doc_id")
-            .write.format("parquet")
-            .mode("overwrite")
-            .option("path", os.path.join(base, name))
-            .bucketBy(N_BUCKETS, "doc_id")
-            .sortBy("doc_id")
-            .saveAsTable(name)
-        )
+        }
+        for name, df in sides.items():
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.repartition(N_BUCKETS, "doc_id")
+                .write.format("parquet")
+                .mode("overwrite")
+                .option("path", os.path.join(base, name))
+                .bucketBy(N_BUCKETS, "doc_id")
+                .sortBy("doc_id")
+                .saveAsTable(name)
+            )
+        _BUCKETED_WRITTEN[key] = sf_dir
     return (
         spark.table("spark_graft_bdocs")
         .hint("MERGE")

@@ -129,7 +129,21 @@ def _signatures_with_shingles(docs: DataFrame) -> DataFrame:
 # per corpus snapshot and shared by every consumer (pair mining, cluster
 # resolution, incremental checks) — memoizing per session+corpus models
 # exactly that and stops each registry query from re-hashing the corpus.
+# Bounded (LRU-ish FIFO, oldest unpersisted on overflow) so a long-lived
+# session touching many corpora can't accumulate unbounded cached storage;
+# clear_signature_cache() gives long-lived callers an explicit release.
 _SIG_CACHE: dict = {}
+_SIG_CACHE_MAX = 4
+
+
+def clear_signature_cache() -> None:
+    """Unpersist and drop every cached signature table."""
+    while _SIG_CACHE:
+        _, sigs = _SIG_CACHE.popitem()
+        try:
+            sigs.unpersist()
+        except Exception:
+            pass  # session already stopped
 
 
 def _signatures_for(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,6 +151,12 @@ def _signatures_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIG_CACHE:
+        while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
+            oldest = next(iter(_SIG_CACHE))
+            try:
+                _SIG_CACHE.pop(oldest).unpersist()
+            except Exception:
+                pass
         sigs = _signatures_with_shingles(_lt(spark, sf_dir, "documents")).persist()
         sigs.count()  # materialize once
         _SIG_CACHE[key] = sigs

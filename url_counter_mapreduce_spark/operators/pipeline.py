@@ -84,15 +84,54 @@ def _token_counts(docs: DataFrame) -> DataFrame:
 def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary construction: tokens with corpus frequency ≥ 5, assigned
     contiguous ids by (count desc, token asc) — the tokenizer-training
-    precursor (BPE seeding, embedding-table layout). The global row_number
-    window is a deliberate single-partition sort over the VOCABULARY, which
-    is orders of magnitude smaller than the corpus (the heavy part — the
-    token count — is a partial-aggregated shuffle)."""
+    precursor (BPE seeding, embedding-table layout).
+
+    Id assignment is the TWO-PHASE distributed global rank (the same
+    decomposition behind Spark's own SortExec + zipWithIndex idiom), not a
+    global row_number window: a partitionBy-less window plans a
+    single-partition sort, which for the flagship input class (URLs, where
+    the 'vocabulary' is the distinct-key set) would push billions of rows
+    through one task at 100 TB. Instead: (1) range-partition by the sort
+    key — a distributed sort; (2) count rows per range partition (tiny:
+    one row per partition after partial aggregation) and turn the counts
+    into per-partition id offsets on the driver; (3) rank locally within
+    each partition and add the offset. Global rank = offset[pid] +
+    local_rank, independent of where the sampled range boundaries fall.
+    The ranked frame is localCheckpoint'ed so the offset job and the
+    final plan share one computation of the upstream token count."""
     docs = load_table(spark, sf_dir, "documents")
     counts = _token_counts(docs).filter(F.col("cnt") >= VOCAB_MIN_COUNT)
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return counts.select(
-        "token", "cnt", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    ranged = (
+        counts.repartitionByRange(n_parts, F.col("cnt").desc(), F.col("token").asc())
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not sizes:  # empty vocabulary: keep the output schema
+        return ranged.select("token", "cnt", F.lit(0).cast("int").alias("token_id"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):  # pid order == range order == global sort order
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_map = F.map_from_arrays(
+        F.array(*[F.lit(int(p)) for p in offsets]),
+        F.array(*[F.lit(int(o)) for o in offsets.values()]),
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        ranged.withColumn("local_rank", F.row_number().over(w))
+        .select(
+            "token",
+            "cnt",
+            (F.element_at(off_map, F.col("pid")) + F.col("local_rank") - 1)
+            .cast("int")
+            .alias("token_id"),
+        )
     )
 
 
@@ -167,7 +206,21 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_TARGET_TOKENS = 256
-PACK_BUCKETS = 32
+# bucket count scales with corpus size: ~PACK_DOCS_PER_BUCKET docs per
+# packing unit, floored at 32 (keep every local core busy at test scale)
+# and capped at 65536 (shuffle-partition sanity). A hard-coded constant
+# capped parallelism AND per-task sort size at N/32 rows forever.
+PACK_MIN_BUCKETS = 32
+PACK_MAX_BUCKETS = 65536
+PACK_DOCS_PER_BUCKET = 100
+
+
+def pack_bucket_count(n_docs: int) -> int:
+    """Data-derived bucket count — a pure function of the corpus row count
+    so the DuckDB oracle computes the identical value in SQL."""
+    import math
+
+    return max(PACK_MIN_BUCKETS, min(PACK_MAX_BUCKETS, math.ceil(n_docs / PACK_DOCS_PER_BUCKET)))
 
 
 def context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,11 +229,15 @@ def context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed by packing WITHIN hash buckets (global greedy packing is
     inherently sequential; per-bucket packing shuffles once on the bucket
     key and packs each bucket independently, deterministic by doc_id
-    order). context_id = preceding cumulative token count div target."""
+    order). context_id = preceding cumulative token count div target.
+    Bucket count derives from the corpus row count (driver-computed, a
+    catalog statistic at scale — see pack_bucket_count), so per-bucket
+    sort size stays ~PACK_DOCS_PER_BUCKET rows at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
+    n_buckets = pack_bucket_count(docs.count())
     toks = docs.select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(PACK_BUCKETS)).cast("int").alias("bucket"),
+        F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
         F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
     )
     w = (
@@ -235,26 +292,31 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot on the key; each output row is tagged updated/inserted/kept.
     At scale this is one key-shuffle join (lakehouse formats add file-level
     pruning on top, same logical plan); the deterministic change set keeps
-    the oracle exact."""
+    the oracle exact.
+
+    The insert-key offset is max(doc_id) + 1, computed driver-side (a
+    catalog statistic at scale) — a fixed constant would collide with real
+    ids once the corpus outgrows it, multiplying rows through the join.
+    Row tagging keys on JOIN-KEY presence (b.doc_id / c.doc_id nullness),
+    not text nullness, so a legitimately-NULL text can't flip a matched
+    row's action."""
     base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    insert_offset = base.agg(F.max("doc_id")).first()[0] + 1
     updates = base.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id", F.concat("text", F.lit(" v2")).alias("text")
     )
     inserts = base.filter(F.col("doc_id") % 100 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(insert_offset)).alias("doc_id"), "text"
     )
     changes = updates.unionByName(inserts)
-    return (
-        base.alias("b")
-        .join(changes.alias("c"), "doc_id", "full_outer")
-        .select(
-            "doc_id",
-            F.md5(F.coalesce(F.col("c.text"), F.col("b.text"))).alias("text_md5"),
-            F.when(F.col("c.text").isNotNull() & F.col("b.text").isNotNull(), "updated")
-            .when(F.col("b.text").isNull(), "inserted")
-            .otherwise("kept")
-            .alias("action"),
-        )
+    b, c = base.alias("b"), changes.alias("c")
+    return b.join(c, F.col("b.doc_id") == F.col("c.doc_id"), "full_outer").select(
+        F.coalesce(F.col("b.doc_id"), F.col("c.doc_id")).alias("doc_id"),
+        F.md5(F.coalesce(F.col("c.text"), F.col("b.text"))).alias("text_md5"),
+        F.when(F.col("c.doc_id").isNotNull() & F.col("b.doc_id").isNotNull(), "updated")
+        .when(F.col("b.doc_id").isNull(), "inserted")
+        .otherwise("kept")
+        .alias("action"),
     )
 
 

@@ -166,8 +166,21 @@ def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int) -> list:
 # (applicationId, sf_dir/caller key, n_cells, iters) → (centroids, persisted
 # assignment DataFrame). The IVF index is TRAINED AND ASSIGNED ONCE and
 # reused across query calls — the 'precomputed and persisted' posture a real
-# deployment has, instead of rebuilding the quantizer per query.
+# deployment has, instead of rebuilding the quantizer per query. Bounded
+# like dedup._SIG_CACHE so many-corpus sessions can't pile up cached
+# assignment tables; clear_ivf_cache() is the explicit release.
 _IVF_INDEX: dict = {}
+_IVF_INDEX_MAX = 4
+
+
+def clear_ivf_cache() -> None:
+    """Unpersist and drop every cached IVF assignment table."""
+    while _IVF_INDEX:
+        _, (_cents, assigned) = _IVF_INDEX.popitem()
+        try:
+            assigned.unpersist()
+        except Exception:
+            pass  # session already stopped
 
 
 def build_ivf_index(
@@ -192,6 +205,12 @@ def build_ivf_index(
     assigned.count()  # materialize the index; training cache no longer needed
     emb.unpersist()
     if full_key is not None:
+        while len(_IVF_INDEX) >= _IVF_INDEX_MAX:
+            oldest = next(iter(_IVF_INDEX))
+            try:
+                _IVF_INDEX.pop(oldest)[1].unpersist()
+            except Exception:
+                pass
         _IVF_INDEX[full_key] = (cents, assigned)
     return cents, assigned
 

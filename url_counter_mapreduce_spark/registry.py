@@ -120,7 +120,9 @@ _register(
     "udtf_surface",
     core.udtf_surface,
     """
-    WITH parts AS (SELECT doc_id, string_split(text, '. ') AS p FROM documents),
+    WITH parts AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), '. ') AS p FROM documents
+    ),
     pairs AS (
         SELECT doc_id,
                unnest(list_transform(p, (x, i) -> {'sentence_idx': i - 1, 'sentence': x})) AS s
@@ -1056,10 +1058,12 @@ _register(
     "merge_upsert",
     _pipeline.merge_upsert,
     """
-    WITH changes AS (
+    WITH off AS (SELECT max(doc_id) + 1 AS v FROM documents),
+    changes AS (
         SELECT doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 10 = 0
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0
+        SELECT doc_id + (SELECT v FROM off) AS doc_id, text
+        FROM documents WHERE doc_id % 100 = 0
     )
     SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
            md5(COALESCE(c.text, b.text)) AS text_md5,
@@ -1093,9 +1097,15 @@ _register(
     "context_pack",
     _pipeline.context_pack,
     f"""
-    WITH t AS (
+    WITH nb AS (
+        SELECT GREATEST({_pipeline.PACK_MIN_BUCKETS},
+                        LEAST({_pipeline.PACK_MAX_BUCKETS},
+                              CAST(ceil(COUNT(*) / {_pipeline.PACK_DOCS_PER_BUCKET}.0) AS INT))) AS n
+        FROM documents
+    ),
+    t AS (
         SELECT doc_id,
-               CAST(doc_id % {_pipeline.PACK_BUCKETS} AS INT) AS bucket,
+               CAST(doc_id % (SELECT n FROM nb) AS INT) AS bucket,
                CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents
     )

@@ -51,7 +51,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TimestampType (micros) cannot read natively ([PARQUET_TYPE_ILLEGAL]).
         # Read the raw int64 nanos and truncate to micros — exactly what
         # DuckDB (the oracle) does when it maps NANOS → TIMESTAMP(us).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The required ``nanosAsLong`` conf is applied by ``session.prep``
+        # (every registry wrapper and entry point calls it) — a query
+        # builder must not mutate session state itself.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            raise RuntimeError(
+                "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true; "
+                "call url_counter_mapreduce_spark.session.prep(spark) first"
+            )
         df = spark.read.parquet(path)
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
@@ -77,18 +84,26 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
-# applicationId → sf_dir whose views are currently registered; re-reading
+# SparkSession → sf_dir whose views are currently registered; re-reading
 # and re-analyzing 10 parquet footers per spark.sql query call is pure
-# constant overhead once the views exist
-_VIEWS_REGISTERED: dict = {}
+# constant overhead once the views exist. Keyed on the SESSION OBJECT
+# (weakly, so a dropped session frees its slot): temp views are
+# session-scoped, and sibling sessions from spark.newSession() share an
+# applicationId but NOT a view catalog, so an appId key would silently
+# skip registration for them.
+_VIEWS_REGISTERED: "weakref.WeakKeyDictionary" = None  # set below
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works too.
     Idempotent per (session, sf_dir); switching sf_dir re-registers."""
-    key = spark.sparkContext.applicationId
-    if _VIEWS_REGISTERED.get(key) == sf_dir:
+    global _VIEWS_REGISTERED
+    if _VIEWS_REGISTERED is None:
+        import weakref
+
+        _VIEWS_REGISTERED = weakref.WeakKeyDictionary()
+    if _VIEWS_REGISTERED.get(spark) == sf_dir:
         return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _VIEWS_REGISTERED[key] = sf_dir
+    _VIEWS_REGISTERED[spark] = sf_dir
