@@ -285,6 +285,50 @@ def test_dedup_groups_cluster_injected_dups(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_lsh_bucket_cap_bounds_candidates_keeps_small_bucket_recall(spark):
+    """docs/SCALE.md §4 mitigation 2, measured: on a corpus where every doc
+    sits in a 20-way exact-dup cluster (the bucket-skew worst case), a
+    bucket cap of 16 must (a) drop every boilerplate bucket — no pair among
+    same-text copies survives, collapsing the candidate set from
+    clusters·C(20,2) to ~0 — while (b) keeping recall 1 on the injected
+    NON-boilerplate near-dup pair, whose buckets have size 2 < cap."""
+    import random
+
+    from url_counter_mapreduce_spark.operators.dedup import verified_jaccard_pairs_rejoin
+
+    rng = random.Random(7)
+    words = [f"w{r}" for r in range(400)]
+    rows = []
+    n_bases, copies = 10, 20
+    for base in range(n_bases):
+        text = " ".join(rng.sample(words, 30))
+        for c in range(copies):
+            doc_id = base * 1000 + c
+            rows.append((doc_id, text, "en", "s0", len(text)))
+    # the genuine low-multiplicity near-dup pair (one token edited)
+    uniq = " ".join(rng.sample(words, 30))
+    rows.append((999001, uniq, "en", "s0", len(uniq)))
+    rows.append((999002, uniq.replace(uniq.split()[0], "edited", 1), "en", "s0", len(uniq)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    uncapped = {(r.doc_a, r.doc_b) for r in verified_jaccard_pairs_rejoin(docs, 0.5).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in verified_jaccard_pairs_rejoin(docs, 0.5, bucket_cap=16).collect()
+    }
+
+    # uncapped: every 20-way cluster produces all C(20,2)=190 pairs
+    assert len(uncapped) >= n_bases * (copies * (copies - 1)) // 2
+    # capped output is a subset: the cap only ever REMOVES candidates
+    assert capped <= uncapped
+    # (a) boilerplate buckets (size 20 > cap) are gone
+    assert not any(a // 1000 == b // 1000 and a < 999000 for a, b in capped)
+    # (b) the small-bucket near-dup pair is still found — recall 1 there
+    assert (999001, 999002) in capped
+
+
 def test_context_pack_budget_invariant(spark, sf_dir):
     """Packing rule: context_id = floor(preceding-cumsum / target) within a
     bucket ⇒ in every (bucket, context) all docs EXCEPT the last fit under

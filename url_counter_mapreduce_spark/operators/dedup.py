@@ -251,7 +251,31 @@ def _pairs_carry(bands: DataFrame) -> DataFrame:
     )
 
 
-def _pairs_rejoin(sigs_sh: DataFrame, band_fn=_band_keys) -> DataFrame:
+def _capped_bands(bands: DataFrame, cap: int) -> DataFrame:
+    """Bucket-size cap (docs/SCALE.md §4 mitigation 2): drop every band
+    bucket holding more than ``cap`` docs BEFORE pair generation. A bucket
+    of B docs yields B² candidates — boilerplate clusters (millions of
+    near-identical pages) would dominate the join for pairs nobody needs
+    individually verified (one representative suffices; exact dedup
+    already collapses identical text). The per-bucket count is a window
+    over (band, key) — the SAME keys the self-join shuffles on, so the
+    exchange is shared with the join, not an extra corpus shuffle. Recall
+    within surviving buckets is untouched: a genuine low-multiplicity
+    near-dup pair keeps colliding in its small buckets (tested on a
+    20×-duplicated corpus in tests/test_properties.py)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "key")
+    return (
+        bands.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )
+
+
+def _pairs_rejoin(
+    sigs_sh: DataFrame, band_fn=_band_keys, bucket_cap: int | None = None
+) -> DataFrame:
     """Candidate pairs via id-only band join + shingle RE-JOIN: the banded
     shuffle carries only (doc_id, band, key), then the deduped pair list
     joins the persisted signature table twice to fetch shingles. Cuts the
@@ -270,6 +294,8 @@ def _pairs_rejoin(sigs_sh: DataFrame, band_fn=_band_keys) -> DataFrame:
     else:
         sigs_sh = sigs_sh.persist()
     bands = band_fn(sigs_sh, carry=[])
+    if bucket_cap is not None:
+        bands = _capped_bands(bands, bucket_cap)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
@@ -295,22 +321,34 @@ def verified_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _verified_pairs_from_sigs(sigs_sh: DataFrame, threshold: float) -> DataFrame:
+def _verified_pairs_from_sigs(
+    sigs_sh: DataFrame, threshold: float, bucket_cap: int | None = None
+) -> DataFrame:
     return (
-        _pairs_rejoin(sigs_sh)
+        _pairs_rejoin(sigs_sh, bucket_cap=bucket_cap)
         .withColumn("jaccard", F.expr(_JACCARD_EXPR))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
-def verified_jaccard_pairs_rejoin(docs: DataFrame, threshold: float) -> DataFrame:
+def verified_jaccard_pairs_rejoin(
+    docs: DataFrame, threshold: float, bucket_cap: int | None = None
+) -> DataFrame:
     """Re-join formulation of verified_jaccard_pairs — identical result,
-    different shuffle economics (benchmarked in tools/bench_variants.py)."""
-    return _verified_pairs_from_sigs(_signatures_with_shingles(docs), threshold)
+    different shuffle economics (benchmarked in tools/bench_variants.py).
+    ``bucket_cap`` enables the skew guard (docs/SCALE.md §4 mitigation 2):
+    band buckets larger than the cap are dropped before pair generation.
+    Default off so results stay exact (the registry oracles assume no
+    cap); production boilerplate-heavy corpora should set it."""
+    return _verified_pairs_from_sigs(
+        _signatures_with_shingles(docs), threshold, bucket_cap=bucket_cap
+    )
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates verified by exact
     3-gram-shingle Jaccard ≥ 0.5. (May be empty on dup-free corpora — the
     oracle agrees on emptiness; recall is exercised in tests with injected
@@ -323,8 +361,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~4× at scale (it shuffles only (doc_id, band, key); shingles come from
     two hash joins against the persisted signature table). The signature
     table comes from the per-(session, corpus) index (_signatures_for), the
-    persisted artifact every dedup consumer shares."""
-    return _verified_pairs_from_sigs(_signatures_for(spark, sf_dir), 0.5)
+    persisted artifact every dedup consumer shares.
+
+    ``bucket_cap`` (default off — oracles are exact) enables the LSH
+    bucket-size skew guard; see verified_jaccard_pairs_rejoin."""
+    return _verified_pairs_from_sigs(
+        _signatures_for(spark, sf_dir), 0.5, bucket_cap=bucket_cap
+    )
 
 
 # --------------------------------------------------------------------------

@@ -89,15 +89,21 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_groups(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Near-duplicate clusters over the whole corpus: every document labeled
     with its cluster representative (min doc_id connected via MinHash-LSH-
     verified Jaccard ≥ 0.5 edges); singletons label themselves. This is the
     operator whose output actually drives deletion: keep rows where
     doc_id = group_id. Edges come from the shared per-(session, corpus)
-    signature index, so pair mining here never re-hashes the corpus."""
+    signature index, so pair mining here never re-hashes the corpus.
+    ``bucket_cap`` (default off — the oracle is exact) enables the LSH
+    bucket-size skew guard for boilerplate-heavy corpora; capping only
+    prunes edges WITHIN oversize buckets, and cluster membership survives
+    as long as any small-bucket path connects the docs."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = _verified_pairs_from_sigs(_signatures_for(spark, sf_dir), 0.5).select(
-        "doc_a", "doc_b"
-    )
+    edges = _verified_pairs_from_sigs(
+        _signatures_for(spark, sf_dir), 0.5, bucket_cap=bucket_cap
+    ).select("doc_a", "doc_b")
     return connected_components(docs.select("doc_id"), edges)
