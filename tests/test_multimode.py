@@ -24,7 +24,12 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # nondeterminism would actually hide: an ITERATIVE algorithm (dedup_groups'
 # label propagation) and a grouped FLOAT aggregation (embedding_quantize's
 # mse — accumulation order varies across partitionings; stable rounding
-# must absorb it)
+# must absorb it) — plus the three exact-oracle STREAMING queries
+# (stream-stream interval join, transformWithState dedup, foreachBatch
+# dedup sink): micro-batch task scheduling and state-store partitioning
+# differ between local[1] and local[8], and the reference's
+# Sequential-vs-Distributed discipline (test_test.go:145-171) applies to
+# them the same as to batch.
 EQUIV_QUERIES = [
     "url_topk",
     "dedup_minhash_pairs",
@@ -32,6 +37,9 @@ EQUIV_QUERIES = [
     "range_join_events",
     "dedup_groups",
     "embedding_quantize",
+    "stream_stream_join",
+    "stream_dedup_stateful",
+    "stream_foreachbatch_dedup",
 ]
 
 _CHILD = r"""
