@@ -191,3 +191,17 @@ def test_section2_operators_inside_driver_window():
     assert len(set(SECTION2_CANONICAL)) == 50
     outside = set(SECTION2_CANONICAL) - set(first_50)
     assert not outside, f"§2 operators outside the driver window: {sorted(outside)}"
+
+
+def test_query_table_generator_in_sync():
+    """The docs/QUERIES.md generator's §2-label map must cover exactly the
+    canonical window — a registry reorder without a table regen fails here."""
+    import importlib
+
+    gen = importlib.import_module("tools.gen_query_table")
+    first_50 = set(list(QUERIES)[:50])
+    assert set(gen.SECTION2_OP) == first_50, (
+        "tools/gen_query_table.py SECTION2_OP drifted from the canonical "
+        f"window: only-in-map={sorted(set(gen.SECTION2_OP) - first_50)} "
+        f"only-in-window={sorted(first_50 - set(gen.SECTION2_OP))}"
+    )

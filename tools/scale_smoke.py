@@ -26,7 +26,21 @@ from url_counter_mapreduce_spark import QUERIES, get_spark  # noqa: E402
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTORS = [int(x) for x in os.environ.get("SCALE_FACTORS", "1,4,16").split(",")]
-PIPELINES = ["url_count", "url_topk", "text_token_stats", "quality_score", "dedup_minhash"]
+PIPELINES = [
+    "url_count",
+    "url_topk",
+    "text_token_stats",
+    "quality_score",
+    "dedup_minhash",
+    # the two plans whose cost model differs most from the aggregation
+    # pipelines: iterative connected components and a full-outer MERGE.
+    # NOTE on dedup_groups growth: K× replication makes every replica a
+    # near-dup of its siblings, so the dup-graph edge count grows ~K²·N by
+    # construction — wall should track the EDGE count (the scaling law the
+    # operator is designed for: cost ∝ dup graph, not corpus).
+    "dedup_groups",
+    "merge_upsert",
+]
 
 
 def replicated_dir(spark, factor: int) -> str:
