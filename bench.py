@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "context_pack",
     "pii_scrub",
     "merge_upsert",
+    # round-3 pipeline surface (split_leakage_safe omitted: its CC pass is
+    # already timed via dedup_groups)
+    "decontaminate_ngrams",
+    "sample_stratified",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

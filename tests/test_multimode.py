@@ -40,6 +40,9 @@ EQUIV_QUERIES = [
     "stream_stream_join",
     "stream_dedup_stateful",
     "stream_foreachbatch_dedup",
+    # round-3: the decontamination shingle join — distinct-before-join under
+    # different partition counts must not change the shared-window counts
+    "decontaminate_ngrams",
 ]
 
 _CHILD = r"""

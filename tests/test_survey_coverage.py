@@ -106,6 +106,10 @@ NORTH_STAR_SURFACE = [
     "context_pack",
     "pii_scrub",
     "merge_upsert",
+    # round-3 additions (outside the driver window; local parity gate only)
+    "decontaminate_ngrams",
+    "sample_stratified",
+    "split_leakage_safe",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -392,3 +392,116 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.abs("q") == 127, 1).otherwise(0)).alias("n_sat"),
         F.expr(stable_round("sum(d * d) / count(1)", 9)).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: decontamination, stratified sampling, leakage-safe split
+# ---------------------------------------------------------------------------
+
+# 5-token shingles for decontamination: long enough that a shared window
+# means real textual overlap (the industry-standard check uses 8–13-gram
+# overlap; 5 keeps the tiny-vocabulary synthetic fixtures non-degenerate)
+DECON_NGRAM = 5
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination — the eval-integrity step every corpus
+    build runs after splitting: for every TEST-split document, count the
+    5-token windows it shares with ANY train-split document, and how many
+    distinct train docs share one. A test doc with n_shared_shingles > 0
+    leaks eval content into training; the pipeline either drops it from
+    eval or removes the offending train docs.
+
+    Shape at scale: per-doc distinct shingle hashes (md5 — cross-engine),
+    map-side-distinct'd, then ONE shuffle equi-join on the shingle hash
+    between the test and train sides — identical skeleton to the LSH band
+    join in dedup (shuffle ∝ shingle volume, never doc×doc). The split
+    comes from the same content-independent md5-decile as
+    train_test_split, so decontamination composes with the split operator
+    without re-hashing."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(_DECILE).alias("decile"),
+        F.expr(_TOKS).alias("toks"),
+    )
+    sh = base.filter(F.size("toks") >= DECON_NGRAM).select(
+        "doc_id",
+        "decile",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {DECON_NGRAM}),"
+                    f" i -> md5(concat_ws(' ', slice(toks, i + 1, {DECON_NGRAM}))))"
+                )
+            )
+        ).alias("sh"),
+    )
+    train = (
+        sh.filter(F.col("decile") < 8)
+        .select(F.col("sh").alias("tsh"), F.col("doc_id").alias("train_id"))
+        .distinct()
+    )
+    test = sh.filter(F.col("decile") == 9).select("doc_id", "sh")
+    hits = (
+        test.join(train, test.sh == train.tsh)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("train_id").alias("n_train_docs"),
+        )
+    )
+    test_docs = base.filter(F.col("decile") == 9).select("doc_id")
+    return test_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+        F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
+    )
+
+
+# per-stratum keep-percentages: downsample the dominant language, keep the
+# long tail — the balancing step before tokenizer/model training. A literal
+# CASE (not a config lookup) so the oracle is the same expression.
+SAMPLE_RATE_PCT = "CASE WHEN lang = 'en' THEN 25 ELSE 75 END"
+# salted so the sampling hash is independent of the split hash (_DECILE):
+# a doc's split must not predict whether it is sampled
+_SAMPLE_BUCKET = (
+    "pmod(CAST(conv(substring(md5(concat('samp:', CAST(doc_id AS STRING))), 1, 8),"
+    " 16, 10) AS BIGINT), 100)"
+)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep each document iff its salted
+    content-independent hash bucket (0–99) falls under its language's keep
+    rate — downsampling the dominant stratum without an RNG, so every
+    engine/run/shard keeps exactly the same rows (reproducible corpus
+    recipe, no sampling state to ship). Row-level output so the oracle
+    verifies every keep/drop decision, not just the totals. Pure map-side
+    filter — no shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.expr(f"{_SAMPLE_BUCKET} < {SAMPLE_RATE_PCT}")
+    ).select("doc_id", "lang")
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe dataset split: assign train/valid/test by the md5-decile
+    of the document's NEAR-DUP CLUSTER representative (dedup_groups), not
+    the document itself — so a near-duplicate pair can never straddle the
+    train/test boundary (the classic eval-contamination bug that plain
+    per-doc splitting causes whenever dedup is imperfect or deliberately
+    lenient). By construction every cluster lands in exactly one split;
+    the oracle re-derives the clusters independently (recursive CTE) and
+    re-applies the same decile, verifying both the clustering and the
+    assignment row-for-row. Costs one extra hash of the (small) group id
+    on top of the connected-components pass."""
+    from .graph import dedup_groups
+
+    groups = dedup_groups(spark, sf_dir)
+    decile = _DECILE.replace("doc_id", "group_id")
+    split = F.expr(
+        f"CASE WHEN {decile} < 8 THEN 'train' WHEN {decile} < 9 THEN 'valid'"
+        " ELSE 'test' END"
+    )
+    return groups.select("doc_id", "group_id", split.alias("split"))

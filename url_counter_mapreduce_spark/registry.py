@@ -958,10 +958,9 @@ from .operators import pipeline as _pipeline  # noqa: E402
 from .sources import roundtrip as _roundtrip  # noqa: E402
 
 # transitive closure of the verified near-dup edges, as a recursive CTE;
-# the non-recursive prefix (sigs/bands/cand/pairs) mirrors dedup_minhash_pairs
-_register(
-    "dedup_groups",
-    _graph.dedup_groups,
+# the non-recursive prefix (sigs/bands/cand/pairs) mirrors dedup_minhash_pairs.
+# Shared by dedup_groups and split_leakage_safe (which splits by cluster).
+_CC_CTE = (
     _SIGS_CTE.replace("WITH", "WITH RECURSIVE", 1)
     + f", bands AS ({_BANDS_SQL})"
     + """
@@ -983,9 +982,16 @@ _register(
         SELECT doc_id AS src, doc_id AS dst FROM documents
         UNION
         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src
     )
-    SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src
-    """,
+    """
+)
+
+_register(
+    "dedup_groups",
+    _graph.dedup_groups,
+    _CC_CTE + "SELECT doc_id, group_id FROM comp",
 )
 
 _register(
@@ -1293,6 +1299,75 @@ _register(
         FROM documents
     )
     SELECT fp, min(doc_id) AS keeper_id, COUNT(*) AS copies FROM fps GROUP BY fp
+    """,
+)
+
+# --------------------------------------------------------------------------
+# Round-3 additions: decontamination, stratified sampling, leakage-safe split
+# (registered past the driver's 50-entry window → local parity gate only)
+# --------------------------------------------------------------------------
+
+_DECILE_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10"
+
+# DuckDB twin of the 5-token shingle: explicit element concatenation (the
+# proven in-lambda outer-column access pattern from _SHINGLES_CTE)
+_DECON_SHINGLE = " || ' ' || ".join(
+    f"toks[i+{k}]" for k in range(_pipeline.DECON_NGRAM)
+)
+
+_register(
+    "decontaminate_ngrams",
+    _pipeline.decontaminate_ngrams,
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_DECILE_SQL} AS decile,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ), shn AS (
+        SELECT doc_id, decile,
+               unnest(list_distinct(list_transform(
+                   range(1, len(toks) - {_pipeline.DECON_NGRAM - 2}),
+                   i -> md5({_DECON_SHINGLE})))) AS sh
+        FROM t WHERE len(toks) >= {_pipeline.DECON_NGRAM}
+    ), tr AS (
+        SELECT DISTINCT sh, doc_id AS train_id FROM shn WHERE decile < 8
+    ), te AS (
+        SELECT doc_id, sh FROM shn WHERE decile = 9
+    ), hits AS (
+        SELECT te.doc_id, COUNT(DISTINCT te.sh) AS n_shared_shingles,
+               COUNT(DISTINCT tr.train_id) AS n_train_docs
+        FROM te JOIN tr ON te.sh = tr.sh GROUP BY te.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles,
+           COALESCE(h.n_train_docs, 0) AS n_train_docs
+    FROM t LEFT JOIN hits h ON h.doc_id = t.doc_id
+    WHERE t.decile = 9
+    """,
+)
+
+_register(
+    "sample_stratified",
+    _pipeline.sample_stratified,
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+          < {_pipeline.SAMPLE_RATE_PCT}
+    """,
+)
+
+_GROUP_DECILE_SQL = _DECILE_SQL.replace("doc_id", "group_id")
+
+_register(
+    "split_leakage_safe",
+    _pipeline.split_leakage_safe,
+    _CC_CTE
+    + f"""
+    SELECT doc_id, group_id,
+           CASE WHEN {_GROUP_DECILE_SQL} < 8 THEN 'train'
+                WHEN {_GROUP_DECILE_SQL} < 9 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM comp
     """,
 )
 
