@@ -503,3 +503,68 @@ def test_stream_enrichment_matches_batch(spark, sf_dir):
     }
     stream = {r.nation: r.n_events for r in QUERIES["stream_enriched_counts"](spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_decontaminate_df_cap_drops_boilerplate_keeps_genuine_overlap(spark):
+    """Hot-shingle guard (decontaminate_frame df_cap): on a corpus where
+    every doc opens with the same 5-token boilerplate preamble, the
+    ubiquitous window joins every test doc to every train doc (hot-key
+    explosion); with df_cap it must (a) stop counting the boilerplate
+    window entirely while (b) still reporting the genuinely planted
+    test↔train 5-gram overlap, whose train document frequency is 1."""
+    import hashlib
+
+    from url_counter_mapreduce_spark.operators.pipeline import (
+        DECON_NGRAM,
+        decontaminate_frame,
+    )
+
+    def decile(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10
+
+    train_ids = [i for i in range(400) if decile(i) < 8][:30]
+    test_ids = [i for i in range(400) if decile(i) == 9][:6]
+    assert len(train_ids) == 30 and len(test_ids) == 6
+
+    boiler = " ".join(f"b{k}" for k in range(DECON_NGRAM))
+    planted = " ".join(f"c{k}" for k in range(DECON_NGRAM))
+    rows = []
+    for n, i in enumerate(train_ids):
+        # unique tail per doc -> only the boilerplate window is shared
+        tail = " ".join(f"t{i}x{k}" for k in range(10))
+        text = f"{boiler} {tail}"
+        if n == 0:  # ONE train doc carries the planted gram mid-tail
+            text = f"{boiler} {tail} {planted} t{i}end"
+        rows.append((i, text, "en", "s0", len(text)))
+    contaminated_test = test_ids[0]
+    for n, i in enumerate(test_ids):
+        tail = " ".join(f"q{i}x{k}" for k in range(10))
+        text = f"{boiler} {tail}"
+        if i == contaminated_test:
+            text = f"{boiler} {tail} {planted} q{i}end"
+        rows.append((i, text, "en", "s0", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    uncapped = {r.doc_id: r for r in decontaminate_frame(docs).collect()}
+    capped = {r.doc_id: r for r in decontaminate_frame(docs, df_cap=8).collect()}
+    assert set(uncapped) == set(test_ids) and set(capped) == set(test_ids)
+
+    # uncapped: boilerplate makes EVERY test doc look contaminated by all 30
+    for i in test_ids:
+        assert uncapped[i].n_shared_shingles >= 1
+        assert uncapped[i].n_train_docs == len(train_ids)
+    # capped only ever removes overlap evidence
+    for i in test_ids:
+        assert capped[i].n_shared_shingles <= uncapped[i].n_shared_shingles
+        assert capped[i].n_train_docs <= uncapped[i].n_train_docs
+    # (a) clean test docs: boilerplate window no longer counts
+    for i in test_ids:
+        if i != contaminated_test:
+            assert capped[i].n_shared_shingles == 0
+            assert capped[i].n_train_docs == 0
+    # (b) the planted low-frequency overlap survives: exactly the one
+    # c-window (its flanking windows mix in per-doc-unique tokens)
+    assert capped[contaminated_test].n_shared_shingles == 1
+    assert capped[contaminated_test].n_train_docs == 1

@@ -404,22 +404,20 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_NGRAM = 5
 
 
-def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test decontamination — the eval-integrity step every corpus
-    build runs after splitting: for every TEST-split document, count the
-    5-token windows it shares with ANY train-split document, and how many
-    distinct train docs share one. A test doc with n_shared_shingles > 0
-    leaks eval content into training; the pipeline either drops it from
-    eval or removes the offending train docs.
+def decontaminate_frame(docs: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """Frame-level decontamination core (see decontaminate_ngrams).
 
-    Shape at scale: per-doc distinct shingle hashes (md5 — cross-engine),
-    map-side-distinct'd, then ONE shuffle equi-join on the shingle hash
-    between the test and train sides — identical skeleton to the LSH band
-    join in dedup (shuffle ∝ shingle volume, never doc×doc). The split
-    comes from the same content-independent md5-decile as
-    train_test_split, so decontamination composes with the split operator
-    without re-hashing."""
-    docs = load_table(spark, sf_dir, "documents")
+    ``df_cap`` (default off — the oracle is exact) is the hot-shingle skew
+    guard, the decontamination analog of the LSH bucket cap: a 5-gram that
+    appears in more than ``df_cap`` TRAIN documents is boilerplate (site
+    template, license header, navigation chrome), and joining through it
+    multiplies every test doc containing it by its train multiplicity —
+    the same hot-key explosion as an oversize LSH bucket. Capping drops
+    those shingles from the TRAIN index before the join (a groupBy count
+    on the already-distinct index, one extra cheap aggregate), bounding
+    per-key join fan-out at df_cap while keeping every low-multiplicity —
+    i.e. genuinely identifying — overlap. Real pipelines do exactly this
+    (boilerplate n-grams are not evidence of leakage)."""
     base = docs.select(
         "doc_id",
         F.expr(_DECILE).alias("decile"),
@@ -442,6 +440,14 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("sh").alias("tsh"), F.col("doc_id").alias("train_id"))
         .distinct()
     )
+    if df_cap is not None:
+        hot = (
+            train.groupBy("tsh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("tsh")
+        )
+        train = train.join(hot, "tsh", "left_anti")
     test = sh.filter(F.col("decile") == 9).select("doc_id", "sh")
     hits = (
         test.join(train, test.sh == train.tsh)
@@ -457,6 +463,27 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
         F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
     )
+
+
+def decontaminate_ngrams(
+    spark: SparkSession, sf_dir: str, df_cap: int | None = None
+) -> DataFrame:
+    """Train/test decontamination — the eval-integrity step every corpus
+    build runs after splitting: for every TEST-split document, count the
+    5-token windows it shares with ANY train-split document, and how many
+    distinct train docs share one. A test doc with n_shared_shingles > 0
+    leaks eval content into training; the pipeline either drops it from
+    eval or removes the offending train docs.
+
+    Shape at scale: per-doc distinct shingle hashes (md5 — cross-engine),
+    map-side-distinct'd, then ONE shuffle equi-join on the shingle hash
+    between the test and train sides — identical skeleton to the LSH band
+    join in dedup (shuffle ∝ shingle volume, never doc×doc). The split
+    comes from the same content-independent md5-decile as
+    train_test_split, so decontamination composes with the split operator
+    without re-hashing. ``df_cap`` enables the hot-shingle boilerplate
+    guard (see decontaminate_frame); default off so the oracle is exact."""
+    return decontaminate_frame(load_table(spark, sf_dir, "documents"), df_cap)
 
 
 # per-stratum keep-percentages: downsample the dominant language, keep the
