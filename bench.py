@@ -95,9 +95,19 @@ def _run_once(spark, name: str) -> float:
 
 
 def _run(spark, name: str) -> float:
-    # best of 2: the first run can absorb codegen/python-worker startup and
-    # GC noise; the minimum is the steady-state cost
-    return min(_run_once(spark, name), _run_once(spark, name))
+    # best of 2 normally: the first run absorbs codegen/python-worker
+    # startup, the minimum is the steady-state cost. On a noisy host
+    # (shared-VM steal, GC stalls) a single stalled sample would read as a
+    # fake regression, so keep sampling (cap 4) until the two best samples
+    # agree within 30% — the reported number is then a corroborated
+    # steady-state minimum, not a lucky or unlucky draw.
+    samples = [_run_once(spark, name), _run_once(spark, name)]
+    while len(samples) < 4:
+        best_two = sorted(samples)[:2]
+        if best_two[1] <= 1.3 * best_two[0]:
+            break
+        samples.append(_run_once(spark, name))
+    return min(samples)
 
 
 def _previous_round_timings() -> tuple[str | None, dict[str, float]]:
