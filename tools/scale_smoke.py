@@ -23,6 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from url_counter_mapreduce_spark import QUERIES, get_spark  # noqa: E402
+from url_counter_mapreduce_spark.operators.pipeline import decontaminate_ngrams  # noqa: E402
+
+# df_cap=64: on the replicated corpus every source doc's shingles occur in
+# up to K sibling replicas per split — beyond 64 train docs a shingle is
+# boilerplate for this stress's purposes
+QUERIES = dict(QUERIES)
+QUERIES["decontaminate_capped"] = lambda spark, d: decontaminate_ngrams(spark, d, df_cap=64)
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTORS = [int(x) for x in os.environ.get("SCALE_FACTORS", "1,4,16").split(",")]
@@ -40,6 +47,12 @@ PIPELINES = [
     # operator is designed for: cost ∝ dup graph, not corpus).
     "dedup_groups",
     "merge_upsert",
+    # round-3: the decontamination shingle join. The K× replicas share all
+    # their 5-grams across splits by construction, so this doubles as the
+    # hot-shingle stress; decontaminate_capped shows the df_cap guard's
+    # effect on the same corpus.
+    "decontaminate_ngrams",
+    "decontaminate_capped",
 ]
 
 
