@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     # already timed via dedup_groups)
     "decontaminate_ngrams",
     "sample_stratified",
+    "url_topk_sketch",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

@@ -43,6 +43,9 @@ EQUIV_QUERIES = [
     # round-3: the decontamination shingle join — distinct-before-join under
     # different partition counts must not change the shared-window counts
     "decontaminate_ngrams",
+    # round-3: built-in watermark dedup — the surviving KEY SET must be
+    # identical whichever partition's duplicate arrives first
+    "stream_dedup_watermark",
 ]
 
 _CHILD = r"""

@@ -568,3 +568,20 @@ def test_decontaminate_df_cap_drops_boilerplate_keeps_genuine_overlap(spark):
     # c-window (its flanking windows mix in per-doc-unique tokens)
     assert capped[contaminated_test].n_shared_shingles == 1
     assert capped[contaminated_test].n_train_docs == 1
+
+
+def test_cms_estimates_dominate_exact_counts(spark, sf_dir):
+    """Count-min invariant: the sketch NEVER undercounts (every estimate
+    ≥ the true count), and at this vocabulary-to-width ratio (W=8192 >>
+    distinct tokens) collisions are rare enough that the top-1 heavy
+    hitter must agree with the exact flagship query."""
+    from url_counter_mapreduce_spark import QUERIES
+
+    exact = {r.token: r.cnt for r in QUERIES["url_count"](spark, sf_dir).collect()}
+    est_rows = QUERIES["url_topk_sketch"](spark, sf_dir).collect()
+    assert est_rows, "sketch produced no heavy hitters"
+    for r in est_rows:
+        assert r.est_cnt >= exact[r.token], (r.token, r.est_cnt, exact[r.token])
+    # top-1 agreement: the estimated heavy hitter carries the max exact count
+    max_cnt = max(exact.values())
+    assert exact[est_rows[0].token] == max_cnt

@@ -110,6 +110,8 @@ NORTH_STAR_SURFACE = [
     "decontaminate_ngrams",
     "sample_stratified",
     "split_leakage_safe",
+    "stream_dedup_watermark",
+    "url_topk_sketch",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

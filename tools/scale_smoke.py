@@ -25,11 +25,12 @@ from pyspark.sql import functions as F  # noqa: E402
 from url_counter_mapreduce_spark import QUERIES, get_spark  # noqa: E402
 from url_counter_mapreduce_spark.operators.pipeline import decontaminate_ngrams  # noqa: E402
 
-# df_cap=64: on the replicated corpus every source doc's shingles occur in
-# up to K sibling replicas per split — beyond 64 train docs a shingle is
-# boilerplate for this stress's purposes
+# df_cap=8: on the replicated corpus a source doc's shared windows occur in
+# ~0.8·K train-side replicas, so the cap stays inert at small factors and
+# kicks in at 16× (df≈13>8) — exactly the boilerplate-crossing-the-threshold
+# behavior the guard exists for
 QUERIES = dict(QUERIES)
-QUERIES["decontaminate_capped"] = lambda spark, d: decontaminate_ngrams(spark, d, df_cap=64)
+QUERIES["decontaminate_capped"] = lambda spark, d: decontaminate_ngrams(spark, d, df_cap=8)
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTORS = [int(x) for x in os.environ.get("SCALE_FACTORS", "1,4,16").split(",")]

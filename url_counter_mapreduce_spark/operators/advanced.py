@@ -267,3 +267,58 @@ def url_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = tokens.withColumn("salt", F.pmod(F.col("doc_id") + F.col("pos"), F.lit(16)))
     stage1 = salted.groupBy("token", "salt").agg(F.count(F.lit(1)).alias("c"))
     return stage1.groupBy("token").agg(F.sum("c").alias("cnt"))
+
+
+# Count-min sketch geometry: D independent md5-derived hash rows × W
+# buckets. W=8192 >> any bench vocabulary, so estimates are usually exact
+# here; the guarantee that matters at scale is ε=e/W overcount with
+# probability 1-(1/2)^D, in D·W counters of bounded memory.
+CMS_D = 4
+CMS_W = 8192
+
+
+def _cms_bucket(col_expr: str, j: int) -> str:
+    """Row-j CMS bucket of a token — md5-derived, so DuckDB reproduces the
+    sketch bit-for-bit (same cross-engine-hash trick as MinHash/SimHash)."""
+    return (
+        f"pmod(CAST(conv(substring(md5(concat('cms{j}:', {col_expr})), 1, 8),"
+        f" 16, 10) AS BIGINT), {CMS_W})"
+    )
+
+
+def url_topk_sketch(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Flagship top-K via a mergeable count-min sketch (Cormode &
+    Muthukrishnan, J. Algorithms 2005) — the bounded-memory path for when
+    the KEY SPACE itself is the problem: billions of distinct URLs make
+    the exact groupBy's hash table ∝ distinct keys per partition, while
+    the CMS is D×W counters (here 4×8192) per partition no matter how
+    many keys exist, merged by plain addition (partial aggregation IS the
+    sketch merge — Catalyst gives the map-side combine for free).
+
+    Two bounded passes: (1) tokens → (row, bucket) increments → groupBy
+    (j, bucket) builds the sketch; (2) candidate tokens probe the
+    BROADCAST sketch (D·W rows, always tiny) and take min over rows —
+    the CMS estimate, an overcount with probability ≤ (1/2)^D of
+    exceeding ε·N. Candidates here are the distinct keys so the oracle is
+    exact and deterministic; a 100 TB deployment feeds a pre-filtered
+    candidate stream (per-partition frequent items) instead and skips the
+    distinct entirely. Estimates are deterministic md5 arithmetic, so the
+    DuckDB oracle rebuilds the identical sketch — exact value match, not
+    a tolerance check."""
+    from . import core
+
+    toks = core.tokenized(spark, sf_dir)
+    rows = F.array(*[F.expr(_cms_bucket("token", j)) for j in range(CMS_D)])
+    sketch = (
+        toks.select(F.posexplode(rows).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = toks.distinct()
+    est = (
+        cand.select("token", F.posexplode(rows).alias("j", "bucket"))
+        .join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return est.orderBy(F.col("est_cnt").desc(), F.col("token").asc()).limit(k)

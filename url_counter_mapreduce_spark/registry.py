@@ -1288,6 +1288,14 @@ _register(
     """,
 )
 
+# built-in watermark-bounded streaming dedup: key-set output is
+# deterministic; single AvailableNow batch ⇒ equals batch SELECT DISTINCT
+_register(
+    "stream_dedup_watermark",
+    _stateful_v2.stream_dedup_watermark,
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+
 # foreachBatch dedup store: single AvailableNow batch ⇒ equals the batch
 # groupBy, so this streaming query carries an EXACT oracle
 _register(
@@ -1353,6 +1361,39 @@ _register(
     SELECT doc_id, lang FROM documents
     WHERE CAST('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
           < {_pipeline.SAMPLE_RATE_PCT}
+    """,
+)
+
+# DuckDB twin of the count-min sketch: identical md5 bucket arithmetic on
+# both engines ⇒ the sketch (and therefore every estimate) matches exactly
+from .operators.advanced import CMS_D as _CMS_D  # noqa: E402
+from .operators.advanced import CMS_W as _CMS_W  # noqa: E402
+
+_CMS_BUCKET_SQL = (
+    "CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || token), 1, 8)"
+    f" AS BIGINT) % {_CMS_W}"
+)
+
+_register(
+    "url_topk_sketch",
+    advanced.url_topk_sketch,
+    _TOKENS_CTE
+    + f"""
+    , hash_rows AS (SELECT unnest(range(0, {_CMS_D})) AS j)
+    , increments AS (
+        SELECT j, {_CMS_BUCKET_SQL} AS bucket FROM tokens, hash_rows
+    ), sketch AS (
+        SELECT j, bucket, COUNT(*) AS c FROM increments GROUP BY j, bucket
+    ), cand AS (
+        SELECT DISTINCT token FROM tokens
+    ), probes AS (
+        SELECT token, j, {_CMS_BUCKET_SQL} AS bucket FROM cand, hash_rows
+    ), est AS (
+        SELECT p.token, MIN(s.c) AS est_cnt
+        FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+        GROUP BY p.token
+    )
+    SELECT token, est_cnt FROM est ORDER BY est_cnt DESC, token ASC LIMIT 100
     """,
 )
 

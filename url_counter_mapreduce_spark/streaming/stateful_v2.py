@@ -111,3 +111,36 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in state-BOUNDED streaming dedup: dropDuplicatesWithinWatermark
+    on (user_id, event_type) over the events stream. Contrast with the
+    custom keepers above: here the engine itself evicts a key's state once
+    the watermark passes its event time + delay, so state size is
+    ∝ distinct keys per delay window rather than stream history — the
+    correct default for an unbounded 100 TB event stream (the custom
+    transformWithState keeper needs an explicit TTL for the same bound).
+
+    Which duplicate ROW survives is arrival-order-racy, so the operator
+    projects ONLY the dedup key columns — the surviving key SET is
+    deterministic, and under a single AvailableNow micro-batch equals
+    batch SELECT DISTINCT: exact DuckDB oracle."""
+    from .event_count import _events_stream
+
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    sink = "stream_dedup_watermark_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
