@@ -585,3 +585,36 @@ def test_cms_estimates_dominate_exact_counts(spark, sf_dir):
     # top-1 agreement: the estimated heavy hitter carries the max exact count
     max_cnt = max(exact.values())
     assert exact[est_rows[0].token] == max_cnt
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """The large-star/small-star variant must produce exactly the same
+    clustering as the default pointer-halving label propagation on shapes
+    that stress different regimes: a long chain (worst case for plain
+    propagation), cliques (the near-dup common case), isolated nodes, and
+    a seeded random graph."""
+    import random
+
+    from url_counter_mapreduce_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 130)]          # 31-chain
+    edges += [(a, b) for a in range(200, 210) for b in range(a + 1, 210)]  # 10-clique
+    edges += [(300 + rng.randrange(40), 300 + rng.randrange(40)) for _ in range(60)]
+    node_ids = sorted({x for e in edges for x in e} | set(range(400, 410)))  # + isolated
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id long")
+    edf = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]], "doc_a long, doc_b long"
+    )
+
+    base = {r.doc_id: int(r.group_id) for r in connected_components(nodes, edf).collect()}
+    star = {r.doc_id: int(r.group_id) for r in connected_components_star(nodes, edf).collect()}
+    assert base == star
+    # sanity on the shapes themselves
+    assert base[130] == 100 and base[209] == 200
+    for i in range(400, 410):
+        assert base[i] == i

@@ -53,6 +53,25 @@ def main() -> None:
     print(f"carry  (shingles ride the band shuffle): {carry:.3f}s")
     print(f"rejoin (id-only bands + 2 shingle joins): {rejoin:.3f}s")
     print(f"winner: {'carry' if carry <= rejoin else 'rejoin'}")
+
+    # 2. connected components: pointer-halving label propagation (default)
+    # vs alternating large-star/small-star (Kiveris SoCC'14). Same edges
+    # (the corpus' verified near-dup pairs), identical output asserted.
+    from url_counter_mapreduce_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = docs.select("doc_id")
+    edges = dedup.verified_jaccard_pairs(docs, 0.5).select("doc_a", "doc_b").localCheckpoint()
+    prop = timed(lambda: connected_components(nodes, edges))
+    star = timed(lambda: connected_components_star(nodes, edges))
+    ga = sorted((r.doc_id, int(r.group_id)) for r in connected_components(nodes, edges).collect())
+    gb = sorted((r.doc_id, int(r.group_id)) for r in connected_components_star(nodes, edges).collect())
+    assert ga == gb, "CC variants disagree"
+    print(f"cc propagation (pointer-halving): {prop:.3f}s")
+    print(f"cc star (large/small alternation): {star:.3f}s")
+    print(f"winner: {'propagation' if prop <= star else 'star'}")
     spark.stop()
 
 
