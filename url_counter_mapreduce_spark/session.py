@@ -43,9 +43,6 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet is TIMESTAMP(NANOS); read the raw int64 nanos
-        # (tables.load_table truncates to micros, matching DuckDB)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
@@ -67,9 +64,9 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    # events.parquet is TIMESTAMP(NANOS); tables.load_table requires this
-    # (set here, once per session — never mutated inside a query builder)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # (events.parquet's TIMESTAMP(NANOS) column needs no conf: tables.
+    # load_table branches on the observed ts dtype, covering both the
+    # native NTZ read of Spark >= 4.1 and legacy nanosAsLong sessions)
     # InferFiltersFromGenerate synthesizes size(e)>0 pre-filters for every
     # explode; with computed arrays (shingles, token lists) the filter
     # inlines the whole array expression below the exchange and re-evaluates

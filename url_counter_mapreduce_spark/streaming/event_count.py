@@ -52,22 +52,25 @@ def _stream_dir(sf_dir: str) -> str:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file streaming source needs an explicit schema; ts is TIMESTAMP(NANOS)
-    # in the parquet (FIXTURES.md) → read as long, truncate to micros, same
-    # as the batch loader (tables.load_table).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # in the parquet (FIXTURES.md). Match the batch loader
+    # (tables.load_table): declare whatever dtype this runtime's parquet
+    # reader surfaces for the column — TIMESTAMP_NTZ truncated to micros on
+    # Spark >= 4.1, int64 nanos on legacy nanosAsLong sessions — and
+    # normalize to TimestampType (session tz is pinned UTC).
+    ts_type = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema["ts"].dataType
     schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),
+            StructField("ts", ts_type),
             StructField("user_id", LongType()),
         ]
     ).add("event_type", "string").add("value", "double").add("props", "string")
-    return (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .load(_stream_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(schema).format("parquet").load(_stream_dir(sf_dir))
+    if isinstance(ts_type, LongType):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,20 +47,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark's
-        # TimestampType (micros) cannot read natively ([PARQUET_TYPE_ILLEGAL]).
-        # Read the raw int64 nanos and truncate to micros — exactly what
-        # DuckDB (the oracle) does when it maps NANOS → TIMESTAMP(us).
-        # The required ``nanosAsLong`` conf is applied by ``session.prep``
-        # (every registry wrapper and entry point calls it) — a query
-        # builder must not mutate session state itself.
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            raise RuntimeError(
-                "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true; "
-                "call url_counter_mapreduce_spark.session.prep(spark) first"
-            )
+        # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md). How Spark
+        # surfaces that column depends on the runtime: Spark >= 4.1 reads it
+        # natively as TIMESTAMP_NTZ truncated to micros (verified identical
+        # to DuckDB's NANOS → TIMESTAMP(us) truncation); older runtimes — or
+        # any externally-created session with the static
+        # spark.sql.legacy.parquet.nanosAsLong conf — surface the raw int64
+        # nanos. Branch on the OBSERVED dtype rather than on session conf so
+        # every caller (driver harness included) gets the same TimestampType
+        # (LTZ; session tz is pinned UTC) whatever its session settings.
+        from pyspark.sql.types import LongType, TimestampNTZType
+
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
