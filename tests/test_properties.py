@@ -272,6 +272,29 @@ def test_connected_components_long_chain(spark):
     assert labels == {i: 0 for i in range(n)}
 
 
+def test_connected_components_strategies_agree(spark):
+    """The driver union-find fast path (edge count ≤ threshold) and the
+    distributed propagation loop (forced via collect_max_edges=0) are two
+    physical strategies for ONE contract: identical labels on a mixed
+    graph of chains, a triangle-with-tail, and singletons."""
+    from url_counter_mapreduce_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    raw = (
+        [(i, i + 1) for i in range(0, 9)]          # 10-chain
+        + [(20, 21), (21, 22), (20, 22), (22, 23)]  # triangle + tail
+        + [(25, 27)]
+    )
+    edges = spark.createDataFrame(raw, "doc_a long, doc_b long")
+    local = {r.doc_id: r.group_id for r in connected_components(nodes, edges).collect()}
+    dist = {
+        r.doc_id: r.group_id
+        for r in connected_components(nodes, edges, collect_max_edges=0).collect()
+    }
+    assert local == dist
+    assert local[23] == 20 and local[9] == 0 and local[27] == 25 and local[29] == 29
+
+
 def test_dedup_groups_cluster_injected_dups(spark):
     """End-to-end cluster resolution on injected duplicates: the exact dup,
     its near dup, and the original collapse into one group; the unrelated

@@ -307,7 +307,12 @@ def url_topk_sketch(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame
     a tolerance check."""
     from . import core
 
-    toks = core.tokenized(spark, sf_dir)
+    # one tokenize pass feeds BOTH the sketch build and the candidate
+    # probe (non-eager checkpoint: materialized by the first job, reused
+    # by the second) — without it each branch re-scans and re-splits the
+    # corpus. At 100 TB this materialization is the same "token stream as
+    # shared intermediate" a production frequent-items pass persists.
+    toks = core.tokenized(spark, sf_dir).localCheckpoint(eager=False)
     rows = F.array(*[F.expr(_cms_bucket("token", j)) for j in range(CMS_D)])
     sketch = (
         toks.select(F.posexplode(rows).alias("j", "bucket"))

@@ -163,6 +163,44 @@ def _signatures_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SIG_CACHE[key]
 
 
+# (applicationId, sf_dir, threshold, bucket_cap) → persisted verified-pair
+# table. The verified dup-pair set is the OTHER shared artifact of a
+# production dedup pipeline (pair mining feeds the pair report, cluster
+# resolution, AND the leakage-safe split — each would otherwise re-run the
+# band join + Jaccard verify). Same bounded-FIFO discipline as _SIG_CACHE.
+_PAIRS_CACHE: dict = {}
+_PAIRS_CACHE_MAX = 4
+
+
+def clear_pairs_cache() -> None:
+    """Unpersist and drop every cached verified-pair table."""
+    while _PAIRS_CACHE:
+        _, pairs = _PAIRS_CACHE.popitem()
+        try:
+            pairs.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
+def _verified_pairs_for(
+    spark: SparkSession, sf_dir: str, threshold: float, bucket_cap: int | None = None
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, threshold, bucket_cap)
+    if key not in _PAIRS_CACHE:
+        while len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
+            oldest = next(iter(_PAIRS_CACHE))
+            try:
+                _PAIRS_CACHE.pop(oldest).unpersist()
+            except Exception:
+                pass
+        pairs = _verified_pairs_from_sigs(
+            _signatures_for(spark, sf_dir), threshold, bucket_cap=bucket_cap
+        ).persist()
+        pairs.count()  # materialize once
+        _PAIRS_CACHE[key] = pairs
+    return _PAIRS_CACHE[key]
+
+
 def _band_keys(sigs: DataFrame, carry: list[str]) -> DataFrame:
     bands = sigs.select(
         "doc_id",
@@ -365,9 +403,7 @@ def dedup_minhash_pairs(
 
     ``bucket_cap`` (default off — oracles are exact) enables the LSH
     bucket-size skew guard; see verified_jaccard_pairs_rejoin."""
-    return _verified_pairs_from_sigs(
-        _signatures_for(spark, sf_dir), 0.5, bucket_cap=bucket_cap
-    )
+    return _verified_pairs_for(spark, sf_dir, 0.5, bucket_cap=bucket_cap)
 
 
 # --------------------------------------------------------------------------

@@ -29,39 +29,114 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .dedup import _signatures_for, _verified_pairs_from_sigs
+from .dedup import _verified_pairs_for
 
 # with pointer halving each round roughly halves remaining path lengths:
 # 50 rounds covers components of astronomically large diameter; hitting the
 # cap indicates a genuine bug, not long input chains
 MAX_CC_ITERS = 50
 
+# Edge sets at or under this size are resolved with a driver-side
+# union-find instead of the iterative DataFrame loop — the connected-
+# components analog of the broadcast-join threshold. 1M (doc_a, doc_b)
+# long pairs is ~16 MB on the driver; the union-find with path
+# compression is effectively linear, and the resulting label table
+# broadcasts back for the singleton-attach join. A verified near-dup
+# graph is shuffle/collect ∝ DUPLICATE PAIRS, not corpus size, so even
+# 100 TB corpora commonly fit this path; boilerplate-heavy corpora that
+# blow past it fall through to the distributed propagation loop, whose
+# per-round cost stays ∝ the edge set.
+CC_COLLECT_MAX_EDGES = 1_000_000
 
-def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+
+def _unionfind_labels(pairs: list) -> dict:
+    """Union-find with path compression over (a, b) pairs; roots are the
+    component minima by construction (the smaller root absorbs the larger),
+    matching the distributed loop's min-label fixpoint exactly."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for ab in pairs for x in ab}
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, collect_max_edges: int = CC_COLLECT_MAX_EDGES
+) -> DataFrame:
     """(doc_id) nodes + (doc_a, doc_b) undirected edges → (doc_id, group_id)
     where group_id = min doc_id reachable. Singletons keep their own id.
 
-    The propagation loop runs ONLY over nodes that appear in an edge: on a
-    real corpus the dup graph is orders of magnitude smaller than the node
-    set, so iterating over all nodes would shuffle the whole corpus once
-    per round for no reason. Singletons are attached at the end with one
-    left join + coalesce (their label is trivially their own id)."""
+    Two physical strategies behind one contract, chosen by the MEASURED
+    edge count (one cheap count on the checkpointed edge set):
+    - edge set ≤ ``collect_max_edges``: driver union-find + broadcast-back
+      (see CC_COLLECT_MAX_EDGES) — a handful of milliseconds where the
+      iterative loop pays many shuffle stages of fixed overhead.
+    - larger: iterative min-label propagation with pointer halving. The
+      loop runs ONLY over nodes that appear in an edge: on a real corpus
+      the dup graph is orders of magnitude smaller than the node set, so
+      iterating over all nodes would shuffle the whole corpus once per
+      round for no reason.
+    Singletons are attached at the end with one left join + coalesce
+    (their label is trivially their own id)."""
+    edges = edges.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    if edges.count() <= collect_max_edges:
+        lbl = _unionfind_labels([(r["doc_a"], r["doc_b"]) for r in edges.collect()])
+        spark = nodes.sparkSession
+        import pandas as pd
+
+        labels = spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": list(lbl), "group_id": list(lbl.values())}, dtype="int64"
+            )
+            if lbl
+            else pd.DataFrame({"doc_id": [], "group_id": []}, dtype="int64"),
+            schema="doc_id long, group_id long",
+        )
+        return (
+            nodes.select("doc_id")
+            .join(
+                F.broadcast(labels.withColumnRenamed("doc_id", "_lbl_id")),
+                nodes.doc_id == F.col("_lbl_id"),
+                "left",
+            )
+            .select("doc_id", F.coalesce("group_id", F.col("doc_id")).alias("group_id"))
+        )
+    return _connected_components_distributed(nodes, edges)
+
+
+def _connected_components_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Iterative min-label propagation with pointer halving — the scale
+    path behind connected_components for edge sets too large to collect."""
     sym = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    sym = sym.persist()
     touched = sym.select(F.col("src").alias("doc_id")).distinct()
-    labels = touched.select("doc_id", F.col("doc_id").alias("group_id")).localCheckpoint()
+    # self-loop per touched node folds the node's OWN label into the
+    # neighborhood min, so each round's new label is one aggregate over the
+    # edge relation — no separate "least(own, neighbor-min)" left join
+    symplus = sym.union(
+        touched.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    ).localCheckpoint()
+    labels = touched.select("doc_id", F.col("doc_id").alias("group_id"))
+    prev_sig: tuple | None = None
     for _ in range(MAX_CC_ITERS):
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.doc_id)
+        stepped = (
+            symplus.join(labels, symplus.dst == labels.doc_id)
             .groupBy("src")
-            .agg(F.min("group_id").alias("nbr_gid"))
-        )
-        stepped = labels.join(nbr_min, labels.doc_id == nbr_min.src, "left").select(
-            "doc_id",
-            F.col("group_id").alias("old_gid"),
-            F.least(F.col("group_id"), F.coalesce("nbr_gid", F.col("group_id"))).alias("gid"),
+            .agg(F.min("group_id").alias("gid"))
+            .withColumnRenamed("src", "doc_id")
         )
         # pointer halving: label(v) ← min(label(v), label(label(v))) — labels
         # chase their own parents one hop per round, so a length-d dup chain
@@ -71,19 +146,26 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         parents = stepped.select(F.col("doc_id").alias("p_id"), F.col("gid").alias("p_gid"))
         halved = stepped.join(parents, F.col("gid") == F.col("p_id"), "left").select(
             "doc_id",
-            "old_gid",
-            F.least(F.col("gid"), F.coalesce("p_gid", F.col("gid"))).alias("new_gid"),
+            F.least(F.col("gid"), F.coalesce("p_gid", F.col("gid"))).alias("group_id"),
         )
-        # checkpoint BEFORE the convergence count so the joins execute once;
-        # the count then reads the materialized blocks
-        halved = halved.localCheckpoint()
-        changed = halved.filter(F.col("new_gid") != F.col("old_gid")).count()
-        labels = halved.select("doc_id", F.col("new_gid").alias("group_id"))
-        if changed == 0:
+        # non-eager checkpoint: the convergence aggregate below is the ONLY
+        # action per round — it materializes this round's labels (truncating
+        # lineage for the next round) and reads the convergence signature in
+        # the same job, vs. the two jobs of an eager checkpoint + count.
+        labels = halved.localCheckpoint(eager=False)
+        # labels are monotone non-increasing (the neighborhood min includes
+        # self), so Σ(group_id) strictly decreases whenever ANY node changed:
+        # an unchanged (count, sum) pair across a round proves the fixpoint —
+        # no old-vs-new comparison column, no extra count job
+        row = labels.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("group_id").alias("s")
+        ).first()
+        sig = (row["n"], row["s"])
+        if sig == prev_sig:
             break
+        prev_sig = sig
     else:
         raise RuntimeError(f"connected_components did not converge in {MAX_CC_ITERS} rounds")
-    sym.unpersist()
     return (
         nodes.select("doc_id")
         .join(labels.withColumnRenamed("doc_id", "_lbl_id"), nodes.doc_id == F.col("_lbl_id"), "left")
@@ -105,9 +187,9 @@ def dedup_groups(
     prunes edges WITHIN oversize buckets, and cluster membership survives
     as long as any small-bucket path connects the docs."""
     docs = load_table(spark, sf_dir, "documents")
-    edges = _verified_pairs_from_sigs(
-        _signatures_for(spark, sf_dir), 0.5, bucket_cap=bucket_cap
-    ).select("doc_a", "doc_b")
+    edges = _verified_pairs_for(spark, sf_dir, 0.5, bucket_cap=bucket_cap).select(
+        "doc_a", "doc_b"
+    )
     return connected_components(docs.select("doc_id"), edges)
 
 
