@@ -73,6 +73,14 @@ BENCH_QUERIES = [
     "decontaminate_ngrams",
     "sample_stratified",
     "url_topk_sketch",
+    # round-4 pipeline surface
+    "quality_gopher",
+    "url_host_stats",
+    "mix_sources",
+    "ann_recall",
+    "lm_bigram_quality",
+    "similarity_lsh_multiprobe",
+    "sink_compacted_parquet",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

@@ -30,3 +30,53 @@ def test_tokenizer_matches_reference_semantics(spark, lines):
         golden = Counter()
     got = Counter(r.url for r in tokenize_urls(df).collect())
     assert got == golden
+
+
+def _gopher_reference(text: str):
+    """Direct Python implementation of quality_gopher's n-gram metrics."""
+    toks = [t for t in text.split(" ") if t != ""]
+    n_chars = len(text)
+    out = {"top2": 0.0, "dup3": 0.0}
+    if len(toks) >= 2 and n_chars:
+        bigrams = Counter(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+        # tie-break: highest count, then lexicographically smallest gram
+        best = sorted(bigrams.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out["top2"] = int(best[1] * len(best[0]) / n_chars * 1e6 + 0.5) / 1e6
+    if len(toks) >= 3 and n_chars:
+        trigrams = Counter(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+        dup_chars = sum((c - 1) * len(g) for g, c in trigrams.items())
+        out["dup3"] = int(dup_chars / n_chars * 1e6 + 0.5) / 1e6
+    return out
+
+
+token = st.text(alphabet="abcdexyz", min_size=1, max_size=4)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(token, min_size=0, max_size=12), min_size=1, max_size=4))
+def test_gopher_ngram_metrics_match_python_reference(spark, docs_tokens):
+    """quality_gopher's repetition fractions must equal a direct Python
+    implementation on arbitrary small token corpora (small alphabet so
+    duplicate n-grams actually occur)."""
+    from pytest import approx
+
+    from url_counter_mapreduce_spark.operators import text as text_ops
+
+    rows = []
+    for i, toks in enumerate(docs_tokens):
+        t = " ".join(toks)
+        rows.append((i, t, "en", "s0", len(t)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import unittest.mock as mock
+
+    with mock.patch(
+        "url_counter_mapreduce_spark.operators.text.load_table",
+        lambda _s, _d, _n: docs,
+    ):
+        got = {r["doc_id"]: r.asDict() for r in text_ops.quality_gopher(spark, "x").collect()}
+    for i, toks in enumerate(docs_tokens):
+        ref = _gopher_reference(" ".join(toks))
+        assert got[i]["top_bigram_char_frac"] == approx(ref["top2"], abs=2e-6), (i, toks)
+        assert got[i]["dup_trigram_char_frac"] == approx(ref["dup3"], abs=2e-6), (i, toks)

@@ -641,3 +641,195 @@ def test_star_cc_matches_label_propagation(spark):
     assert base[130] == 100 and base[209] == 200
     for i in range(400, 410):
         assert base[i] == i
+
+
+def test_quality_gopher_flags_repetitive_doc(spark, monkeypatch):
+    """Gopher rule battery on synthetic extremes: a clean 60-word doc
+    passes; a doc that is one trigram repeated 40 times fails on the
+    repetition fractions; a 3-word doc fails the word-count bound."""
+    from url_counter_mapreduce_spark.operators import text as text_ops
+
+    clean_words = [f"word{i:02d}" for i in range(60)]
+    clean = " ".join(clean_words)
+    loop = " ".join(["spam ham eggs"] * 40)
+    tiny = "too few words"
+    rows = [
+        (1, clean, "en", "s0", len(clean)),
+        (2, loop, "en", "s0", len(loop)),
+        (3, tiny, "en", "s0", len(tiny)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        "url_counter_mapreduce_spark.operators.text.load_table",
+        lambda _s, _d, _n: docs,
+    )
+    out = {r["doc_id"]: r.asDict() for r in text_ops.quality_gopher(spark, "x").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False
+    assert out[2]["dup_trigram_char_frac"] > text_ops.GOPHER_MAX_DUP3_FRAC
+    assert out[2]["top_bigram_char_frac"] > text_ops.GOPHER_MAX_TOP2_FRAC
+    assert out[3]["keep"] is False and out[3]["n_words"] == 3
+
+
+def test_url_host_stats_extracts_hosts_and_blocks(spark, monkeypatch):
+    """Host extraction on real URL-shaped tokens (the reference's fixture
+    format): scheme/www/path/port stripped, counts aggregated per host,
+    blocklisted hosts absent."""
+    from url_counter_mapreduce_spark.operators import text as text_ops
+
+    text_val = (
+        "https://xxx.com/a https://www.xxx.com/b http://yyy.org:8080/c?q=1 "
+        "yyy.org/page zzz.net THE plain"
+    )
+    docs = spark.createDataFrame(
+        [(1, text_val, "en", "s0", len(text_val))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(
+        "url_counter_mapreduce_spark.operators.core.load_table",
+        lambda _s, _d, _n: docs,
+    )
+    out = {r["host"]: (r["n_urls"], r["n_distinct_urls"]) for r in
+           text_ops.url_host_stats(spark, "x").collect()}
+    assert out["xxx.com"] == (2, 2)       # scheme + www variants, one host
+    assert out["yyy.org"] == (2, 2)       # port/path/query stripped
+    assert out["zzz.net"] == (1, 1)
+    assert "the" not in out               # blocklisted (lowercased)
+    assert out["plain"] == (1, 1)         # non-URL token falls back to itself
+
+
+def test_mix_sources_hits_target_proportions(spark, sf_dir):
+    """Kept mixture must (a) keep every doc of the binding language and
+    (b) land within sampling tolerance of the target proportions."""
+    from url_counter_mapreduce_spark.operators.pipeline import (
+        MIX_TARGET_WEIGHTS,
+        mix_sources,
+    )
+    from url_counter_mapreduce_spark.tables import load_table
+
+    kept = mix_sources(spark, sf_dir).groupBy("lang").count().collect()
+    kept = {r["lang"]: r["count"] for r in kept}
+    total = sum(kept.values())
+    orig = {
+        r["lang"]: r["count"]
+        for r in load_table(spark, sf_dir, "documents").groupBy("lang").count().collect()
+    }
+    weights = {l: MIX_TARGET_WEIGHTS.get(l, 0.1875) for l in orig}
+    binding = min(orig, key=lambda l: orig[l] / weights[l])
+    assert kept[binding] == orig[binding], "binding language must keep every row"
+    for lang, n in kept.items():
+        # md5-bucket sampling is binomial-ish; allow a generous tolerance
+        assert abs(n / total - weights[lang]) < 0.12, (lang, n / total, weights[lang])
+
+
+def test_ann_recall_bounds_and_exact_on_full_buckets(spark, sf_dir):
+    """recall ∈ [0, 1], n_hits ≤ n_exact, and every LSH hit that IS in the
+    exact top-3 is counted (cross-check against the two source queries)."""
+    from url_counter_mapreduce_spark.operators.similarity import (
+        ann_recall,
+        similarity_lsh,
+        similarity_topk,
+    )
+
+    rec = {r["qid"]: r.asDict() for r in ann_recall(spark, sf_dir).collect()}
+    exact = similarity_topk(spark, sf_dir).filter("rank <= 3").collect()
+    approx = similarity_lsh(spark, sf_dir).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["qid"], set()).add(r["vid"])
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["qid"], set()).add(r["vid"])
+    for qid, row in rec.items():
+        assert 0.0 <= row["recall"] <= 1.0
+        assert row["n_hits"] <= row["n_exact"]
+        assert row["n_hits"] == len(ex.get(qid, set()) & ap.get(qid, set()))
+
+
+def test_lm_bigram_quality_orders_predictable_above_novel(spark, monkeypatch):
+    """Self-trained bigram LM: a document made of corpus-typical bigrams
+    (low perplexity) must outscore a document of corpus-unique bigrams
+    (high perplexity); probabilities are valid; bigram counts conserve."""
+    from url_counter_mapreduce_spark.operators import text as text_ops
+
+    predictable = " ".join(["alpha beta"] * 15)          # one dominant bigram
+    novel = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"            # 9 unique bigrams
+    rows = [
+        (1, predictable, "en", "s0", len(predictable)),
+        (2, predictable, "en", "s0", len(predictable)),  # reinforces the LM
+        (3, novel, "en", "s0", len(novel)),
+        (4, "solo", "en", "s0", 4),                      # <2 tokens → no bigrams
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        "url_counter_mapreduce_spark.tables.load_table",
+        lambda _s, _d, _n: docs,
+    )
+    out = {r["doc_id"]: r.asDict() for r in text_ops.lm_bigram_quality(spark, "x").collect()}
+    assert out[1]["mean_cond_prob"] > out[3]["mean_cond_prob"]
+    for did in (1, 2, 3):
+        assert 0.0 < out[did]["mean_cond_prob"] <= 1.0
+        assert out[did]["n_bigrams"] == (29 if did in (1, 2) else 9)
+    assert out[4]["n_bigrams"] == 0 and out[4]["mean_cond_prob"] == 0.0
+
+
+def test_ivf_pq_recall_and_adc_error_on_clustered_data(spark):
+    """IVF-PQ on clustered data: the exact re-rank must recover the
+    brute-force top-3 at high recall (PQ error only gates which candidates
+    reach exact scoring), and the ADC approximation must track the exact
+    cosine for the returned pairs."""
+    from url_counter_mapreduce_spark.functions.vector import cosine_expr
+    from url_counter_mapreduce_spark.operators.similarity import ivf_pq_topk
+
+    emb = _clustered_embeddings(spark)
+    # rerank=32: cluster members are near-ties (cosine 0.95-0.99 within
+    # ~0.02 ADC error), so a 12-candidate budget can't order them — recall
+    # under a given budget is the PQ tradeoff knob, not a correctness bug
+    pq = ivf_pq_topk(emb, n_queries=8, k=3, n_cells=5, nprobe=2, rerank=32, iters=3).collect()
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")).filter("qid < 8")
+    b = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve"))
+    scored = (
+        a.join(b)
+        .filter("qid != vid")
+        .select("qid", "vid", F.round(F.expr(cosine_expr("qe", "ve")), 6).alias("c"))
+        .collect()
+    )
+    top3 = {}
+    for r in scored:
+        top3.setdefault(r.qid, []).append((r.c, r.vid))
+    hits = total = 0
+    for qid, sc in top3.items():
+        best3 = {v for _, v in sorted(sc, key=lambda t: (-t[0], t[1]))[:3]}
+        got = {r.vid for r in pq if r.qid == qid}
+        hits += len(best3 & got)
+        total += len(best3)
+    assert hits / total >= 0.8, f"IVF-PQ recall@3 on clustered data: {hits}/{total}"
+    # returned exact cosines must be genuinely high-similarity (cluster
+    # members) and the ADC estimate must land in the same neighborhood
+    for r in pq:
+        assert r["cosine"] > 0.5, r
+        assert abs(r["cosine"] - r["approx_cosine"]) < 0.35, r
+
+
+def test_multiprobe_lsh_dominates_single_probe(spark, sf_dir):
+    """Multi-probe searches a strict superset of buckets, so per query its
+    rank-r cosine must be >= single-probe's rank-r cosine, and every
+    single-probe hit set is contained in the multi-probe candidate pool's
+    reachable buckets (Hamming <= 1 flips include distance 0)."""
+    from url_counter_mapreduce_spark import QUERIES
+
+    single = {}
+    for r in QUERIES["similarity_lsh"](spark, sf_dir).collect():
+        single.setdefault(r["qid"], []).append((r["rank"], r["cosine"]))
+    multi = {}
+    for r in QUERIES["similarity_lsh_multiprobe"](spark, sf_dir).collect():
+        multi.setdefault(r["qid"], []).append((r["rank"], r["cosine"]))
+    assert set(single) <= set(multi)
+    for qid, srows in single.items():
+        mr = dict(multi[qid])
+        for rank, cos in srows:
+            assert rank in mr and mr[rank] >= cos, (qid, rank, mr.get(rank), cos)

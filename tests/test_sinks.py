@@ -52,3 +52,26 @@ def test_text_sink_format(spark, sf_dir, tmp_path):
     lines = {r.value for r in spark.read.text(out).collect()}
     expect = {f"{t}: {c}" for t, c in _as_set(_counts(spark, sf_dir))}
     assert lines == expect
+
+
+def test_compaction_collapses_files_and_preserves_content(spark, sf_dir, tmp_path):
+    """Small-file compaction: 64 shards in, ~target-byte files out, zero
+    content drift (row count + per-row signature set identical)."""
+    from url_counter_mapreduce_spark.sources.compact import (
+        _dir_bytes_and_files,
+        compact_dataset,
+    )
+    from url_counter_mapreduce_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    docs.repartition(64).write.mode("overwrite").parquet(src)
+    _bytes, n_before = _dir_bytes_and_files(src)
+    n_out = compact_dataset(spark, src, dst, target_bytes=4 * 1024 * 1024)
+    _bytes2, n_after = _dir_bytes_and_files(dst)
+    assert n_before == 64
+    assert n_after == n_out < n_before
+    before = {tuple(r) for r in spark.read.parquet(src).collect()}
+    after = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert before == after

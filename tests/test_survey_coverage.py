@@ -112,6 +112,16 @@ NORTH_STAR_SURFACE = [
     "split_leakage_safe",
     "stream_dedup_watermark",
     "url_topk_sketch",
+    # round-4 additions: Gopher rule battery, URL/domain curation, mixture
+    # resampling, ANN recall evaluation
+    "quality_gopher",
+    "url_host_stats",
+    "mix_sources",
+    "ann_recall",
+    "lm_bigram_quality",
+    "similarity_ivf_pq",
+    "similarity_lsh_multiprobe",
+    "sink_compacted_parquet",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design
@@ -119,6 +129,7 @@ ROWS_ONLY_BY_DESIGN = {
     "approx_distinct_users",  # HLL sketch values are engine-specific
     "multimodal_decode",  # Python-side stub decode
     "similarity_ivf",  # centroid-cell assignment feeds ranking
+    "similarity_ivf_pq",  # iterative codebook training (same contract as IVF)
     "stream_event_count",
     "stream_sessionize",
     "stream_user_stats",

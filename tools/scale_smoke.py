@@ -54,6 +54,13 @@ PIPELINES = [
     # effect on the same corpus.
     "decontaminate_ngrams",
     "decontaminate_capped",
+    # round-4: the two new n-gram-aggregate shapes — the Gopher rule
+    # battery (two per-doc n-gram aggregates + re-joins) and the bigram-LM
+    # scorer (corpus-wide model counts joined back per occurrence; the
+    # bigram join output grows with corpus size, the model tables with
+    # vocabulary²-ish — sub-linear growth expected once past overhead)
+    "quality_gopher",
+    "lm_bigram_quality",
 ]
 
 

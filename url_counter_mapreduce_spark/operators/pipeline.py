@@ -101,9 +101,13 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     final plan share one computation of the upstream token count."""
     docs = load_table(spark, sf_dir, "documents")
     counts = _token_counts(docs).filter(F.col("cnt") >= VOCAB_MIN_COUNT)
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    # no explicit partition count: REPARTITION_BY_COL lets AQE right-size
+    # the range exchange (coalescing a toy vocabulary to one partition,
+    # fanning a URL-scale distinct-key set out to shuffle.partitions).
+    # AQE only ever merges ADJACENT range partitions, so pid order still
+    # equals global sort order and the offset arithmetic below is unchanged.
     ranged = (
-        counts.repartitionByRange(n_parts, F.col("cnt").desc(), F.col("token").asc())
+        counts.repartitionByRange(F.col("cnt").desc(), F.col("token").asc())
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint()
     )
@@ -510,6 +514,57 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.expr(f"{_SAMPLE_BUCKET} < {SAMPLE_RATE_PCT}")
     ).select("doc_id", "lang")
+
+
+# Target mixture proportions for mix_sources. Exact binary fractions
+# (0.25 = 2^-2, 0.1875 = 3·2^-4) so every rate computation below is the
+# same IEEE double arithmetic in Python, Spark, and DuckDB — the floored
+# integer thresholds cannot diverge between the engines.
+MIX_TARGET_WEIGHTS = {"en": 0.25, "de": 0.1875, "es": 0.1875, "fr": 0.1875, "zh": 0.1875}
+_MIX_DEFAULT_WEIGHT = 0.1875
+# salted so the mixing hash is independent of both the split decile and the
+# stratified-sampling hash
+_MIX_BUCKET = (
+    "pmod(CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8),"
+    " 16, 10) AS BIGINT), 1000000)"
+)
+
+
+def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling: downsample each language stratum so
+    the KEPT corpus hits the target mixture proportions (MIX_TARGET_WEIGHTS)
+    at the largest achievable size — the data-mixing step that turns raw
+    crawl proportions into a training recipe (the published pipelines all
+    do this; DoReMi-style learned weights just swap the target vector).
+
+    Mechanics: per-language keep rate r_l = s·w_l / n_l with
+    s = min_l(n_l / w_l) — the binding language keeps everything, every
+    other language downsamples to proportion. Keep decisions are a salted
+    content-independent md5 bucket under the floored millionth-precision
+    threshold, so every engine/run/shard keeps exactly the same rows (no
+    RNG state). The per-language counts come from one tiny aggregate
+    (driver-collected, ∝ #languages); thresholds are embedded as a literal
+    CASE so the plan itself is a pure map-side filter — zero shuffle at
+    any scale. The oracle re-derives the same thresholds in SQL with the
+    identical expression order, so even the floating-point floor agrees."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return docs.select("doc_id", "lang")
+    weights = {l: MIX_TARGET_WEIGHTS.get(l, _MIX_DEFAULT_WEIGHT) for l in counts}
+    s = min(counts[l] / weights[l] for l in counts)
+    thr = {
+        l: int(math.floor(s * weights[l] / counts[l] * 1e6)) for l in sorted(counts)
+    }
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{l}' THEN {t}" for l, t in thr.items()
+    ) + " ELSE 0 END"
+    return docs.filter(F.expr(f"{_MIX_BUCKET} < {case}")).select("doc_id", "lang")
 
 
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,6 +94,81 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@3 of the sign-bit-LSH path
+    against the exact brute-force top-3 — the measurement every approximate
+    index needs before it replaces the exact scan in production (an ANN
+    path without a recall harness is an unvalidated lossy filter). Returns
+    (qid, n_exact, n_hits, recall); the corpus-level figure is the mean of
+    ``recall`` over queries.
+
+    Both sides reuse the registered operators, so this measures exactly
+    what ships; the denominator is the exact side's row count (3 unless
+    the filtered corpus is smaller). Deterministic because both rankings
+    break cosine ties on vec_id — the oracle replays both formulations."""
+    exact = similarity_topk(spark, sf_dir).filter(F.col("rank") <= 3).select("qid", "vid")
+    approx = similarity_lsh(spark, sf_dir).select("qid", "vid", F.lit(1).alias("hit"))
+    # one left join + one aggregation so the brute-force side (the expensive
+    # O(|Q|·N) scorer) is computed exactly once in the plan
+    return (
+        exact.join(approx, ["qid", "vid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "qid",
+            "n_exact",
+            "n_hits",
+            F.expr(stable_round("CAST(n_hits AS DOUBLE) / n_exact", 6)).alias("recall"),
+        )
+    )
+
+
+LSH_BITS = 8
+
+
+def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query searches its own sign-bit bucket
+    PLUS the 8 buckets at Hamming distance 1 (one hyperplane flipped) —
+    the standard recall-raising refinement over single-bucket LSH (probe
+    the buckets a near-miss vector most likely landed in, instead of
+    adding independent hash tables). Candidate volume grows ~(bits+1)×
+    while staying a bucket equi-join: the probe table explodes to 9 rows
+    per query and broadcasts; the corpus side is untouched. Deterministic
+    bucket arithmetic → exact oracle. Recall-vs-single-probe is asserted
+    in tests (a superset of buckets can only add candidates)."""
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.expr(finite_norm_pred("embedding")))
+        .withColumn("bucket", F.expr(sign_bucket_expr("embedding", LSH_BITS)))
+    )
+    probe_list = "array(bucket, " + ", ".join(
+        f"bucket ^ {1 << i}L" for i in range(LSH_BITS)
+    ) + ")"
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.expr(probe_list)).alias("probe_bucket"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid").asc())
+    return (
+        broadcast(queries)
+        .join(
+            emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v_emb"), "bucket"),
+            F.col("probe_bucket") == F.col("bucket"),
+        )
+        .filter(F.col("qid") != F.col("vid"))
+        # probe buckets are distinct by construction (distinct bit flips),
+        # and each vector lives in one bucket — pairs are already unique
+        .select("qid", "vid", F.expr(stable_round(cosine_expr("q_emb", "v_emb"), 6)).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "vid", "cosine", "rank")
+    )
+
+
 def _lit_arr(vec: list[float]) -> str:
     """A list of driver-side floats as a Spark SQL array<double> literal.
     repr() round-trips doubles exactly, so the literal is bit-faithful."""
@@ -134,7 +209,30 @@ def _probe_cells_sql(cents: list, col: str, nprobe: int) -> str:
     return f"slice(transform({_cell_scores_sql(cents, col)}, s -> s.cell), 1, {nprobe})"
 
 
-def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int) -> list:
+def _l2_cell_scores_sql(cents: list, col: str) -> str:
+    """Per-row array of (cell, d) structs sorted best-first under L2,
+    centroids as literals. d = |c|² − 2·dot(v, c) — the |v|² term is
+    constant across cells for a given row, so argmin d == argmin L2²."""
+    from ..functions.vector import dot_expr
+
+    structs = ", ".join(
+        f"named_struct('cell', {cell}, "
+        f"'d', CAST({sum(x * x for x in c)!r} AS DOUBLE) - 2.0D * {dot_expr(col, _lit_arr(c))})"
+        for cell, c in cents
+    )
+    return (
+        f"array_sort(array({structs}), (a, b) -> CASE WHEN a.d < b.d THEN -1 "
+        f"WHEN a.d > b.d THEN 1 WHEN a.cell < b.cell THEN -1 ELSE 1 END)"
+    )
+
+
+def _l2_best_cell_sql(cents: list, col: str) -> str:
+    return f"{_l2_cell_scores_sql(cents, col)}[0].cell"
+
+
+def _kmeans_centroids(
+    emb: DataFrame, n_cells: int, iters: int, metric: str = "cos"
+) -> list:
     """Deterministic Lloyd k-means over an embedding DataFrame: seeds are
     the vectors with vec_id < n_cells; each iteration assigns every vector
     to its best cell via the literal-centroid projection (no join, no
@@ -144,13 +242,18 @@ def _kmeans_centroids(emb: DataFrame, n_cells: int, iters: int) -> list:
     exponential lineage growth a pure-DataFrame loop would build. Returns
     [(cell, [centroid])]. Cells that lose all members drop out.
 
+    ``metric``: 'cos' assigns by cosine (the IVF coarse quantizer), 'l2'
+    by Euclidean distance (the PQ sub-quantizers — Jégou et al. train
+    codebooks under L2).
+
     The caller is expected to persist() emb — each iteration re-reads it."""
+    best = _best_cell_sql if metric == "cos" else _l2_best_cell_sql
     cents = [
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect()
     ]
     for _ in range(iters):
-        assigned = emb.withColumn("cell", F.expr(_best_cell_sql(cents, "embedding")))
+        assigned = emb.withColumn("cell", F.expr(best(cents, "embedding")))
         new = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -173,14 +276,21 @@ _IVF_INDEX: dict = {}
 _IVF_INDEX_MAX = 4
 
 
+def _unpersist_index_entry(entry: tuple) -> None:
+    """Release the persisted DataFrame of a cached index entry — entries
+    are (centroids, assigned_df) for IVF and (coarse, books, subdim,
+    encoded_df) for IVF-PQ; the DataFrame is the last element of both."""
+    try:
+        entry[-1].unpersist()
+    except Exception:
+        pass  # session already stopped
+
+
 def clear_ivf_cache() -> None:
-    """Unpersist and drop every cached IVF assignment table."""
+    """Unpersist and drop every cached IVF / IVF-PQ index."""
     while _IVF_INDEX:
-        _, (_cents, assigned) = _IVF_INDEX.popitem()
-        try:
-            assigned.unpersist()
-        except Exception:
-            pass  # session already stopped
+        _, entry = _IVF_INDEX.popitem()
+        _unpersist_index_entry(entry)
 
 
 def build_ivf_index(
@@ -206,11 +316,7 @@ def build_ivf_index(
     emb.unpersist()
     if full_key is not None:
         while len(_IVF_INDEX) >= _IVF_INDEX_MAX:
-            oldest = next(iter(_IVF_INDEX))
-            try:
-                _IVF_INDEX.pop(oldest)[1].unpersist()
-            except Exception:
-                pass
+            _unpersist_index_entry(_IVF_INDEX.pop(next(iter(_IVF_INDEX))))
         _IVF_INDEX[full_key] = (cents, assigned)
     return cents, assigned
 
@@ -269,3 +375,171 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(finite_norm_pred("embedding"))
     )
     return ivf_topk(emb, cache_key=(spark.sparkContext.applicationId, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (round 4): product quantization on top of the IVF coarse quantizer
+# --------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_KS = 16  # codebook size per subspace (4-bit codes)
+
+
+def _sub_expr(col: str, m: int, subdim: int) -> str:
+    return f"slice({col}, {m * subdim + 1}, {subdim})"
+
+
+def build_pq_index(
+    emb: DataFrame, n_cells: int = 8, iters: int = 3, cache_key=None
+) -> tuple:
+    """Train the IVF-PQ index (Jégou, Douze, Schmid, TPAMI 2011): the IVF
+    coarse quantizer for cell routing PLUS per-subspace L2 k-means
+    codebooks, and materialize the encoded corpus — per vector its coarse
+    cell, M sub-codes, and exact norm. This is the memory story of ANN at
+    100 TB: a 64-dim float32 vector is 256 B, its PQ encoding is M=4 codes
+    + one norm ≈ 12 B — a ~20× smaller candidate table to shuffle, cache,
+    and scan during search; the codebooks (M × Ks × subdim floats) ride
+    along as expression literals.
+
+    Codebooks train on raw subvectors (the no-residual PQ variant; the
+    IVFADC residual refinement changes the encoding pass, not the plan
+    shape). Everything — training assignment, encoding, later ADC scoring
+    — is literal-constant Catalyst projections: no BNL, no Python."""
+    key = (cache_key, n_cells, iters, PQ_M, PQ_KS) if cache_key is not None else None
+    if key is not None and key in _IVF_INDEX:
+        return _IVF_INDEX[key]
+    dim = len(emb.select("embedding").first()["embedding"])
+    if dim % PQ_M != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by PQ_M={PQ_M}")
+    subdim = dim // PQ_M
+    emb = emb.persist()
+    coarse = _kmeans_centroids(emb, n_cells, iters, metric="cos")
+    books = []
+    for m in range(PQ_M):
+        sub = emb.select("vec_id", F.expr(_sub_expr("embedding", m, subdim)).alias("embedding"))
+        books.append(_kmeans_centroids(sub, PQ_KS, iters, metric="l2"))
+    codes = F.array(
+        *[
+            F.expr(_l2_best_cell_sql(books[m], _sub_expr("embedding", m, subdim)))
+            for m in range(PQ_M)
+        ]
+    )
+    from ..functions.vector import norm_expr
+
+    encoded = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_best_cell_sql(coarse, "embedding")).alias("cell"),
+        codes.alias("codes"),
+        F.expr(norm_expr("embedding")).alias("vnorm"),
+    ).persist()
+    encoded.count()  # materialize; training cache no longer needed
+    emb.unpersist()
+    index = (coarse, books, subdim, encoded)
+    if key is not None:
+        while len(_IVF_INDEX) >= _IVF_INDEX_MAX:
+            _unpersist_index_entry(_IVF_INDEX.pop(next(iter(_IVF_INDEX))))
+        _IVF_INDEX[key] = index
+    return index
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    rerank: int = 12,
+    iters: int = 3,
+    cache_key=None,
+) -> DataFrame:
+    """IVF-PQ search: route each query to its nprobe nearest coarse cells,
+    score every candidate in those cells by the ADC approximation (per
+    subspace, look the candidate's code up in the query's precomputed
+    dot-product table; approx cosine = Σₘ lut_m[code_m] / (|q|·|v|)), keep
+    the top ``rerank`` by approx score, then exact-cosine re-rank those to
+    the final top-k — the standard refinement step, so PQ error affects
+    which ~dozen candidates get exact scoring, not the returned ordering.
+
+    The lookup tables are computed ONCE per query row (M arrays of Ks
+    doubles against literal codebooks) and ride the broadcast probe table;
+    candidate scoring is then M element_at + adds per pair — the
+    16-byte-code economics that make PQ the 100 TB candidate-scoring
+    path."""
+    from ..functions.vector import dot_expr, norm_expr
+
+    coarse, books, subdim, encoded = build_pq_index(emb, n_cells, iters, cache_key)
+    luts = [
+        F.expr(
+            "array("
+            + ", ".join(
+                dot_expr(_sub_expr("embedding", m, subdim), _lit_arr(c))
+                for _cell, c in books[m]
+            )
+            + ")"
+        ).alias(f"lut{m}")
+        for m in range(PQ_M)
+    ]
+    probes = encoded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(norm_expr("embedding")).alias("qnorm"),
+        *luts,
+        F.explode(F.expr(_probe_cells_sql(coarse, "embedding", nprobe))).alias("cell"),
+    )
+    # codes index into the codebook's cell ids; cells can drop out during
+    # training, so map code -> position in the literal array via the sorted
+    # id list per subspace
+    code_pos = [
+        "CASE codes[%d] %s END"
+        % (m, " ".join(f"WHEN {cell} THEN {i + 1}" for i, (cell, _c) in enumerate(books[m])))
+        for m in range(PQ_M)
+    ]
+    approx = " + ".join(f"element_at(lut{m}, {code_pos[m]})" for m in range(PQ_M))
+    wa = Window.partitionBy("qid").orderBy(F.col("approx_cosine").desc(), F.col("vid").asc())
+    we = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid").asc())
+    return (
+        broadcast(probes)
+        .join(
+            encoded.select(
+                F.col("vec_id").alias("vid"),
+                F.col("embedding").alias("v_emb"),
+                "cell",
+                "codes",
+                "vnorm",
+            ),
+            "cell",
+        )
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            "q_emb",
+            "v_emb",
+            F.expr(stable_round(f"({approx}) / (qnorm * vnorm)", 6)).alias("approx_cosine"),
+        )
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= rerank)
+        .select(
+            "qid",
+            "vid",
+            "approx_cosine",
+            F.expr(stable_round(cosine_expr("q_emb", "v_emb"), 6)).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vid", "cosine", "approx_cosine", "rank")
+    )
+
+
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN over the embeddings table: coarse-cell routing + product-
+    quantized ADC candidate scoring + exact top-k re-rank (see ivf_pq_topk).
+    Index built once per (session, sf_dir) and reused. Iterative training →
+    rows-only driver check; ADC error and recall-vs-bruteforce are asserted
+    in tests (on clustered synthetic data, where the index has structure to
+    exploit, and on the uniform driver embeddings for the error bound)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    return ivf_pq_topk(emb, cache_key=(spark.sparkContext.applicationId, sf_dir, "pq"))

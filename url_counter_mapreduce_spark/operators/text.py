@@ -108,6 +108,137 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher repetition/quality rule thresholds (Rae et al., "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher",
+# arXiv:2112.11446 §A1.1) — the published web-text filter battery. Word
+# bounds, word-length bounds, symbol ratio and alpha fraction are the
+# paper's values; the duplicate-line family is realized as n-gram character
+# fractions (the fixture corpus is single-line text): top-2-gram cap 0.20
+# and duplicate-3-gram cap 0.18 are the paper's n-gram thresholds.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_TOP2_FRAC = 0.20
+GOPHER_MAX_DUP3_FRAC = 0.18
+
+
+def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition/quality report: per-document word statistics
+    (count, mean length, alphabetic fraction, symbol-to-word ratio) plus
+    the repetition metrics (character fraction of the most frequent token
+    2-gram; character fraction inside duplicated 3-grams — occurrences
+    beyond the first), and a ``keep`` verdict conjoining the published
+    thresholds. This is the standard cheap rule battery a pretraining
+    corpus runs between exact dedup and model-based filtering.
+
+    Plan shape at scale: word stats are one map-side projection; each
+    n-gram metric is one explode + partial-aggregated groupBy on
+    (doc_id, gram) + per-doc reduction; everything re-joins on doc_id.
+    No Python anywhere — higher-order array expressions only."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "n_chars", "text", F.expr(_TOKS).alias("toks"))
+    nw = "nullif(size(toks), 0)"
+    words = base.select(
+        "doc_id",
+        "n_chars",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_words"),
+        F.expr(
+            stable_round(
+                f"CAST(aggregate(toks, 0L, (a, t) -> a + length(t)) AS DOUBLE) / {nw}", 6
+            )
+        ).alias("mean_word_len"),
+        F.expr(
+            stable_round(
+                f"CAST(size(filter(toks, t -> t rlike '[A-Za-z]')) AS DOUBLE) / {nw}", 6
+            )
+        ).alias("alpha_word_frac"),
+        # symbols: '#' occurrences + non-overlapping '...' runs, per word
+        F.expr(
+            stable_round(
+                "CAST((length(text) - length(replace(text, '#', '')))"
+                " + floor((length(text) - length(replace(text, '...', ''))) / 3)"
+                f" AS DOUBLE) / {nw}",
+                6,
+            )
+        ).alias("symbol_word_ratio"),
+    )
+    bigrams = base.filter(F.expr("size(toks) >= 2")).select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.expr("transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i + 1]))")
+        ).alias("g"),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("g").asc())
+    top2 = (
+        bigrams.groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.expr(
+                stable_round("CAST(c * length(g) AS DOUBLE) / nullif(n_chars, 0)", 6)
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+    trigrams = base.filter(F.expr("size(toks) >= 3")).select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+            )
+        ).alias("g"),
+    )
+    dup3 = (
+        trigrams.groupBy("doc_id", "n_chars", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_chars")
+        .agg(F.sum(F.expr("(c - 1) * length(g)")).alias("dup_chars"))
+        .select(
+            "doc_id",
+            F.expr(
+                stable_round("CAST(dup_chars AS DOUBLE) / nullif(n_chars, 0)", 6)
+            ).alias("dup_trigram_char_frac"),
+        )
+    )
+    out = (
+        words.join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("mean_word_len", F.lit(0.0)).alias("mean_word_len"),
+            F.coalesce("alpha_word_frac", F.lit(0.0)).alias("alpha_word_frac"),
+            F.coalesce("symbol_word_ratio", F.lit(0.0)).alias("symbol_word_ratio"),
+            F.coalesce("top_bigram_char_frac", F.lit(0.0)).alias("top_bigram_char_frac"),
+            F.coalesce("dup_trigram_char_frac", F.lit(0.0)).alias("dup_trigram_char_frac"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.expr(
+            f"""
+            n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+            AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}
+            AND top_bigram_char_frac <= {GOPHER_MAX_TOP2_FRAC}
+            AND dup_trigram_char_frac <= {GOPHER_MAX_DUP3_FRAC}
+            """
+        ),
+    )
+
+
 def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: word-or-punctuation pieces via regex — the
     cheap proxy for tokenizer-cost estimation over a corpus."""
@@ -118,6 +249,130 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pieces"
         ),
         F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_words"),
+    )
+
+
+def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring with a corpus-self-trained bigram LM —
+    the shape of CCNet-style perplexity filtering (Wenzek et al., "CCNet",
+    LREC 2020) with the model trained on the corpus itself instead of an
+    external KenLM: documents whose bigrams are corpus-typical score high,
+    repetitive/disfluent outliers score low.
+
+    Per bigram occurrence (w1, w2): add-one-smoothed conditional
+    probability p = (c(w1 w2) + 1) / (c(w1) + V). The document score is
+    the ARITHMETIC mean of p (not mean log p): division is correctly
+    rounded under IEEE so both engines compute bit-identical per-row
+    values, whereas ln() differs in the last ulp between libm
+    implementations (the same reason tf_idf_topk uses rational idf —
+    see its docstring); the mean is rounded to 4 dp like every grouped
+    float aggregate. V (vocabulary size) is a driver-computed corpus
+    statistic embedded as a literal — catalog-stat posture, same as
+    tf_idf's N.
+
+    Plan shape at scale: bigram extraction is one explode; the model is
+    two partial-aggregated counts (bigram, unigram); scoring is two
+    equi-joins on short string keys + one per-doc aggregate — the exact
+    skeleton of tf_idf_topk with a second join for the context count."""
+    from ..tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    toks = docs.withColumn("toks", F.expr(_TOKS))
+    docbig = (
+        toks.filter(F.expr("size(toks) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", F.expr("concat_ws(' ', b.w1, b.w2)").alias("bigram"))
+        .groupBy("doc_id", "w1", "bigram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    vocab_v = uni.count()
+    big = docbig.groupBy("bigram").agg(F.sum("n_occ").alias("c_big"))
+    scored = (
+        docbig.join(big, "bigram")
+        .join(uni.withColumnRenamed("token", "w1"), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.expr(
+                        f"n_occ * (CAST(c_big AS DOUBLE) + 1.0D) / (CAST(c_uni AS DOUBLE) + {vocab_v}.0D)"
+                    )
+                )
+                / F.sum("n_occ"),
+                4,
+            ).alias("mean_cond_prob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("mean_cond_prob", F.lit(0.0)).alias("mean_cond_prob"),
+        )
+    )
+
+
+# Host extraction for URL-shaped tokens: optional scheme, optional www.,
+# host = everything up to the first /, ?, #, or : (port/path/query dropped).
+# RE2-compatible (no backrefs/lookaround) so Spark (Java regex) and DuckDB
+# (RE2) match identically.
+URL_HOST_RE = r"^(?:[a-z][a-z0-9+.-]*://)?(?:www\.)?([^/?#:]+)"
+
+# Domain blocklist for the curation anti-join. On a web corpus this is the
+# spam/adult/SEO-farm list every pipeline carries (C4 ships one; RefinedWeb
+# §3.1 filters by URL against a 4.6M-domain blocklist). The fixture tokens
+# are word-shaped URL stand-ins, so the stand-in blocklist is the highest-
+# frequency boilerplate "hosts" — the same role the real list plays.
+BLOCKED_HOSTS = ("the", "a", "of", "and", "to")
+
+
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-level curation over the flagship token domain: normalize
+    each token as a URL (lowercase; strip scheme, www., port/path/query via
+    URL_HOST_RE), aggregate per host, drop blocklisted hosts, report the
+    top-100 hosts by URL count. The reference's fixtures make every token a
+    literal URL (test_test.go.bak:111-118 generates https://xxx.com), so
+    this is the reference's count surface upgraded to the domain-level
+    reputation pass of a web-corpus pipeline.
+
+    Plan shape at scale: map-side regexp projection → one partial-
+    aggregated groupBy(host) → broadcast anti-join against the (tiny)
+    blocklist → TakeOrderedAndProject. The blocklist join keys on the
+    post-aggregation host table (∝ distinct hosts, not token occurrences)."""
+    from .core import tokenized
+
+    toks = tokenized(spark, sf_dir).select(F.lower("token").alias("token"))
+    hosts = toks.select(
+        "token",
+        F.coalesce(
+            F.nullif(F.regexp_extract("token", URL_HOST_RE, 1), F.lit("")), F.col("token")
+        ).alias("host"),
+    )
+    stats = hosts.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("token").alias("n_distinct_urls"),
+    )
+    blocked = spark.createDataFrame([(h,) for h in BLOCKED_HOSTS], "host string")
+    return (
+        stats.join(F.broadcast(blocked), "host", "left_anti")
+        .orderBy(F.col("n_urls").desc(), F.col("host").asc())
+        .limit(100)
     )
 
 

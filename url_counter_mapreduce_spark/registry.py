@@ -1413,6 +1413,227 @@ _register(
 )
 
 # --------------------------------------------------------------------------
+# Round-4 additions: Gopher rule battery, URL host curation, mixture
+# resampling, ANN recall evaluation.
+# --------------------------------------------------------------------------
+
+_register(
+    "quality_gopher",
+    text.quality_gopher,
+    f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, text, {_TOKS_SQL} AS toks FROM documents
+    ), words AS (
+        SELECT doc_id, n_chars,
+               len(toks)::BIGINT AS n_words,
+               floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                     / nullif(len(toks), 0) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+               floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                     / nullif(len(toks), 0) * 1e6 + 0.5) / 1e6 AS alpha_word_frac,
+               floor(CAST((length(text) - length(replace(text, '#', '')))
+                          + floor((length(text) - length(replace(text, '...', ''))) / 3)
+                     AS DOUBLE) / nullif(len(toks), 0) * 1e6 + 0.5) / 1e6 AS symbol_word_ratio
+        FROM t
+    ), bgc AS (
+        SELECT doc_id, n_chars, g, COUNT(*) AS c
+        FROM (SELECT doc_id, n_chars,
+                     unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i + 1])) AS g
+              FROM t WHERE len(toks) >= 2)
+        GROUP BY doc_id, n_chars, g
+    ), top2 AS (
+        SELECT doc_id,
+               floor(CAST(c * length(g) AS DOUBLE) / nullif(n_chars, 0) * 1e6 + 0.5) / 1e6
+                   AS top_bigram_char_frac
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+              FROM bgc)
+        WHERE rn = 1
+    ), tgc AS (
+        SELECT doc_id, n_chars, g, COUNT(*) AS c
+        FROM (SELECT doc_id, n_chars,
+                     unnest(list_transform(range(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+              FROM t WHERE len(toks) >= 3)
+        GROUP BY doc_id, n_chars, g
+    ), dup3 AS (
+        SELECT doc_id,
+               floor(CAST(SUM((c - 1) * length(g)) AS DOUBLE) / nullif(n_chars, 0) * 1e6 + 0.5) / 1e6
+                   AS dup_trigram_char_frac
+        FROM tgc GROUP BY doc_id, n_chars
+    )
+    SELECT w.doc_id, w.n_words,
+           COALESCE(w.mean_word_len, 0) AS mean_word_len,
+           COALESCE(w.alpha_word_frac, 0) AS alpha_word_frac,
+           COALESCE(w.symbol_word_ratio, 0) AS symbol_word_ratio,
+           COALESCE(t2.top_bigram_char_frac, 0) AS top_bigram_char_frac,
+           COALESCE(d3.dup_trigram_char_frac, 0) AS dup_trigram_char_frac,
+           (w.n_words BETWEEN {text.GOPHER_MIN_WORDS} AND {text.GOPHER_MAX_WORDS}
+            AND COALESCE(w.mean_word_len, 0)
+                BETWEEN {text.GOPHER_MIN_MEAN_WORD_LEN} AND {text.GOPHER_MAX_MEAN_WORD_LEN}
+            AND COALESCE(w.symbol_word_ratio, 0) <= {text.GOPHER_MAX_SYMBOL_RATIO}
+            AND COALESCE(w.alpha_word_frac, 0) >= {text.GOPHER_MIN_ALPHA_FRAC}
+            AND COALESCE(t2.top_bigram_char_frac, 0) <= {text.GOPHER_MAX_TOP2_FRAC}
+            AND COALESCE(d3.dup_trigram_char_frac, 0) <= {text.GOPHER_MAX_DUP3_FRAC}) AS keep
+    FROM words w
+    LEFT JOIN top2 t2 ON t2.doc_id = w.doc_id
+    LEFT JOIN dup3 d3 ON d3.doc_id = w.doc_id
+    """,
+)
+
+_BLOCKED_HOSTS_SQL = "(" + ", ".join(f"'{h}'" for h in text.BLOCKED_HOSTS) + ")"
+
+_register(
+    "url_host_stats",
+    text.url_host_stats,
+    _TOKENS_CTE
+    + f"""
+    , hosts AS (
+        SELECT lower(token) AS token,
+               COALESCE(nullif(regexp_extract(lower(token), '{text.URL_HOST_RE}', 1), ''),
+                        lower(token)) AS host
+        FROM tokens
+    )
+    SELECT host, COUNT(*) AS n_urls, COUNT(DISTINCT token) AS n_distinct_urls
+    FROM hosts
+    WHERE host NOT IN {_BLOCKED_HOSTS_SQL}
+    GROUP BY host
+    ORDER BY n_urls DESC, host ASC
+    LIMIT 100
+    """,
+)
+
+_MIX_W_SQL = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{l}' THEN CAST({w!r} AS DOUBLE)"
+        for l, w in _pipeline.MIX_TARGET_WEIGHTS.items()
+    )
+    + f" ELSE CAST({_pipeline._MIX_DEFAULT_WEIGHT!r} AS DOUBLE) END"
+)
+
+_register(
+    "mix_sources",
+    _pipeline.mix_sources,
+    f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang
+    ), weighted AS (
+        SELECT lang, n, {_MIX_W_SQL} AS w FROM counts
+    ), thr AS (
+        -- same expression ORDER as the Python driver computation:
+        -- s = min(n/w); t = floor(s * w / n * 1e6)
+        SELECT lang,
+               CAST(floor((SELECT MIN(CAST(n AS DOUBLE) / w) FROM weighted)
+                          * w / CAST(n AS DOUBLE) * 1e6) AS BIGINT) AS t
+        FROM weighted
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON thr.lang = d.lang
+    WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 1000000 < thr.t
+    """,
+)
+
+_register(
+    "ann_recall",
+    similarity.ann_recall,
+    f"""
+    WITH ex AS (
+        SELECT qid, vid FROM ({ORACLES["similarity_topk"]}) t WHERE rank <= 3
+    ), ap AS (
+        SELECT qid, vid FROM ({ORACLES["similarity_lsh"]}) t
+    ), base AS (
+        SELECT qid, COUNT(*)::BIGINT AS n_exact FROM ex GROUP BY qid
+    ), hits AS (
+        SELECT ex.qid, COUNT(*)::BIGINT AS n_hits
+        FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vid = ex.vid
+        GROUP BY ex.qid
+    )
+    SELECT b.qid, b.n_exact, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+           floor(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / b.n_exact * 1e6 + 0.5) / 1e6
+               AS recall
+    FROM base b LEFT JOIN hits h ON h.qid = b.qid
+    """,
+)
+
+_register("similarity_ivf_pq", similarity.similarity_ivf_pq, None)
+
+from .sources import compact as _compact  # noqa: E402
+
+_register(
+    "sink_compacted_parquet",
+    _compact.sink_compacted_parquet,
+    """
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(CAST('0x' || substr(md5(concat_ws('|', CAST(doc_id AS VARCHAR), text,
+                lang, source, CAST(n_chars AS VARCHAR))), 1, 12) AS BIGINT)) AS BIGINT)
+               AS content_sig
+    FROM documents GROUP BY lang
+    """,
+)
+
+_PROBE_LIST_SQL = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << i})" for i in range(similarity.LSH_BITS)
+) + "]"
+
+_register(
+    "similarity_lsh_multiprobe",
+    similarity.similarity_lsh_multiprobe,
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_EMB_BUCKET_SQL} AS bucket FROM embeddings WHERE (list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0.0 AND NOT isnan(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               unnest({_PROBE_LIST_SQL}) AS probe_bucket
+        FROM e WHERE vec_id < {similarity.N_QUERIES}
+    ), scored AS (
+        SELECT qid, e.vec_id AS vid,
+               {_stable_round_sql(_cosine_sql('qe', 'e.embedding'))} AS cosine
+        FROM q JOIN e ON e.bucket = q.probe_bucket AND e.vec_id <> qid
+    ), ranked AS (
+        SELECT qid, vid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT qid, vid, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+
+_register(
+    "lm_bigram_quality",
+    text.lm_bigram_quality,
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), db AS (
+        SELECT doc_id, w1, bigram, COUNT(*) AS n_occ
+        FROM (
+            SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                  FROM t WHERE len(toks) >= 2)
+        )
+        GROUP BY doc_id, w1, bigram
+    ), uni AS (
+        SELECT token, COUNT(*) AS c_uni
+        FROM (SELECT unnest(toks) AS token FROM t)
+        GROUP BY token
+    ), big AS (
+        SELECT bigram, SUM(n_occ) AS c_big FROM db GROUP BY bigram
+    ), scored AS (
+        SELECT doc_id, SUM(n_occ)::BIGINT AS n_bigrams,
+               round(SUM(n_occ * (CAST(c_big AS DOUBLE) + 1.0)
+                         / (CAST(c_uni AS DOUBLE) + (SELECT COUNT(*) FROM uni)))
+                     / SUM(n_occ), 4) AS mean_cond_prob
+        FROM db JOIN big USING (bigram) JOIN uni ON uni.token = db.w1
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.mean_cond_prob, 0) AS mean_cond_prob
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+)
+
+# --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
 # ``udtf_surface`` at position 9 pushed position 51 out of the file). To make
