@@ -46,6 +46,14 @@ EQUIV_QUERIES = [
     # round-3: built-in watermark dedup — the surviving KEY SET must be
     # identical whichever partition's duplicate arrives first
     "stream_dedup_watermark",
+    # round-4: the Gopher rule battery (two n-gram aggregates + window
+    # tie-break + re-joins — every metric must be partitioning-free),
+    # deterministic mixture resampling (driver-computed thresholds must
+    # not depend on how counts were collected), and the host-stats
+    # blocklist anti-join with its top-100 tie-break
+    "quality_gopher",
+    "mix_sources",
+    "url_host_stats",
 ]
 
 _CHILD = r"""
