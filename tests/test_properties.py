@@ -833,3 +833,65 @@ def test_multiprobe_lsh_dominates_single_probe(spark, sf_dir):
         mr = dict(multi[qid])
         for rank, cos in srows:
             assert rank in mr and mr[rank] >= cos, (qid, rank, mr.get(rank), cos)
+
+
+def test_gopher_formulations_agree(spark, sf_dir):
+    """The aggregate formulation (quality_gopher: explodes + groupBys +
+    window) and the map-only array-expression formulation
+    (gopher_maponly_metrics: the streaming gate's definitions) must compute
+    IDENTICAL metrics for every document — two physical strategies, one
+    semantic contract."""
+    from url_counter_mapreduce_spark.operators.text import (
+        gopher_maponly_metrics,
+        quality_gopher,
+    )
+    from url_counter_mapreduce_spark.tables import load_table
+
+    cols = [
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "symbol_word_ratio",
+        "top_bigram_char_frac",
+        "dup_trigram_char_frac",
+        "keep",
+    ]
+    agg = {r["doc_id"]: tuple(r[c] for c in cols) for r in quality_gopher(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    mo = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in gopher_maponly_metrics(docs).select("doc_id", *cols).collect()
+    }
+    assert agg == mo
+
+
+def test_stream_quality_gate_matches_batch_keep_set(spark, sf_dir):
+    """The streaming gate's kept documents must be exactly the batch
+    report's keep=true set, with identical repetition metrics."""
+    from url_counter_mapreduce_spark import QUERIES
+
+    batch = {
+        r["doc_id"]: (r["n_words"], r["top_bigram_char_frac"], r["dup_trigram_char_frac"])
+        for r in QUERIES["quality_gopher"](spark, sf_dir).collect()
+        if r["keep"]
+    }
+    stream = {
+        r["doc_id"]: (r["n_words"], r["top_bigram_char_frac"], r["dup_trigram_char_frac"])
+        for r in QUERIES["stream_quality_gate"](spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_decontaminate_formulations_agree(spark):
+    """Join-form and one-pass decontamination must agree row-for-row,
+    including under the df_cap hot-shingle guard."""
+    from url_counter_mapreduce_spark.operators.pipeline import (
+        decontaminate_frame,
+        decontaminate_frame_onepass,
+    )
+
+    docs = _synthetic_docs(spark)
+    for cap in (None, 1):
+        a = sorted(map(tuple, decontaminate_frame(docs, df_cap=cap).collect()))
+        b = sorted(map(tuple, decontaminate_frame_onepass(docs, df_cap=cap).collect()))
+        assert a == b, f"df_cap={cap}: {a} vs {b}"

@@ -122,6 +122,7 @@ NORTH_STAR_SURFACE = [
     "similarity_ivf_pq",
     "similarity_lsh_multiprobe",
     "sink_compacted_parquet",
+    "stream_quality_gate",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -72,6 +72,22 @@ def main() -> None:
     print(f"cc propagation (pointer-halving): {prop:.3f}s")
     print(f"cc star (large/small alternation): {star:.3f}s")
     print(f"winner: {'propagation' if prop <= star else 'star'}")
+
+    # 3. decontamination: train-index/test-probe JOIN form vs ONE-PASS
+    # conditional-collect aggregation (single tokenize+shingle scan).
+    from url_counter_mapreduce_spark.operators.pipeline import (
+        decontaminate_frame,
+        decontaminate_frame_onepass,
+    )
+
+    joinf = timed(lambda: decontaminate_frame(docs))
+    onep = timed(lambda: decontaminate_frame_onepass(docs))
+    da = sorted(map(tuple, decontaminate_frame(docs).collect()))
+    db = sorted(map(tuple, decontaminate_frame_onepass(docs).collect()))
+    assert da == db, f"decontaminate variants differ: {len(da)} vs {len(db)} rows"
+    print(f"decontaminate join form (2 shingle scans): {joinf:.3f}s")
+    print(f"decontaminate one-pass (collect_set agg):  {onep:.3f}s")
+    print(f"winner: {'join' if joinf <= onep else 'one-pass'}")
     spark.stop()
 
 

@@ -252,6 +252,94 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_maponly_metrics(df: DataFrame) -> DataFrame:
+    """The Gopher rule metrics as PURE per-row array expressions — no
+    explode, no groupBy, no join — so the identical column definitions run
+    over a batch DataFrame or an unbounded stream (stateless append mode).
+    O(distinct-grams × grams) per document, the right trade for a per-row
+    gate; the aggregate formulation (quality_gopher) stays the batch-report
+    path. Equivalence of the two formulations is asserted in tests.
+
+    Input: any frame with (doc_id, text, n_chars). Output adds n_words,
+    mean_word_len, alpha_word_frac, symbol_word_ratio,
+    top_bigram_char_frac, dup_trigram_char_frac, keep."""
+    from ..functions.vector import stable_round
+
+    nw = "nullif(size(toks), 0)"
+    bgs = (
+        "CASE WHEN size(toks) < 2 THEN array() ELSE transform(sequence(0, size(toks) - 2),"
+        " i -> concat_ws(' ', toks[i], toks[i + 1])) END"
+    )
+    tgs = (
+        "CASE WHEN size(toks) < 3 THEN array() ELSE transform(sequence(0, size(toks) - 3),"
+        " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) END"
+    )
+    # argmax by (count desc, gram asc) == first element after sorting
+    # (-count, gram) ascending — struct fields sort lexicographically in
+    # both engines, so the same trick works in the DuckDB oracle
+    best2 = (
+        "array_sort(transform(array_distinct(bgs),"
+        " g -> named_struct('negc', -size(filter(bgs, x -> x = g)), 'g', g)))[0]"
+    )
+    dup3 = (
+        "aggregate(array_distinct(tgs), 0L,"
+        " (acc, g) -> acc + CAST((size(filter(tgs, x -> x = g)) - 1) * length(g) AS LONG))"
+    )
+    out = (
+        df.withColumn("toks", F.expr(_TOKS))
+        .withColumn("bgs", F.expr(bgs))
+        .withColumn("tgs", F.expr(tgs))
+        .select(
+            "*",
+            F.expr("CAST(size(toks) AS BIGINT)").alias("n_words"),
+            F.expr(
+                "coalesce(" + stable_round(
+                    f"CAST(aggregate(toks, 0L, (a, t) -> a + length(t)) AS DOUBLE) / {nw}", 6
+                ) + ", 0.0D)"
+            ).alias("mean_word_len"),
+            F.expr(
+                "coalesce(" + stable_round(
+                    f"CAST(size(filter(toks, t -> t rlike '[A-Za-z]')) AS DOUBLE) / {nw}", 6
+                ) + ", 0.0D)"
+            ).alias("alpha_word_frac"),
+            F.expr(
+                "coalesce(" + stable_round(
+                    "CAST((length(text) - length(replace(text, '#', '')))"
+                    " + floor((length(text) - length(replace(text, '...', ''))) / 3)"
+                    f" AS DOUBLE) / {nw}",
+                    6,
+                ) + ", 0.0D)"
+            ).alias("symbol_word_ratio"),
+            F.expr(
+                "CASE WHEN size(bgs) = 0 OR n_chars = 0 THEN 0.0D ELSE "
+                + stable_round(
+                    f"CAST(-({best2}.negc) * length({best2}.g) AS DOUBLE) / n_chars", 6
+                )
+                + " END"
+            ).alias("top_bigram_char_frac"),
+            F.expr(
+                "CASE WHEN n_chars = 0 THEN 0.0D ELSE "
+                + stable_round(f"CAST({dup3} AS DOUBLE) / n_chars", 6)
+                + " END"
+            ).alias("dup_trigram_char_frac"),
+        )
+        .drop("toks", "bgs", "tgs")
+    )
+    return out.withColumn(
+        "keep",
+        F.expr(
+            f"""
+            n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+            AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}
+            AND top_bigram_char_frac <= {GOPHER_MAX_TOP2_FRAC}
+            AND dup_trigram_char_frac <= {GOPHER_MAX_DUP3_FRAC}
+            """
+        ),
+    )
+
+
 def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model quality scoring with a corpus-self-trained bigram LM —
     the shape of CCNet-style perplexity filtering (Wenzek et al., "CCNet",

@@ -1559,6 +1559,61 @@ _register(
 _register("similarity_ivf_pq", similarity.similarity_ivf_pq, None)
 
 from .sources import compact as _compact  # noqa: E402
+from .streaming import quality_gate as _quality_gate  # noqa: E402
+
+# DuckDB mirror of text.gopher_maponly_metrics: the same per-row list-
+# lambda computations, keep-filtered. Struct sorting is field-order
+# lexicographic in both engines, so the (-count, gram) argmax trick
+# transfers verbatim.
+_G_BGS = (
+    "CASE WHEN len(toks) < 2 THEN []::VARCHAR[] "
+    "ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) END"
+)
+_G_TGS = (
+    "CASE WHEN len(toks) < 3 THEN []::VARCHAR[] "
+    "ELSE list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END"
+)
+
+_register(
+    "stream_quality_gate",
+    _quality_gate.stream_quality_gate,
+    f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, text, {_TOKS_SQL} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, n_chars, text, toks, {_G_BGS} AS bgs, {_G_TGS} AS tgs FROM t
+    ), m AS (
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_words,
+               COALESCE(floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                     / nullif(len(toks), 0) * 1e6 + 0.5) / 1e6, 0) AS mean_word_len,
+               COALESCE(floor(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+                     / nullif(len(toks), 0) * 1e6 + 0.5) / 1e6, 0) AS alpha_word_frac,
+               COALESCE(floor(CAST((length(text) - length(replace(text, '#', '')))
+                          + floor((length(text) - length(replace(text, '...', ''))) / 3)
+                     AS DOUBLE) / nullif(len(toks), 0) * 1e6 + 0.5) / 1e6, 0) AS symbol_word_ratio,
+               CASE WHEN len(bgs) = 0 OR n_chars = 0 THEN 0.0 ELSE
+                   floor(CAST(-((list_sort(list_transform(list_distinct(bgs),
+                              g2 -> {{'negc': -len(list_filter(bgs, x -> x = g2)), 'g': g2}}))[1]).negc)
+                          * length((list_sort(list_transform(list_distinct(bgs),
+                              g2 -> {{'negc': -len(list_filter(bgs, x -> x = g2)), 'g': g2}}))[1]).g)
+                     AS DOUBLE) / n_chars * 1e6 + 0.5) / 1e6 END AS top_bigram_char_frac,
+               CASE WHEN n_chars = 0 THEN 0.0 ELSE
+                   floor(CAST(COALESCE(list_sum(list_transform(list_distinct(tgs),
+                              g2 -> (len(list_filter(tgs, x -> x = g2)) - 1) * length(g2))), 0)
+                     AS DOUBLE) / n_chars * 1e6 + 0.5) / 1e6 END AS dup_trigram_char_frac
+        FROM g
+    )
+    SELECT doc_id, n_words, top_bigram_char_frac, dup_trigram_char_frac
+    FROM m
+    WHERE n_words BETWEEN {text.GOPHER_MIN_WORDS} AND {text.GOPHER_MAX_WORDS}
+      AND mean_word_len BETWEEN {text.GOPHER_MIN_MEAN_WORD_LEN} AND {text.GOPHER_MAX_MEAN_WORD_LEN}
+      AND symbol_word_ratio <= {text.GOPHER_MAX_SYMBOL_RATIO}
+      AND alpha_word_frac >= {text.GOPHER_MIN_ALPHA_FRAC}
+      AND top_bigram_char_frac <= {text.GOPHER_MAX_TOP2_FRAC}
+      AND dup_trigram_char_frac <= {text.GOPHER_MAX_DUP3_FRAC}
+    """,
+)
 
 _register(
     "sink_compacted_parquet",
