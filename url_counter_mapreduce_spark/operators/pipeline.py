@@ -422,7 +422,12 @@ def decontaminate_frame(docs: DataFrame, df_cap: int | None = None) -> DataFrame
     per-key join fan-out at df_cap while keeping every low-multiplicity —
     i.e. genuinely identifying — overlap. Real pipelines do exactly this
     (boilerplate n-grams are not evidence of leakage)."""
-    base = docs.select(
+    from ..tables import spread
+
+    # spread() before shingling: md5 over every 5-token window is the
+    # dominant cost and a single-file input arrives as one split; gated
+    # no-op once the scan has real split counts
+    base = spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.expr(_DECILE).alias("decile"),
         F.expr(_TOKS).alias("toks"),
@@ -486,7 +491,9 @@ def decontaminate_frame_onepass(docs: DataFrame, df_cap: int | None = None) -> D
     right after; the join form's map-side-distinct train index never
     builds per-key sets for shingles the test side doesn't probe. Kept as
     the documented variant; decontaminate_frame ships."""
-    base = docs.select(
+    from ..tables import spread
+
+    base = spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.expr(_DECILE).alias("decile"),
         F.expr(_TOKS).alias("toks"),

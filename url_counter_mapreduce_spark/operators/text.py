@@ -141,8 +141,12 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..functions.vector import stable_round
+    from ..tables import spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread() before the n-gram work: a small single-file input arrives as
+    # ONE split, and the gram construction + per-gram counting is the
+    # dominant cost — gated no-op once the scan has real split counts
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text"))
     base = docs.select("doc_id", "n_chars", "text", F.expr(_TOKS).alias("toks"))
     nw = "nullif(size(toks), 0)"
     words = base.select(
@@ -363,9 +367,12 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins on short string keys + one per-doc aggregate — the exact
     skeleton of tf_idf_topk with a second join for the context count."""
     from ..tables import load_table as _lt
+    from ..tables import spread
 
     docs = _lt(spark, sf_dir, "documents")
-    toks = docs.withColumn("toks", F.expr(_TOKS))
+    # spread: bigram construction is the compute-dense step (see
+    # quality_gopher); gated no-op on well-split inputs
+    toks = spread(docs.select("doc_id", "text")).withColumn("toks", F.expr(_TOKS))
     docbig = (
         toks.filter(F.expr("size(toks) >= 2"))
         .select(
