@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "lm_bigram_quality",
     "similarity_lsh_multiprobe",
     "sink_compacted_parquet",
+    "ann_recall_multiprobe",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

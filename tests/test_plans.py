@@ -110,9 +110,9 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
 
     # similarity_topk is the ONLY deliberate BNL (exact brute-force baseline);
     # similarity_ivf's literal-centroid rework removed its BNL entirely.
-    # ann_recall embeds the brute-force side as its ground truth, so its
-    # plan legitimately contains that same single BNL.
-    bnl_allowed = {"similarity_topk", "ann_recall"}
+    # the recall harnesses embed the brute-force side as ground truth, so
+    # their plans legitimately contain that same single BNL.
+    bnl_allowed = {"similarity_topk", "ann_recall", "ann_recall_multiprobe"}
     streaming = {n for n in QUERIES if n.startswith("stream_")}
     for name in QUERIES:
         if name in streaming:

@@ -895,3 +895,18 @@ def test_decontaminate_formulations_agree(spark):
         a = sorted(map(tuple, decontaminate_frame(docs, df_cap=cap).collect()))
         b = sorted(map(tuple, decontaminate_frame_onepass(docs, df_cap=cap).collect()))
         assert a == b, f"df_cap={cap}: {a} vs {b}"
+
+
+def test_multiprobe_recall_dominates_single_probe_recall(spark, sf_dir):
+    """Per query, recall@3 of the multi-probe path must be >= the
+    single-probe path's (superset candidates, same ranking)."""
+    from url_counter_mapreduce_spark import QUERIES
+
+    single = {r["qid"]: r["recall"] for r in QUERIES["ann_recall"](spark, sf_dir).collect()}
+    multi = {
+        r["qid"]: r["recall"]
+        for r in QUERIES["ann_recall_multiprobe"](spark, sf_dir).collect()
+    }
+    assert set(single) == set(multi)
+    for qid, rec in single.items():
+        assert multi[qid] >= rec, (qid, multi[qid], rec)

@@ -123,6 +123,7 @@ NORTH_STAR_SURFACE = [
     "similarity_lsh_multiprobe",
     "sink_compacted_parquet",
     "stream_quality_gate",
+    "ann_recall_multiprobe",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -106,8 +106,19 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     what ships; the denominator is the exact side's row count (3 unless
     the filtered corpus is smaller). Deterministic because both rankings
     break cosine ties on vec_id — the oracle replays both formulations."""
+    return _ann_recall_against(spark, sf_dir, similarity_lsh)
+
+
+def ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_recall for the multi-probe LSH path — the shipped measurement of
+    what the 9-bucket probe buys over single-bucket (its per-query recall
+    can only be ≥ single-probe's: superset candidates, same ranking)."""
+    return _ann_recall_against(spark, sf_dir, similarity_lsh_multiprobe)
+
+
+def _ann_recall_against(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
     exact = similarity_topk(spark, sf_dir).filter(F.col("rank") <= 3).select("qid", "vid")
-    approx = similarity_lsh(spark, sf_dir).select("qid", "vid", F.lit(1).alias("hit"))
+    approx = approx_fn(spark, sf_dir).select("qid", "vid", F.lit(1).alias("hit"))
     # one left join + one aggregation so the brute-force side (the expensive
     # O(|Q|·N) scorer) is computed exactly once in the plan
     return (

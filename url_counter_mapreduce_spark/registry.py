@@ -1654,6 +1654,28 @@ _register(
 )
 
 _register(
+    "ann_recall_multiprobe",
+    similarity.ann_recall_multiprobe,
+    f"""
+    WITH ex AS (
+        SELECT qid, vid FROM ({ORACLES["similarity_topk"]}) t WHERE rank <= 3
+    ), ap AS (
+        SELECT qid, vid FROM ({ORACLES["similarity_lsh_multiprobe"]}) t
+    ), base AS (
+        SELECT qid, COUNT(*)::BIGINT AS n_exact FROM ex GROUP BY qid
+    ), hits AS (
+        SELECT ex.qid, COUNT(*)::BIGINT AS n_hits
+        FROM ex JOIN ap ON ap.qid = ex.qid AND ap.vid = ex.vid
+        GROUP BY ex.qid
+    )
+    SELECT b.qid, b.n_exact, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+           floor(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / b.n_exact * 1e6 + 0.5) / 1e6
+               AS recall
+    FROM base b LEFT JOIN hits h ON h.qid = b.qid
+    """,
+)
+
+_register(
     "lm_bigram_quality",
     text.lm_bigram_quality,
     f"""
