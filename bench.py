@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "similarity_lsh_multiprobe",
     "sink_compacted_parquet",
     "ann_recall_multiprobe",
+    "dedup_substring_spans",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

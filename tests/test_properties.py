@@ -910,3 +910,39 @@ def test_multiprobe_recall_dominates_single_probe_recall(spark, sf_dir):
     assert set(single) == set(multi)
     for qid, rec in single.items():
         assert multi[qid] >= rec, (qid, multi[qid], rec)
+
+
+def test_substring_spans_find_planted_passage(spark, monkeypatch):
+    """Exact-substring mining on a planted verbatim passage: two documents
+    share a 10-token passage at DIFFERENT positions; the merged span must
+    cover exactly the passage in each doc (all SUBSTR_NGRAM=8-token
+    windows inside it, nothing outside), and a doc with no 8-token overlap
+    yields no spans."""
+    from url_counter_mapreduce_spark.operators.dedup import (
+        SUBSTR_NGRAM,
+        dedup_substring_spans,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(10))  # 10 shared tokens
+    a = passage + " " + " ".join(f"a{i}" for i in range(6))
+    b = " ".join(f"b{i}" for i in range(4)) + " " + passage
+    c = " ".join(f"c{i}" for i in range(12))  # unrelated
+    rows = [(1, a, "en", "s0", len(a)), (2, b, "en", "s0", len(b)), (3, c, "en", "s0", len(c))]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        "url_counter_mapreduce_spark.tables.load_table", lambda _s, _d, _n: docs
+    )
+    import url_counter_mapreduce_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "load_table", lambda _s, _d, _n: docs)
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in dedup_substring_spans(spark, "x").collect()
+    }
+    # doc 1: passage at token 0..9 → windows at pos 0..2 (10-8=2), span 0..9
+    assert spans[1] == (0, 9, 10 - SUBSTR_NGRAM + 1)
+    # doc 2: passage at token 4..13 → windows at pos 4..6, span 4..13
+    assert spans[2] == (4, 13, 10 - SUBSTR_NGRAM + 1)
+    assert 3 not in spans

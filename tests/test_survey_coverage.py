@@ -124,6 +124,7 @@ NORTH_STAR_SURFACE = [
     "sink_compacted_parquet",
     "stream_quality_gate",
     "ann_recall_multiprobe",
+    "dedup_substring_spans",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1653,6 +1653,35 @@ _register(
     """,
 )
 
+_SUBSTR_WIN = " || ' ' || ".join(f"toks[i + {k}]" for k in range(dedup.SUBSTR_NGRAM))
+
+_register(
+    "dedup_substring_spans",
+    dedup.dedup_substring_spans,
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), w AS (
+        SELECT doc_id, i - 1 AS pos, md5({_SUBSTR_WIN}) AS h
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) - {dedup.SUBSTR_NGRAM} + 2)) AS i
+              FROM t WHERE len(toks) >= {dedup.SUBSTR_NGRAM})
+    ), shared AS (
+        SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), m AS (
+        SELECT w.doc_id, w.pos,
+               row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS rn
+        FROM w JOIN shared USING (h)
+    )
+    SELECT doc_id,
+           MIN(pos)::BIGINT AS span_start,
+           (MAX(pos) + {dedup.SUBSTR_NGRAM - 1})::BIGINT AS span_end,
+           COUNT(*)::BIGINT AS n_windows
+    FROM m
+    GROUP BY doc_id, pos - rn
+    """,
+)
+
 _register(
     "ann_recall_multiprobe",
     similarity.ann_recall_multiprobe,
