@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "sink_compacted_parquet",
     "ann_recall_multiprobe",
     "dedup_substring_spans",
+    "dedup_substring_clean",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

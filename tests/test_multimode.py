@@ -54,6 +54,10 @@ EQUIV_QUERIES = [
     "quality_gopher",
     "mix_sources",
     "url_host_stats",
+    # round-4: positional window matching + gaps-and-islands span merge —
+    # island assignment must not depend on which partition a position
+    # arrives from
+    "dedup_substring_spans",
 ]
 
 _CHILD = r"""

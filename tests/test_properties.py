@@ -946,3 +946,31 @@ def test_substring_spans_find_planted_passage(spark, monkeypatch):
     # doc 2: passage at token 4..13 → windows at pos 4..6, span 4..13
     assert spans[2] == (4, 13, 10 - SUBSTR_NGRAM + 1)
     assert 3 not in spans
+
+
+def test_substring_clean_removes_nonowner_passage(spark, monkeypatch):
+    """Span removal on the planted passage: the min-doc_id owner keeps its
+    text intact; the other sharer loses exactly the passage tokens; the
+    unrelated doc is untouched. Fingerprints verify the cleaned text
+    byte-for-byte."""
+    import hashlib
+
+    from url_counter_mapreduce_spark.operators.dedup import dedup_substring_clean
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    a = passage + " " + " ".join(f"a{i}" for i in range(6))
+    b = " ".join(f"b{i}" for i in range(4)) + " " + passage
+    c = " ".join(f"c{i}" for i in range(12))
+    rows = [(1, a, "en", "s0", len(a)), (2, b, "en", "s0", len(b)), (3, c, "en", "s0", len(c))]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import url_counter_mapreduce_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "load_table", lambda _s, _d, _n: docs)
+    out = {r["doc_id"]: r.asDict() for r in dedup_substring_clean(spark, "x").collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1]["n_tokens_removed"] == 0 and out[1]["clean_fingerprint"] == md5(a)
+    assert out[2]["n_tokens_removed"] == 10
+    assert out[2]["clean_fingerprint"] == md5(" ".join(f"b{i}" for i in range(4)))
+    assert out[3]["n_tokens_removed"] == 0 and out[3]["clean_fingerprint"] == md5(c)

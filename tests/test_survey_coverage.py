@@ -125,6 +125,7 @@ NORTH_STAR_SURFACE = [
     "stream_quality_gate",
     "ann_recall_multiprobe",
     "dedup_substring_spans",
+    "dedup_substring_clean",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -61,6 +61,11 @@ PIPELINES = [
     # vocabulary²-ish — sub-linear growth expected once past overhead)
     "quality_gopher",
     "lm_bigram_quality",
+    # round-4: exact-substring span mining. The K× replicas share ALL
+    # their 8-token windows across replica groups by construction, so
+    # every window hash is "shared" — the worst case for the shared-hash
+    # join, which stays 1:1 by design (distinct hashes joined back).
+    "dedup_substring_spans",
 ]
 
 

@@ -539,6 +539,69 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization half of exact-substring dedup (Lee et al. ACL
+    2022): CUT the duplicated passages out of the corpus, keeping one
+    canonical occurrence. Ownership rule (deterministic, engine-free):
+    every occurrence of a shared window in the MINIMUM doc_id that
+    contains it is kept; occurrences in any higher doc_id are removal
+    candidates, and every token position covered by a removed window is
+    dropped. Returns per document the original/removed token counts and
+    an md5 fingerprint of the CLEANED text — byte-exact verification that
+    both engines cut the same tokens (within-doc repeats inside the owner
+    doc are kept; the headline cross-doc duplication is what's removed).
+
+    Plan shape: the span-mining skeleton (positional windows, shared-hash
+    aggregate with per-hash min doc_id, 1:1 join back) + one range
+    explode of removed windows into covered positions (≤ L rows per
+    removed window), a per-doc collect_set of removed positions (bounded
+    by document length), and a map-side rebuild of the kept text."""
+    docs = load_table(spark, sf_dir, "documents")
+    # NULL text ⇒ zero tokens (coalesced identically in the oracle: the
+    # engines' NULL propagation through split/filter/concat_ws differs)
+    toks = spread(docs.select("doc_id", "text")).withColumn(
+        "toks", F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")
+    )
+    wins = toks.filter(F.expr(f"size(toks) >= {SUBSTR_NGRAM}")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {SUBSTR_NGRAM}),"
+                f" i -> named_struct('pos', i, 'h',"
+                f" md5(concat_ws(' ', slice(toks, i + 1, {SUBSTR_NGRAM})))))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.pos", "w.h")
+    owners = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("owner"))
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    removed_pos = (
+        wins.join(owners, "h")
+        .filter(F.col("doc_id") > F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(pos, pos + {SUBSTR_NGRAM - 1})")
+            ).alias("rpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("rpos").alias("removed"))
+    )
+    cleaned = toks.join(removed_pos, "doc_id", "left").select(
+        "doc_id",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(coalesce(size(removed), 0) AS BIGINT)").alias("n_tokens_removed"),
+        F.expr(
+            "md5(concat_ws(' ', CASE WHEN removed IS NULL THEN toks ELSE"
+            " filter(toks, (t, i) -> NOT array_contains(removed, i)) END))"
+        ).alias("clean_fingerprint"),
+    )
+    return cleaned
+
+
 def dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most similar doc pairs by exact 3-gram-shingle Jaccard, with
     candidates from WIDE-recall MinHash banding (8 bands × 1 row): a pair

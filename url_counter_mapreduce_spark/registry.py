@@ -1683,6 +1683,42 @@ _register(
 )
 
 _register(
+    "dedup_substring_clean",
+    dedup.dedup_substring_clean,
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+        FROM documents
+    ), w AS (
+        SELECT doc_id, i - 1 AS pos, md5({_SUBSTR_WIN}) AS h
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) - {dedup.SUBSTR_NGRAM} + 2)) AS i
+              FROM t WHERE len(toks) >= {dedup.SUBSTR_NGRAM})
+    ), own AS (
+        SELECT h, MIN(doc_id) AS owner
+        FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), rp AS (
+        SELECT w.doc_id, unnest(range(w.pos, w.pos + {dedup.SUBSTR_NGRAM})) AS rpos
+        FROM w JOIN own USING (h) WHERE w.doc_id > own.owner
+    ), rem AS (
+        SELECT doc_id, list(DISTINCT rpos) AS removed FROM rp GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks)::BIGINT AS n_tokens,
+           COALESCE(len(rem.removed), 0)::BIGINT AS n_tokens_removed,
+           -- COALESCE: array_to_string([]) is NULL in DuckDB where Spark's
+           -- concat_ws gives '' (the fully-removed-document case)
+           md5(COALESCE(array_to_string(CASE WHEN rem.removed IS NULL THEN t.toks ELSE
+                list_filter(list_transform(range(1, len(t.toks) + 1),
+                    i -> CASE WHEN list_contains(rem.removed, i - 1) THEN NULL
+                         ELSE t.toks[i] END),
+                x -> x IS NOT NULL) END, ' '), '')) AS clean_fingerprint
+    FROM t LEFT JOIN rem ON rem.doc_id = t.doc_id
+    """,
+)
+
+_register(
     "ann_recall_multiprobe",
     similarity.ann_recall_multiprobe,
     f"""
