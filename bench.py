@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "ann_recall_multiprobe",
     "dedup_substring_spans",
     "dedup_substring_clean",
+    "multimodal_dedup",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

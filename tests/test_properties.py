@@ -974,3 +974,27 @@ def test_substring_clean_removes_nonowner_passage(spark, monkeypatch):
     assert out[2]["n_tokens_removed"] == 10
     assert out[2]["clean_fingerprint"] == md5(" ".join(f"b{i}" for i in range(4)))
     assert out[3]["n_tokens_removed"] == 0 and out[3]["clean_fingerprint"] == md5(c)
+
+
+def test_multimodal_dedup_collapses_identical_payloads(spark, monkeypatch):
+    """Identical binary payloads share a digest and collapse onto the min
+    doc_id; distinct payloads stay canonical."""
+    from url_counter_mapreduce_spark.operators.multimodal import multimodal_dedup
+
+    rows = [
+        (1, "same bytes here", "en", "s0", 15),
+        (2, "same bytes here", "en", "s0", 15),
+        (3, "different bytes", "en", "s0", 15),
+        (4, None, "en", "s0", 0),  # NULL payload coalesces to b""
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import url_counter_mapreduce_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "load_table", lambda _s, _d, _n: docs)
+    out = {r["doc_id"]: r.asDict() for r in multimodal_dedup(spark, "x").collect()}
+    assert out[1]["digest"] == out[2]["digest"]
+    assert out[2]["canonical_id"] == 1 and out[2]["is_canonical"] is False
+    assert out[1]["is_canonical"] and out[3]["is_canonical"] and out[4]["is_canonical"]
+    assert out[4]["n_bytes"] == 0

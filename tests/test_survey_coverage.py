@@ -126,6 +126,7 @@ NORTH_STAR_SURFACE = [
     "ann_recall_multiprobe",
     "dedup_substring_spans",
     "dedup_substring_clean",
+    "multimodal_dedup",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

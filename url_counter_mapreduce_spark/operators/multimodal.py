@@ -118,6 +118,35 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_blobs(_payloads(spark, sf_dir))
 
 
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup over the binary payload column — the
+    first dedup pass every image/audio corpus runs (identical bytes ⇒
+    identical asset; perceptual near-dup comes after, on decoded
+    features). Unlike the metadata/decode stages, this needs NO Python at
+    all: sha2 over binary and the per-digest min-id window are JVM
+    expressions, so the dedup of a 100 TB blob corpus is one shuffle on
+    the 32-byte digest with whole-stage codegen end-to-end. Returns every
+    blob with its digest, byte size, canonical (min) doc_id, and an
+    is_canonical keep flag; exact DuckDB oracle (sha256 over the same
+    bytes)."""
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+    )
+    w = Window.partitionBy("digest")
+    return (
+        p.select(
+            "doc_id",
+            F.expr("CAST(octet_length(payload) AS BIGINT)").alias("n_bytes"),
+            F.sha2("payload", 256).alias("digest"),
+        )
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
 
 

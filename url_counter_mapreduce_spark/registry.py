@@ -1719,6 +1719,23 @@ _register(
 )
 
 _register(
+    "multimodal_dedup",
+    multimodal.multimodal_dedup,
+    """
+    -- this DuckDB build's sha256 takes VARCHAR (hashing its utf-8 bytes),
+    -- which is exactly Spark's sha2(encode(text, 'utf-8'), 256)
+    SELECT doc_id,
+           octet_length(encode(COALESCE(text, '')))::BIGINT AS n_bytes,
+           sha256(COALESCE(text, '')) AS digest,
+           MIN(doc_id) OVER (PARTITION BY sha256(COALESCE(text, '')))
+               AS canonical_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY sha256(COALESCE(text, '')))
+               AS is_canonical
+    FROM documents
+    """,
+)
+
+_register(
     "ann_recall_multiprobe",
     similarity.ann_recall_multiprobe,
     f"""
