@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "dedup_substring_spans",
     "dedup_substring_clean",
     "multimodal_dedup",
+    "dedup_report",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

@@ -127,6 +127,7 @@ NORTH_STAR_SURFACE = [
     "dedup_substring_spans",
     "dedup_substring_clean",
     "multimodal_dedup",
+    "dedup_report",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -602,6 +602,60 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned
 
 
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup audit — one frame, one row per modality, the summary a
+    curation run reports before anything is deleted:
+      - exact_text:  documents sharing a normalized content fingerprint
+                     (n_units = duplicate groups)
+      - near_dup:    documents in non-singleton MinHash-LSH clusters
+                     (n_units = clusters) — reads the shared pair cache,
+                     so after any dedup query this costs one tiny pass
+      - substring:   documents containing ≥1 cross-document duplicated
+                     span (n_units = spans)
+    Composes the registered operators rather than re-deriving them, so
+    the report can never disagree with the queries it summarizes; the
+    oracle composes the same SQL formulations."""
+    from .graph import dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.md5(
+            F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+        ).alias("fp")
+    )
+    exact = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.sum("n").alias("nd"), F.count(F.lit(1)).alias("nu"))
+        .select(
+            F.lit("exact_text").alias("modality"),
+            F.coalesce("nd", F.lit(0)).cast("long").alias("n_docs"),
+            F.col("nu").cast("long").alias("n_units"),
+        )
+    )
+    near = (
+        dedup_groups(spark, sf_dir)
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.sum("n").alias("nd"), F.count(F.lit(1)).alias("nu"))
+        .select(
+            F.lit("near_dup").alias("modality"),
+            F.coalesce("nd", F.lit(0)).cast("long").alias("n_docs"),
+            F.col("nu").cast("long").alias("n_units"),
+        )
+    )
+    sub = dedup_substring_spans(spark, sf_dir).agg(
+        F.countDistinct("doc_id").alias("nd"), F.count(F.lit(1)).alias("nu")
+    ).select(
+        F.lit("substring").alias("modality"),
+        F.col("nd").cast("long").alias("n_docs"),
+        F.col("nu").cast("long").alias("n_units"),
+    )
+    return exact.unionAll(near).unionAll(sub)
+
+
 def dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most similar doc pairs by exact 3-gram-shingle Jaccard, with
     candidates from WIDE-recall MinHash banding (8 bands × 1 row): a pair

@@ -1719,6 +1719,29 @@ _register(
 )
 
 _register(
+    "dedup_report",
+    dedup.dedup_report,
+    _CC_CTE
+    + f"""
+    , fpg AS (
+        SELECT md5(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS fp,
+               COUNT(*) AS n
+        FROM documents GROUP BY fp HAVING COUNT(*) >= 2
+    ), cg AS (
+        SELECT group_id, COUNT(*) AS n FROM comp GROUP BY group_id HAVING COUNT(*) >= 2
+    ), spans AS (
+        SELECT doc_id FROM ({ORACLES["dedup_substring_spans"]}) s
+    )
+    SELECT 'exact_text' AS modality,
+           COALESCE(SUM(n), 0)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_units FROM fpg
+    UNION ALL
+    SELECT 'near_dup', COALESCE(SUM(n), 0)::BIGINT, COUNT(*)::BIGINT FROM cg
+    UNION ALL
+    SELECT 'substring', COUNT(DISTINCT doc_id)::BIGINT, COUNT(*)::BIGINT FROM spans
+    """,
+)
+
+_register(
     "multimodal_dedup",
     multimodal.multimodal_dedup,
     """
