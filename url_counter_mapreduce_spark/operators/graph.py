@@ -49,27 +49,50 @@ MAX_CC_ITERS = 50
 CC_COLLECT_MAX_EDGES = 1_000_000
 
 
-def _unionfind_labels(pairs: list) -> dict:
-    """Union-find with path compression over (a, b) pairs; roots are the
-    component minima by construction (the smaller root absorbs the larger),
-    matching the distributed loop's min-label fixpoint exactly."""
-    parent: dict = {}
+def _unionfind_labels(doc_a, doc_b):
+    """Union-find with path compression over two int64 numpy arrays (the
+    Arrow-collected edge columns) → (ids, group_ids) numpy arrays covering
+    every node that appears in an edge. Roots are the component minima by
+    construction: np.unique sorts, so index order equals doc_id order and
+    the smaller-index root always absorbs the larger — matching the
+    distributed loop's min-label fixpoint exactly.
+
+    Memory at the 1M-edge gate: ids/parent are flat int64 arrays (~16 MB
+    for 2M nodes) plus two transient Python index lists for the union loop
+    — NOT 1M PySpark Row objects + a 2M-entry dict (~100 B/entry), which
+    near the gate would pressure a 4g test driver."""
+    import numpy as np
+
+    ids = np.unique(np.concatenate([doc_a, doc_b]))
+    # list-of-int indices: plain-list indexing is the fastest hot loop
+    # available without a compiled extension
+    ai = np.searchsorted(ids, doc_a).tolist()
+    bi = np.searchsorted(ids, doc_b).tolist()
+    parent = list(range(len(ids)))
 
     def find(x):
         r = x
-        while parent.get(r, r) != r:
+        while parent[r] != r:
             r = parent[r]
-        while parent.get(x, x) != x:
+        while parent[x] != x:
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in pairs:
+    for a, b in zip(ai, bi):
         ra, rb = find(a), find(b)
         if ra != rb:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    return {x: find(x) for ab in pairs for x in ab}
+    # vectorized final compression: pointer-jump to fixpoint (≤ log2 n
+    # rounds thanks to path compression above)
+    p = np.asarray(parent, dtype=np.int64)
+    while True:
+        pp = p[p]
+        if np.array_equal(pp, p):
+            break
+        p = pp
+    return ids, ids[p]
 
 
 def connected_components(
@@ -92,16 +115,17 @@ def connected_components(
     (their label is trivially their own id)."""
     edges = edges.select("doc_a", "doc_b").localCheckpoint(eager=False)
     if edges.count() <= collect_max_edges:
-        lbl = _unionfind_labels([(r["doc_a"], r["doc_b"]) for r in edges.collect()])
-        spark = nodes.sparkSession
+        # Arrow-batched collect: two int64 columns (~16 MB at the gate), not
+        # a list of Row objects (~100+ B each)
+        pdf = edges.toPandas()
         import pandas as pd
 
+        ids, gids = _unionfind_labels(
+            pdf["doc_a"].to_numpy(dtype="int64"), pdf["doc_b"].to_numpy(dtype="int64")
+        )
+        spark = nodes.sparkSession
         labels = spark.createDataFrame(
-            pd.DataFrame(
-                {"doc_id": list(lbl), "group_id": list(lbl.values())}, dtype="int64"
-            )
-            if lbl
-            else pd.DataFrame({"doc_id": [], "group_id": []}, dtype="int64"),
+            pd.DataFrame({"doc_id": ids, "group_id": gids}),
             schema="doc_id long, group_id long",
         )
         return (

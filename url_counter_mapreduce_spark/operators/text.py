@@ -16,6 +16,12 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 
 _TOKS = "filter(split(text, ' '), x -> x != '')"
+# NULL-safe variant: split(NULL) propagates NULL and size(NULL) = -1 in
+# Spark while DuckDB yields NULL — coalescing to '' gives an EMPTY token
+# array in both engines (the same convention dedup_substring_clean uses).
+# Used by the Gopher battery, whose n_words/ratio outputs must stay
+# meaningful (0, not -1) on NULL-text rows.
+_TOKS_SAFE = "filter(split(coalesce(text, ''), ' '), x -> x != '')"
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 # Deliberately minimal: the heuristic's mechanics (score → argmax with a
@@ -147,7 +153,7 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE split, and the gram construction + per-gram counting is the
     # dominant cost — gated no-op once the scan has real split counts
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text"))
-    base = docs.select("doc_id", "n_chars", "text", F.expr(_TOKS).alias("toks"))
+    base = docs.select("doc_id", "n_chars", "text", F.expr(_TOKS_SAFE).alias("toks"))
     nw = "nullif(size(toks), 0)"
     words = base.select(
         "doc_id",
@@ -290,7 +296,7 @@ def gopher_maponly_metrics(df: DataFrame) -> DataFrame:
         " (acc, g) -> acc + CAST((size(filter(tgs, x -> x = g)) - 1) * length(g) AS LONG))"
     )
     out = (
-        df.withColumn("toks", F.expr(_TOKS))
+        df.withColumn("toks", F.expr(_TOKS_SAFE))
         .withColumn("bgs", F.expr(bgs))
         .withColumn("tgs", F.expr(tgs))
         .select(
@@ -365,14 +371,24 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at scale: bigram extraction is one explode; the model is
     two partial-aggregated counts (bigram, unigram); scoring is two
     equi-joins on short string keys + one per-doc aggregate — the exact
-    skeleton of tf_idf_topk with a second join for the context count."""
+    skeleton of tf_idf_topk with a second join for the context count.
+
+    The tokenized frame and both model aggregates are non-eager
+    localCheckpoints (the url_topk_sketch pattern): the single V-count job
+    materializes tokenize + the unigram model, and the scoring job reuses
+    both plus one materialization of the per-doc bigram counts — tokenize
+    runs exactly ONCE instead of once per consuming branch."""
     from ..tables import load_table as _lt
     from ..tables import spread
 
     docs = _lt(spark, sf_dir, "documents")
     # spread: bigram construction is the compute-dense step (see
     # quality_gopher); gated no-op on well-split inputs
-    toks = spread(docs.select("doc_id", "text")).withColumn("toks", F.expr(_TOKS))
+    toks = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.expr(_TOKS).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
     docbig = (
         toks.filter(F.expr("size(toks) >= 2"))
         .select(
@@ -387,12 +403,16 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "b.w1", F.expr("concat_ws(' ', b.w1, b.w2)").alias("bigram"))
         .groupBy("doc_id", "w1", "bigram")
         .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint(eager=False)
     )
     uni = (
         toks.select(F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("c_uni"))
+        .localCheckpoint(eager=False)
     )
+    # the one eager pass: materializes toks + uni and reads V off the
+    # materialized unigram aggregate (no separate re-aggregation job)
     vocab_v = uni.count()
     big = docbig.groupBy("bigram").agg(F.sum("n_occ").alias("c_big"))
     scored = (

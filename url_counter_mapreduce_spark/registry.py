@@ -509,6 +509,10 @@ _register(
 # ---- text analysis -------------------------------------------------------
 
 _TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+# NULL-safe twin of operators/text._TOKS_SAFE: both engines yield an EMPTY
+# token array for NULL text (Spark's size(split(NULL)) is -1, DuckDB's is
+# NULL — coalesce removes the divergence). Used by the Gopher oracles.
+_TOKS_SQL_SAFE = "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
 
 
 def _stoplist_sql(lang: str) -> str:
@@ -1422,7 +1426,7 @@ _register(
     text.quality_gopher,
     f"""
     WITH t AS (
-        SELECT doc_id, n_chars, text, {_TOKS_SQL} AS toks FROM documents
+        SELECT doc_id, n_chars, text, {_TOKS_SQL_SAFE} AS toks FROM documents
     ), words AS (
         SELECT doc_id, n_chars,
                len(toks)::BIGINT AS n_words,
@@ -1579,7 +1583,7 @@ _register(
     _quality_gate.stream_quality_gate,
     f"""
     WITH t AS (
-        SELECT doc_id, n_chars, text, {_TOKS_SQL} AS toks FROM documents
+        SELECT doc_id, n_chars, text, {_TOKS_SQL_SAFE} AS toks FROM documents
     ), g AS (
         SELECT doc_id, n_chars, text, toks, {_G_BGS} AS bgs, {_G_TGS} AS tgs FROM t
     ), m AS (
