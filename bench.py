@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "dedup_substring_clean",
     "multimodal_dedup",
     "dedup_report",
+    # round-5 pipeline surface
+    "dedup_semantic",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

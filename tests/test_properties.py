@@ -248,6 +248,45 @@ def test_ivf_recall_on_clustered_data(spark):
     assert hits / total >= 0.8, f"IVF recall@3 on clustered data: {hits}/{total}"
 
 
+def test_semantic_dedup_on_clustered_data(spark):
+    """SemDeDup contract on clustered fixtures: with trained cells and a τ
+    below the within-cluster cosine, each tight cluster collapses onto its
+    minimum vec_id; cross-cluster vectors (near-orthogonal) are never
+    marked duplicates of each other; every reported dup_of is a LOWER id
+    whose true cosine clears τ."""
+    import math
+
+    from url_counter_mapreduce_spark.operators.dedup import semantic_dedup_frame
+
+    emb = _clustered_embeddings(spark)
+    vecs = {r.vec_id: (list(r.embedding), r.label) for r in emb.collect()}
+    out = semantic_dedup_frame(emb, n_cells=5, tau=0.8, iters=3).collect()
+    assert len(out) == len(vecs)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    by_id = {r.vec_id: r for r in out}
+    for r in out:
+        if r.dup_of is not None:
+            assert r.dup_of < r.vec_id
+            va, la = vecs[r.dup_of]
+            vb, lb = vecs[r.vec_id]
+            assert cos(va, vb) >= 0.8 - 1e-6
+            assert la == lb, "cross-cluster vectors marked as semantic dups"
+    # each label's minimum id can have no lower-id near-dup → always kept
+    min_ids = {}
+    for vid, (_v, lab) in vecs.items():
+        min_ids[lab] = min(min_ids.get(lab, vid), vid)
+    for lab, vid in min_ids.items():
+        assert by_id[vid].keep, f"cluster {lab} minimum id {vid} was dropped"
+    # clusters are tight (noise 0.15 around an axis) → the overwhelming
+    # majority of each cluster dedups away once cells align with clusters
+    n_kept = sum(1 for r in out if r.keep)
+    assert n_kept <= 2 * len(min_ids), f"kept {n_kept} of {len(vecs)} on 5 tight clusters"
+
+
 def test_connected_components_transitive_chain(spark):
     """Label propagation must close transitive chains (1~2, 2~3 ⇒ one
     cluster even with no direct 1~3 edge) and leave singletons alone."""

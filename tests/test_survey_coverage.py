@@ -128,6 +128,8 @@ NORTH_STAR_SURFACE = [
     "dedup_substring_clean",
     "multimodal_dedup",
     "dedup_report",
+    # round-5 additions
+    "dedup_semantic",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -612,6 +612,10 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                      so after any dedup query this costs one tiny pass
       - substring:   documents containing ≥1 cross-document duplicated
                      span (n_units = spans)
+      - semantic:    vectors in non-singleton SemDeDup groups — group key
+                     coalesce(dup_of, vec_id) (n_units = groups); counts
+                     VECTORS of the embeddings table, the corpus the
+                     semantic modality runs on
     Composes the registered operators rather than re-deriving them, so
     the report can never disagree with the queries it summarizes; the
     oracle composes the same SQL formulations."""
@@ -653,7 +657,19 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nd").cast("long").alias("n_docs"),
         F.col("nu").cast("long").alias("n_units"),
     )
-    return exact.unionAll(near).unionAll(sub)
+    sem = (
+        dedup_semantic(spark, sf_dir)
+        .groupBy(F.expr("coalesce(dup_of, vec_id)").alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.sum("n").alias("nd"), F.count(F.lit(1)).alias("nu"))
+        .select(
+            F.lit("semantic").alias("modality"),
+            F.coalesce("nd", F.lit(0)).cast("long").alias("n_docs"),
+            F.col("nu").cast("long").alias("n_units"),
+        )
+    )
+    return exact.unionAll(near).unionAll(sub).unionAll(sem)
 
 
 def dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,6 +727,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Semantic (SemDeDup-style) dedup
+# --------------------------------------------------------------------------
+
+SEMDEDUP_CELLS = 8
+# Within-cell cosine at or above which the higher-id vector is dropped.
+# SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication", arXiv:2303.09540) uses ~0.95+ on real
+# text embeddings, where semantic duplicates sit near cosine 1; the driver
+# fixture embeddings are near-uniform (top pairwise cosine ≈ 0.51), so the
+# shipped threshold is set where the modality is exercised — the POLICY
+# (within-cell prune at τ, keep min id) is the operator, τ is a knob.
+SEMDEDUP_TAU = 0.4
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: cluster the
+    corpus with the IVF coarse quantizer, then inside each cell drop every
+    vector that has a LOWER-id cell-mate with cosine ≥ SEMDEDUP_TAU (keep
+    min id — the same deterministic keeper rule as exact dedup). Output is
+    one row per vector: (vec_id, cell, dup_of = smallest qualifying
+    lower-id neighbor or NULL, keep = dup_of IS NULL).
+
+    Cell assignment reuses build_ivf_index with iters=0: centroids are the
+    k seed vectors (vec_id < k), driver-normalized and embedded as
+    LITERALS, so assignment is a map-only projection AND exactly
+    replayable in the DuckDB oracle (Lloyd iterations would make the
+    centroids depend on Spark's partial-aggregation summation order — not
+    bit-reproducible cross-engine; a production run would train with
+    iters>0, which changes cell quality, not the prune semantics). The
+    persisted assignment table is memoized per (session, sf_dir), shared
+    across calls.
+
+    Plan shape at scale — exactly the published SemDeDup recipe: one
+    map-only assignment pass, then a self-equi-join ON CELL (never a cross
+    join); per-cell work is quadratic in cell size, which is the knob k
+    controls (k grows with the corpus — the paper runs 50k clusters on
+    LAION — so cells stay bounded and the join stays balanced; the
+    min-aggregate prune keeps the shuffle ∝ qualifying pairs)."""
+    from ..functions.vector import finite_norm_pred
+
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")).filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    return semantic_dedup_frame(
+        emb, cache_key=(spark.sparkContext.applicationId, sf_dir, "semdedup")
+    )
+
+
+def semantic_dedup_frame(
+    emb: DataFrame,
+    n_cells: int = SEMDEDUP_CELLS,
+    tau: float = SEMDEDUP_TAU,
+    iters: int = 0,
+    cache_key=None,
+) -> DataFrame:
+    """SemDeDup core over any (vec_id, embedding) frame — see dedup_semantic
+    for semantics. ``iters`` > 0 trains real Lloyd centroids (better cells,
+    not cross-engine-reproducible); the registered query pins iters=0."""
+    from ..functions.vector import cosine_expr, stable_round
+    from .similarity import build_ivf_index
+
+    _cents, assigned = build_ivf_index(emb, n_cells=n_cells, iters=iters, cache_key=cache_key)
+    a = assigned.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "cell")
+    b = assigned.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "cell")
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        # threshold on the ROUNDED cosine: both engines round the same
+        # per-row-deterministic double, so the τ boundary cannot flip
+        .filter(F.expr(stable_round(cosine_expr("a_emb", "b_emb"), 6) + f" >= {tau}"))
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+        .withColumnRenamed("b_id", "vec_id")
+    )
+    return (
+        assigned.select("vec_id", F.col("cell").cast("long").alias("cell"))
+        .join(dups, "vec_id", "left")
+        .select("vec_id", "cell", "dup_of", F.expr("dup_of IS NULL").alias("keep"))
     )
 
 

@@ -1722,12 +1722,66 @@ _register(
     """,
 )
 
+# SemDeDup CTE chain (spliced into dedup_semantic and dedup_report): cell
+# assignment replays build_ivf_index(iters=0) exactly — centroids are the
+# k seed vectors unit-normalized with the same in-order double fold Spark's
+# driver-side _unit() performs, assignment is argmax dot with (sim DESC,
+# cell ASC) tie-break, identical to _cell_scores_sql's struct comparator.
+_SEM_FINITE_SQL = (
+    "(list_sum(list_transform(range(1, len(embedding) + 1), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0.0 "
+    "AND NOT isnan(list_sum(list_transform(range(1, len(embedding) + 1), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))"
+)
+_SEM_CTES = f"""
+    sem_emb AS (SELECT vec_id, embedding FROM embeddings WHERE {_SEM_FINITE_SQL}),
+    sem_seeds AS (
+        SELECT vec_id AS cell,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)
+                   / sqrt(list_sum(list_transform(embedding,
+                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS ce
+        FROM sem_emb WHERE vec_id < {dedup.SEMDEDUP_CELLS}
+    ),
+    sem_sims AS (
+        SELECT e.vec_id, e.embedding, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * s.ce[i])) DESC,
+                   s.cell ASC) AS rn
+        FROM sem_emb e CROSS JOIN sem_seeds s
+    ),
+    sem_assigned AS (SELECT vec_id, embedding, cell FROM sem_sims WHERE rn = 1),
+    sem_dups AS (
+        SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+        FROM sem_assigned a JOIN sem_assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_stable_round_sql(_cosine_sql('a.embedding', 'b.embedding'))}
+                  >= {dedup.SEMDEDUP_TAU}
+        GROUP BY b.vec_id
+    )"""
+
+_register(
+    "dedup_semantic",
+    dedup.dedup_semantic,
+    f"""
+    WITH {_SEM_CTES}
+    SELECT v.vec_id, CAST(v.cell AS BIGINT) AS cell, d.dup_of,
+           d.dup_of IS NULL AS keep
+    FROM sem_assigned v LEFT JOIN sem_dups d ON d.vec_id = v.vec_id
+    """,
+)
+
 _register(
     "dedup_report",
     dedup.dedup_report,
     _CC_CTE
     + f"""
-    , fpg AS (
+    , {_SEM_CTES}
+    , semg AS (
+        SELECT COALESCE(d.dup_of, v.vec_id) AS g, COUNT(*) AS n
+        FROM sem_assigned v LEFT JOIN sem_dups d ON d.vec_id = v.vec_id
+        GROUP BY g HAVING COUNT(*) >= 2
+    ), fpg AS (
         SELECT md5(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS fp,
                COUNT(*) AS n
         FROM documents GROUP BY fp HAVING COUNT(*) >= 2
@@ -1742,6 +1796,8 @@ _register(
     SELECT 'near_dup', COALESCE(SUM(n), 0)::BIGINT, COUNT(*)::BIGINT FROM cg
     UNION ALL
     SELECT 'substring', COUNT(DISTINCT doc_id)::BIGINT, COUNT(*)::BIGINT FROM spans
+    UNION ALL
+    SELECT 'semantic', COALESCE(SUM(n), 0)::BIGINT, COUNT(*)::BIGINT FROM semg
     """,
 )
 
