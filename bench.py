@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "dedup_report",
     # round-5 pipeline surface
     "dedup_semantic",
+    "vocab_build_bpe",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

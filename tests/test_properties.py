@@ -287,6 +287,71 @@ def test_semantic_dedup_on_clustered_data(spark):
     assert n_kept <= 2 * len(min_ids), f"kept {n_kept} of {len(vecs)} on 5 tight clusters"
 
 
+def _bpe_encode(word, merges):
+    """Reference encoder: apply merges in rank order, greedy leftmost."""
+    s = list(word)
+    for _rank, l, r, _m, _c in merges:
+        out, j = [], 0
+        while j < len(s):
+            if j + 1 < len(s) and s[j] == l and s[j + 1] == r:
+                out.append(l + r)
+                j += 2
+            else:
+                out.append(s[j])
+                j += 1
+        s = out
+    return s
+
+
+def test_bpe_roundtrip_encode(spark, sf_dir):
+    """Encoding any training word with the learned merge table must (a)
+    concatenate back to the original word (BPE merges never alter
+    characters), (b) never grow the symbol count, and (c) produce only
+    symbols that are single characters or learned merge outputs."""
+    from url_counter_mapreduce_spark.operators.pipeline import _token_counts
+    from url_counter_mapreduce_spark.tables import load_table
+
+    merges = sorted(
+        (
+            (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in QUERIES["vocab_build_bpe"](spark, sf_dir).collect()
+        )
+    )
+    assert len(merges) > 0
+    learned = {m for _, _, _, m, _ in merges}
+    words = [
+        r.token
+        for r in _token_counts(load_table(spark, sf_dir, "documents")).limit(50).collect()
+    ]
+    assert words
+    for w in words:
+        enc = _bpe_encode(w, merges)
+        assert "".join(enc) == w
+        assert len(enc) <= len(w)
+        assert all(len(s) == 1 or s in learned for s in enc)
+
+
+def test_bpe_strategies_agree(spark):
+    """Driver-side and distributed BPE are two physical strategies for one
+    contract: identical merge tables on a weighted toy corpus (including
+    the overlap case aaaa where greedy-leftmost order matters)."""
+    from url_counter_mapreduce_spark.operators.pipeline import bpe_merge_table
+
+    words = spark.createDataFrame(
+        [("aaaa", 10), ("abab", 7), ("banana", 5), ("aab", 3)], "token string, cnt long"
+    )
+    local = [tuple(r) for r in bpe_merge_table(words, n_merges=6).collect()]
+    dist = [
+        tuple(r) for r in bpe_merge_table(words, n_merges=6, collect_max_words=0).collect()
+    ]
+    assert local == dist
+    assert len(local) == 6
+    # aaaa×10: pair (a,a) weight 10*3(from aaaa: 3 adjacent)+3(aab: 1)=33+3? —
+    # just assert the invariants rather than hand-computed weights:
+    for rank, (mr, l, r, m, c) in enumerate(local):
+        assert mr == rank and m == l + r and c > 0
+
+
 def test_connected_components_transitive_chain(spark):
     """Label propagation must close transitive chains (1~2, 2~3 ⇒ one
     cluster even with no direct 1~3 edge) and leave singletons alone."""

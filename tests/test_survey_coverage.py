@@ -130,6 +130,7 @@ NORTH_STAR_SURFACE = [
     "dedup_report",
     # round-5 additions
     "dedup_semantic",
+    "vocab_build_bpe",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -139,6 +139,139 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Subword (BPE) vocabulary
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 16
+# Word-count tables at or under this size run the merge loop on the driver
+# (the architecture every production tokenizer trainer uses: the table is
+# ~vocabulary-sized — millions of rows even for a 100 TB corpus — and the
+# merge loop is inherently sequential); larger vocabularies fall through to
+# the distributed DataFrame loop, whose per-merge cost is one aggregate
+# over the (distributed) word table. Strategy equivalence is property-
+# tested; the gate mirrors graph.CC_COLLECT_MAX_EDGES.
+BPE_COLLECT_MAX_WORDS = 1_000_000
+
+# Symbol-string representation: each symbol is bracketed \x01sym\x02 and
+# symbols concatenate, so a merge of (l, r) is a plain string replace of
+# \x01l\x02\x01r\x02 → \x01lr\x02. Left-to-right non-overlapping replace
+# IS greedy leftmost BPE application, and the brackets make partial-symbol
+# matches impossible (a space-separator encoding would let pair (a, a)
+# match inside "ba a", and boundary-space variants break adjacent merges).
+_B1, _B2 = "\x01", "\x02"
+
+
+def _bpe_merges_local(word_counts: list, n_merges: int) -> list:
+    """Driver-side weighted BPE (Sennrich, Haddow, Birch, "Neural machine
+    translation of rare words with subword units", ACL 2016): repeatedly
+    merge the highest-total adjacent symbol pair, ties broken (total desc,
+    lhs asc, rhs asc). Returns [(merge_rank, lhs, rhs, merged, total)]."""
+    items = [(list(w), int(c)) for w, c in word_counts]
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for s, cnt in items:
+            for j in range(len(s) - 1):
+                counts[(s[j], s[j + 1])] = counts.get((s[j], s[j + 1]), 0) + cnt
+        if not counts:
+            break
+        (l, r), total = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, l + r, total))
+        for idx, (s, cnt) in enumerate(items):
+            out, j = [], 0
+            while j < len(s):  # greedy leftmost == string-replace semantics
+                if j + 1 < len(s) and s[j] == l and s[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            items[idx] = (out, cnt)
+    return merges
+
+
+def _bpe_merges_distributed(words: DataFrame, n_merges: int) -> list:
+    """The DataFrame merge loop: the word table stays distributed; each
+    merge is ONE job (pair explode → partial-aggregated count → ordered
+    first()) collecting a single row — a bounded driver statistic, the
+    k-means-centroid posture. The merge is applied with column-based
+    F.replace (no string-built SQL: symbols are corpus data) and the frame
+    localCheckpoints non-eagerly so lineage stays flat across merges."""
+    syms = "split(substring(symstr, 2, length(symstr) - 2), concat(char(2), char(1)))"
+    cur = words.select(
+        "token",
+        "cnt",
+        F.expr(
+            "array_join(transform(sequence(1, length(token)),"
+            " i -> concat(char(1), substring(token, i, 1), char(2))), '')"
+        ).alias("symstr"),
+    ).localCheckpoint(eager=False)
+    merges = []
+    for rank in range(n_merges):
+        best = (
+            cur.select("cnt", F.expr(syms).alias("s"))
+            .filter(F.expr("size(s) >= 2"))
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr("transform(sequence(0, size(s) - 2), j -> named_struct('lhs', s[j], 'rhs', s[j + 1]))")
+                ).alias("p"),
+            )
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .first()
+        )
+        if best is None:
+            break
+        l, r = best["lhs"], best["rhs"]
+        merges.append((rank, l, r, l + r, int(best["total"])))
+        cur = cur.select(
+            "token",
+            "cnt",
+            F.replace(
+                F.col("symstr"),
+                F.lit(_B1 + l + _B2 + _B1 + r + _B2),
+                F.lit(_B1 + l + r + _B2),
+            ).alias("symstr"),
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_merge_table(
+    words: DataFrame,
+    n_merges: int = BPE_MERGES,
+    collect_max_words: int = BPE_COLLECT_MAX_WORDS,
+) -> DataFrame:
+    """(token, cnt) word table → BPE merge table (merge_rank, lhs, rhs,
+    merged, pair_count), two physical strategies behind one contract (see
+    BPE_COLLECT_MAX_WORDS). The distributed corpus pass is the word-count
+    aggregation the caller provides; the merge loop runs over the
+    vocabulary-sized table only."""
+    words = words.localCheckpoint(eager=False)
+    if words.count() <= collect_max_words:
+        pdf = words.toPandas()
+        rows = _bpe_merges_local(list(zip(pdf["token"], pdf["cnt"])), n_merges)
+    else:
+        rows = _bpe_merges_distributed(words, n_merges)
+    schema = "merge_rank long, lhs string, rhs string, merged string, pair_count long"
+    return words.sparkSession.createDataFrame(
+        [(int(a), b, c, d, int(e)) for a, b, c, d, e in rows], schema
+    )
+
+
+def vocab_build_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword (BPE) vocabulary: the first BPE_MERGES weighted merges
+    learned from the corpus word-count table — the real tokenizer-prep
+    step that word-level vocab_build approximates. Merge selection and
+    greedy-leftmost application are fully deterministic (integer weights,
+    (total desc, lhs asc, rhs asc) tie-break), so the DuckDB oracle
+    replays the identical loop as BPE_MERGES unrolled CTE stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_table(_token_counts(docs))
+
+
 TFIDF_TOP_PER_DOC = 3
 
 
