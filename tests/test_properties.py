@@ -121,7 +121,16 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
     a = sorted(QUERIES["multimodal_decode"](spark, sf_dir).collect())
     b = sorted(QUERIES["multimodal_decode"](spark, sf_dir).collect())
     assert a == b
-    assert all(64 <= r.width < 256 and 64 <= r.height < 256 and 1 <= r.n_frames <= 30 for r in a)
+    # every synthesized container must header-parse on the real code path:
+    # even ids are PNGs with image fields, odd ids WAVs with audio fields
+    for r in a:
+        if r.doc_id % 2 == 0:
+            assert r.decode_status == "png" and r.sample_rate is None
+            assert r.width == 16 + r.doc_id % 240 and r.height == 16 + (r.doc_id * 3) % 240
+        else:
+            assert r.decode_status == "wav" and r.width is None and r.height is None
+            assert r.sample_rate == 8000 + 1000 * (r.doc_id % 8)
+            assert r.n_frames == 100 + r.doc_id % 900
 
 
 def test_stream_sessionize_subset_of_batch(spark, sf_dir):

@@ -136,7 +136,6 @@ NORTH_STAR_SURFACE = [
 # ops whose semantics are not SQL-expressible → rows-only by design
 ROWS_ONLY_BY_DESIGN = {
     "approx_distinct_users",  # HLL sketch values are engine-specific
-    "multimodal_decode",  # Python-side stub decode
     "similarity_ivf",  # centroid-cell assignment feeds ranking
     "similarity_ivf_pq",  # iterative codebook training (same contract as IVF)
     "stream_event_count",

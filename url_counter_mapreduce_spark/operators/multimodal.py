@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 
 META_SCHEMA = "doc_id long, n_bytes long, digest string, decode_status string"
-DECODE_SCHEMA = "doc_id long, width int, height int, n_frames int, decode_status string"
+DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int, "
+    "sample_rate int, n_channels int, decode_status string"
+)
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,17 +63,79 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payloads(spark, sf_dir).mapInPandas(extract, schema=META_SCHEMA)
 
 
-def decode_blobs(payloads: DataFrame) -> DataFrame:
-    """Decode an opaque (doc_id, payload binary) frame to typed image
-    metadata via mapInPandas — the real schema/batching/per-blob-Python
-    plumbing of an image decode stage.
+def png_bytes(width: int, height: int) -> bytes:
+    """Minimal VALID 8-bit grayscale PNG (public spec: signature + IHDR +
+    zlib IDAT + IEND, CRC-correct chunks) — built with stdlib only; the
+    container ships no codec libraries."""
+    import struct
+    import zlib
 
-    Per blob: if PIL is importable AND the bytes parse as an image, the
-    real decode runs (status 'pil'); otherwise a deterministic fake derived
-    from the blob's sha256 stands in (status 'fake'). The driver container
-    has no PIL, so driver output is all-'fake'; where PIL exists the real
-    path is exercised with synthetic in-test PNG bytes
-    (tests/test_multimodal_decode.py).
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def wav_bytes(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
+    """Minimal VALID 16-bit PCM WAV (RIFF/WAVE + fmt + silent data)."""
+    import struct
+
+    block_align = n_channels * 2
+    data = bytes(n_frames * block_align)
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align, block_align, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_png(blob: bytes):
+    """(width, height, n_frames) from a PNG's IHDR, or None if the bytes
+    are not a PNG — struct-unpack of the container header, no codecs."""
+    import struct
+
+    if len(blob) < 24 or blob[:8] != b"\x89PNG\r\n\x1a\n" or blob[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", blob[16:24])
+    return int(w), int(h), 1
+
+
+def parse_wav(blob: bytes):
+    """(sample_rate, n_channels, n_audio_frames) from a WAV's fmt/data
+    chunks (RIFF walk), or None if the bytes are not a WAV."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, rate, chans, block, nframes = 12, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if cid == b"fmt " and size >= 16:
+            _fmt, chans, rate, _br, block, _bits = struct.unpack(
+                "<HHIIHH", blob[pos + 8 : pos + 24]
+            )
+        elif cid == b"data" and block:
+            nframes = size // block
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or nframes is None:
+        return None
+    return int(rate), int(chans), int(nframes)
+
+
+def decode_blobs(payloads: DataFrame) -> DataFrame:
+    """Decode an opaque (doc_id, payload binary) frame to typed media
+    metadata via mapInPandas — the real schema/batching/per-blob-Python
+    plumbing of a decode stage.
+
+    Per blob, in order: PNG header parse (status 'png'), WAV header parse
+    (status 'wav') — both stdlib struct-unpack of the real container
+    formats, no codec libraries needed; then PIL if importable (status
+    'pil', full image decode); else a deterministic fake derived from the
+    blob's sha256 (status 'fake'). Audio rows carry (sample_rate,
+    n_channels) and use n_frames for AUDIO frames (data bytes /
+    block_align); image rows leave the audio fields NULL.
 
     NB: the closure is deliberately self-contained (imports + helpers
     inside) so cloudpickle ships it by value — executors' Python workers
@@ -80,42 +145,131 @@ def decode_blobs(payloads: DataFrame) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
         import io as _io
+        import struct as _st
 
         try:
             from PIL import Image  # type: ignore
         except ImportError:
             Image = None
 
-        def decode_one(blob: bytes) -> tuple[int, int, int, str]:
+        def p_png(blob):
+            if len(blob) < 24 or blob[:8] != b"\x89PNG\r\n\x1a\n" or blob[12:16] != b"IHDR":
+                return None
+            w, h = _st.unpack(">II", blob[16:24])
+            return int(w), int(h), 1
+
+        def p_wav(blob):
+            if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+                return None
+            pos, rate, chans, block, nframes = 12, None, None, None, None
+            while pos + 8 <= len(blob):
+                cid = blob[pos : pos + 4]
+                (size,) = _st.unpack("<I", blob[pos + 4 : pos + 8])
+                if cid == b"fmt " and size >= 16:
+                    _f, chans, rate, _b, block, _bt = _st.unpack("<HHIIHH", blob[pos + 8 : pos + 24])
+                elif cid == b"data" and block:
+                    nframes = size // block
+                pos += 8 + size + (size & 1)
+            if rate is None or nframes is None:
+                return None
+            return int(rate), int(chans), int(nframes)
+
+        def decode_one(blob: bytes) -> tuple:
+            blob = bytes(blob)
+            png = p_png(blob)
+            if png is not None:
+                w, h, nf = png
+                return w, h, nf, None, None, "png"
+            wav = p_wav(blob)
+            if wav is not None:
+                rate, chans, nf = wav
+                return None, None, nf, rate, chans, "wav"
             if Image is not None:
                 try:
                     with Image.open(_io.BytesIO(blob)) as im:
-                        return im.width, im.height, getattr(im, "n_frames", 1), "pil"
+                        return im.width, im.height, getattr(im, "n_frames", 1), None, None, "pil"
                 except Exception:
                     pass  # not an image (or truncated) → deterministic fake
             d = _hl.sha256(blob).digest()
-            return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 30, "fake"
+            return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 30, None, None, "fake"
 
         for pdf in batches:
             dims = pdf["payload"].map(decode_one)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "width": dims.map(lambda t: t[0]).astype("int32"),
-                    "height": dims.map(lambda t: t[1]).astype("int32"),
-                    "n_frames": dims.map(lambda t: t[2]).astype("int32"),
-                    "decode_status": dims.map(lambda t: t[3]),
+                    "width": pd.array([t[0] for t in dims], dtype="Int32"),
+                    "height": pd.array([t[1] for t in dims], dtype="Int32"),
+                    "n_frames": pd.array([t[2] for t in dims], dtype="Int32"),
+                    "sample_rate": pd.array([t[3] for t in dims], dtype="Int32"),
+                    "n_channels": pd.array([t[4] for t in dims], dtype="Int32"),
+                    "decode_status": [t[5] for t in dims],
                 }
             )
 
     return payloads.mapInPandas(decode, schema=DECODE_SCHEMA)
 
 
+def synth_media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic VALID media containers keyed on doc_id — even ids
+    become PNGs (width 16 + id % 240, height 16 + 3·id % 240), odd ids
+     16-bit WAVs (rate 8000 + 1000·(id % 8), channels 1 + (id⌊/2⌋ % 2),
+    frames 100 + id % 900). The formulas are the contract the DuckDB
+    oracle replays — the parse stage must recover exactly these values
+    from the container HEADERS, so a generator/parser endianness or
+    layout bug breaks the oracle, not just a unit test."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+        import zlib as _zl
+
+        def chunk(typ, data):
+            body = typ + data
+            return _st.pack(">I", len(data)) + body + _st.pack(">I", _zl.crc32(body) & 0xFFFFFFFF)
+
+        def png(w, h):
+            ihdr = _st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            raw = b"".join(b"\x00" + bytes(w) for _ in range(h))
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zl.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        def wav(rate, chans, nframes):
+            block = chans * 2
+            data = bytes(nframes * block)
+            fmt = _st.pack("<HHIIHH", 1, chans, rate, rate * block, block, 16)
+            body = (
+                b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+                + b"data" + _st.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + _st.pack("<I", len(body)) + body
+
+        def make(doc_id: int) -> bytes:
+            if doc_id % 2 == 0:
+                return png(16 + doc_id % 240, 16 + (doc_id * 3) % 240)
+            return wav(8000 + 1000 * (doc_id % 8), 1 + (doc_id // 2) % 2, 100 + doc_id % 900)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(lambda i: make(int(i)))}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-decode stage over the documents-derived binary payloads (which
-    are utf-8 text, not images — so every row takes the deterministic-fake
-    branch here; the PIL branch is exercised in tests with real PNG bytes)."""
-    return decode_blobs(_payloads(spark, sf_dir))
+    """Media-decode stage over synthesized VALID PNG/WAV containers (the
+    testdata has no binary table and the container no codec libs, so the
+    blobs are built in-engine from the public container specs — see
+    synth_media_payloads). The decode is a REAL header parse: PNG IHDR /
+    RIFF-WAVE chunk walk via struct-unpack. Exact DuckDB oracle: the
+    parsed (width, height, n_frames, sample_rate, n_channels) must equal
+    the generator formulas applied to doc_id."""
+    return decode_blobs(synth_media_payloads(spark, sf_dir))
 
 
 def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

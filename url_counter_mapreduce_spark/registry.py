@@ -611,7 +611,24 @@ _register(
 )
 
 # fake decode dims are a Python-side stub → rows-only check
-_register("multimodal_decode", multimodal.multimodal_decode, None)
+# Exact oracle: the decode stage parses synthesized VALID PNG/WAV container
+# headers (struct-unpack, no codecs); parsed values must equal the
+# synth_media_payloads generator formulas applied to doc_id. A layout or
+# endianness bug in EITHER the generator or the parser breaks the hash.
+_register(
+    "multimodal_decode",
+    multimodal.multimodal_decode,
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(16 + doc_id % 240 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(16 + (doc_id * 3) % 240 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 1 ELSE CAST(100 + doc_id % 900 AS INT) END AS n_frames,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + 1000 * (doc_id % 8) AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(1 + (doc_id // 2) % 2 AS INT) END AS n_channels,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS decode_status
+    FROM documents
+    """,
+)
 
 # ---- streaming (X14): stateful streaming aggregation → rows-only ----------
 
