@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     # round-5 pipeline surface
     "dedup_semantic",
     "vocab_build_bpe",
+    "bpe_encode_corpus",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

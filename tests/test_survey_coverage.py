@@ -131,6 +131,7 @@ NORTH_STAR_SURFACE = [
     # round-5 additions
     "dedup_semantic",
     "vocab_build_bpe",
+    "bpe_encode_corpus",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

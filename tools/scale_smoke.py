@@ -8,6 +8,7 @@ the local[32] stand-in for "would this hold at 1000×".
 
 Usage: python tools/scale_smoke.py            # factors 1, 4, 16
        SCALE_FACTORS=1,8,64 python tools/scale_smoke.py
+       SCALE_PIPELINES=quality_gopher,lm_bigram_quality python tools/scale_smoke.py
 """
 
 from __future__ import annotations
@@ -67,6 +68,10 @@ PIPELINES = [
     # join, which stays 1:1 by design (distinct hashes joined back).
     "dedup_substring_spans",
 ]
+
+_sel = os.environ.get("SCALE_PIPELINES")
+if _sel:
+    PIPELINES = [q for q in _sel.split(",") if q]
 
 
 def replicated_dir(spark, factor: int) -> str:

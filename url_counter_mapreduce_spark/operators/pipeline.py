@@ -272,6 +272,56 @@ def vocab_build_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_table(_token_counts(docs))
 
 
+BPE_TOP_SUBWORDS = 50
+
+
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table corpus-wide — the tokenizer-
+    APPLICATION half (vocab_build_bpe is the training half): encode every
+    word with the BPE_MERGES learned merges and report the top-50 subwords
+    by weighted frequency. This is how a trained tokenizer runs at 100 TB:
+    the merge table (a bounded driver artifact, here 16 rows) broadcasts
+    into the plan as BPE_MERGES chained column-level F.replace projections
+    over the bracketed symbol encoding — map-only, whole-stage-codegen'd,
+    zero Python, zero shuffle before the final subword aggregate. The
+    DuckDB oracle re-trains the merges via the unrolled CTE chain and
+    aggregates its own final symbolization, so training AND application
+    are cross-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _token_counts(docs)
+    merges = sorted(
+        (int(r["merge_rank"]), r["lhs"], r["rhs"]) for r in bpe_merge_table(words).collect()
+    )
+    enc = words.select(
+        "cnt",
+        F.expr(
+            "array_join(transform(sequence(1, length(token)),"
+            " i -> concat(char(1), substring(token, i, 1), char(2))), '')"
+        ).alias("symstr"),
+    )
+    for _rank, l, r in merges:
+        enc = enc.withColumn(
+            "symstr",
+            F.replace(
+                F.col("symstr"),
+                F.lit(_B1 + l + _B2 + _B1 + r + _B2),
+                F.lit(_B1 + l + r + _B2),
+            ),
+        )
+    return (
+        enc.select(
+            "cnt",
+            F.explode(
+                F.expr("split(substring(symstr, 2, length(symstr) - 2), concat(char(2), char(1)))")
+            ).alias("subword"),
+        )
+        .groupBy("subword")
+        .agg(F.sum("cnt").alias("weighted_count"))
+        .orderBy(F.col("weighted_count").desc(), F.col("subword").asc())
+        .limit(BPE_TOP_SUBWORDS)
+    )
+
+
 TFIDF_TOP_PER_DOC = 3
 
 
@@ -759,10 +809,15 @@ def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = {
         l: int(math.floor(s * weights[l] / counts[l] * 1e6)) for l in sorted(counts)
     }
-    case = "CASE " + " ".join(
-        f"WHEN lang = '{l}' THEN {t}" for l, t in thr.items()
-    ) + " ELSE 0 END"
-    return docs.filter(F.expr(f"{_MIX_BUCKET} < {case}")).select("doc_id", "lang")
+    # Column-API CASE (F.when chain), NOT string-built SQL: lang values are
+    # corpus data — a quote in one would break (or inject into) a textual
+    # CASE expression. The plan is identical: literal CASE, map-side filter.
+    case_col = None
+    for l, t in thr.items():
+        branch = (F.col("lang") == F.lit(l), F.lit(t))
+        case_col = F.when(*branch) if case_col is None else case_col.when(*branch)
+    case_col = case_col.otherwise(F.lit(0))
+    return docs.filter(F.expr(_MIX_BUCKET) < case_col).select("doc_id", "lang")
 
 
 def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:

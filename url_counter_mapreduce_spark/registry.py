@@ -1898,7 +1898,7 @@ _register(
 # --------------------------------------------------------------------------
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
+def _bpe_cte_chain(n_merges: int) -> str:
     """DuckDB replay of vocab_build_bpe as ``n_merges`` UNROLLED CTE stages
     (the loop is driver-controlled in Spark; SQL has no loops, so the
     oracle is generated). Each stage: pair totals from the current
@@ -1942,15 +1942,44 @@ def _bpe_oracle_sql(n_merges: int) -> str:
         FROM w{k} LEFT JOIN b{k} b ON TRUE
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
     selects = "\n    UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
         f" total::BIGINT AS pair_count FROM b{k}"
         for k in range(n_merges)
     )
-    return "".join(parts) + "\n    " + selects
+    return _bpe_cte_chain(n_merges) + "\n    " + selects
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """Oracle for the application half: re-train the merges via the same
+    unrolled chain, then aggregate the FINAL symbolization (w{n}) — so the
+    Spark side's broadcast-merge-table + chained-replace encode must agree
+    with an independently trained-and-applied tokenizer."""
+    return (
+        _bpe_cte_chain(n_merges)
+        + f"""
+    SELECT s AS subword, SUM(cnt)::BIGINT AS weighted_count
+    FROM (SELECT cnt,
+                 unnest(string_split(substring(symstr, 2, length(symstr) - 2),
+                                     chr(2) || chr(1))) AS s
+          FROM w{n_merges})
+    GROUP BY s
+    ORDER BY weighted_count DESC, subword ASC
+    LIMIT {_pipeline.BPE_TOP_SUBWORDS}
+    """
+    )
 
 
 _register("vocab_build_bpe", _pipeline.vocab_build_bpe, _bpe_oracle_sql(_pipeline.BPE_MERGES))
+_register(
+    "bpe_encode_corpus",
+    _pipeline.bpe_encode_corpus,
+    _bpe_encode_oracle_sql(_pipeline.BPE_MERGES),
+)
 
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50

@@ -61,8 +61,18 @@ def sink_compacted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     file layout and row order cannot affect it) computed from the COMPACTED
     dataset, verified by the oracle against the original table."""
     docs = load_table(spark, sf_dir, "documents")
-    shattered = tmp_scratch_dir("shatter", sf_dir)
-    compacted = tmp_scratch_dir("compact", sf_dir)
+    # scratch key includes a cheap content fingerprint (size + mtime) of the
+    # source parquet, not just its path: a regenerated fixture at the same
+    # path must re-shatter, or the query would silently compact stale data
+    # while the oracle reads the live table
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        key = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        key = sf_dir
+    shattered = tmp_scratch_dir("shatter", key)
+    compacted = tmp_scratch_dir("compact", key)
     marker = os.path.join(shattered, "_SUCCESS")
     if not os.path.exists(marker):
         docs.repartition(SMALL_FILE_SHARDS).write.mode("overwrite").parquet(shattered)
