@@ -1050,10 +1050,15 @@ def test_substring_spans_find_planted_passage(spark, monkeypatch):
     import url_counter_mapreduce_spark.operators.dedup as dd
 
     monkeypatch.setattr(dd, "load_table", lambda _s, _d, _n: docs)
+    # the window table is session-cached per (app, sf_dir): use a unique
+    # sf_dir token and drop it after, so the monkeypatched fixture can
+    # never collide with another test's corpus under the same key
+    dd.clear_wins_cache()
     spans = {
         r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
-        for r in dedup_substring_spans(spark, "x").collect()
+        for r in dedup_substring_spans(spark, "x-spans-fixture").collect()
     }
+    dd.clear_wins_cache()
     # doc 1: passage at token 0..9 → windows at pos 0..2 (10-8=2), span 0..9
     assert spans[1] == (0, 9, 10 - SUBSTR_NGRAM + 1)
     # doc 2: passage at token 4..13 → windows at pos 4..6, span 4..13
@@ -1081,7 +1086,12 @@ def test_substring_clean_removes_nonowner_passage(spark, monkeypatch):
     import url_counter_mapreduce_spark.operators.dedup as dd
 
     monkeypatch.setattr(dd, "load_table", lambda _s, _d, _n: docs)
-    out = {r["doc_id"]: r.asDict() for r in dedup_substring_clean(spark, "x").collect()}
+    dd.clear_wins_cache()  # see spans test: unique key + explicit drop
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_substring_clean(spark, "x-clean-fixture").collect()
+    }
+    dd.clear_wins_cache()
     md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
     assert out[1]["n_tokens_removed"] == 0 and out[1]["clean_fingerprint"] == md5(a)
     assert out[2]["n_tokens_removed"] == 10

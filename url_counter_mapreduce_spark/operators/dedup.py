@@ -483,6 +483,66 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_NGRAM = 8
 
 
+# (applicationId, sf_dir) → persisted positional-window table
+# (doc_id, pos, h). The SUBSTR_NGRAM-token window hashes are the third
+# shared artifact of a production dedup pipeline (span mining, span
+# materialization/cleaning, and the corpus audit report all consume the
+# same window table; at 100 TB it is a once-per-snapshot materialized
+# table, not a per-query recomputation — the md5-per-window hashing is
+# the dominant cost of the modality). Same bounded-FIFO discipline as
+# _SIG_CACHE / _PAIRS_CACHE.
+_WINS_CACHE: dict = {}
+_WINS_CACHE_MAX = 4
+
+
+def clear_wins_cache() -> None:
+    """Unpersist and drop every cached positional-window table."""
+    while _WINS_CACHE:
+        _, wins = _WINS_CACHE.popitem()
+        try:
+            wins.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
+def _substring_windows_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional SUBSTR_NGRAM-token window hashes, one row per window:
+    (doc_id, pos, h). NULL text is coalesced to '' (zero tokens → zero
+    windows — identical to the un-coalesced form, where size(NULL) = -1
+    is filtered the same way, but explicit so both consumers and their
+    oracles share one NULL story)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _WINS_CACHE:
+        while len(_WINS_CACHE) >= _WINS_CACHE_MAX:
+            oldest = next(iter(_WINS_CACHE))
+            try:
+                _WINS_CACHE.pop(oldest).unpersist()
+            except Exception:
+                pass
+        docs = load_table(spark, sf_dir, "documents")
+        toks = spread(docs.select("doc_id", "text")).withColumn(
+            "toks", F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")
+        )
+        wins = (
+            toks.filter(F.expr(f"size(toks) >= {SUBSTR_NGRAM}"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(toks) - {SUBSTR_NGRAM}),"
+                        f" i -> named_struct('pos', i, 'h',"
+                        f" md5(concat_ws(' ', slice(toks, i + 1, {SUBSTR_NGRAM})))))"
+                    )
+                ).alias("w"),
+            )
+            .select("doc_id", "w.pos", "w.h")
+            .persist()
+        )
+        wins.count()  # materialize once
+        _WINS_CACHE[key] = wins
+    return _WINS_CACHE[key]
+
+
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring mining (the Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022 modality):
@@ -500,23 +560,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands (pos − row_number() over the doc's matched positions
     is constant within a run of consecutive matches) merges overlapping
     windows into maximal spans. Deterministic integers + md5 → exact
-    DuckDB oracle replaying the same construction."""
+    DuckDB oracle replaying the same construction. The window table is
+    the session-cached shared artifact (_substring_windows_for): span
+    mining, cleaning, and the audit report hash the corpus once."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = spread(docs.select("doc_id", "text")).withColumn(
-        "toks", F.expr("filter(split(text, ' '), x -> x != '')")
-    )
-    wins = toks.filter(F.expr(f"size(toks) >= {SUBSTR_NGRAM}")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {SUBSTR_NGRAM}),"
-                f" i -> named_struct('pos', i, 'h',"
-                f" md5(concat_ws(' ', slice(toks, i + 1, {SUBSTR_NGRAM})))))"
-            )
-        ).alias("w"),
-    ).select("doc_id", "w.pos", "w.h")
+    wins = _substring_windows_for(spark, sf_dir)
     shared = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -558,20 +607,13 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     by document length), and a map-side rebuild of the kept text."""
     docs = load_table(spark, sf_dir, "documents")
     # NULL text ⇒ zero tokens (coalesced identically in the oracle: the
-    # engines' NULL propagation through split/filter/concat_ws differs)
+    # engines' NULL propagation through split/filter/concat_ws differs).
+    # toks is recomputed here (one scan + split, no hashing) for the final
+    # rebuild; the EXPENSIVE window hashing comes from the shared cache.
     toks = spread(docs.select("doc_id", "text")).withColumn(
         "toks", F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")
     )
-    wins = toks.filter(F.expr(f"size(toks) >= {SUBSTR_NGRAM}")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {SUBSTR_NGRAM}),"
-                f" i -> named_struct('pos', i, 'h',"
-                f" md5(concat_ws(' ', slice(toks, i + 1, {SUBSTR_NGRAM})))))"
-            )
-        ).alias("w"),
-    ).select("doc_id", "w.pos", "w.h")
+    wins = _substring_windows_for(spark, sf_dir)
     owners = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("owner"))
