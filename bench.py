@@ -90,6 +90,10 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "vocab_build_bpe",
     "bpe_encode_corpus",
+    "quality_classifier_score",
+    "bm25_topk",
+    "sample_token_budget",
+    "corpus_shuffle",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

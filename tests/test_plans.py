@@ -123,3 +123,22 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name} plans an unintended broadcast nested-loop join"
             )
+
+
+def test_prefix_scan_ops_avoid_single_partition_window(spark, sf_dir):
+    """The order-dependent passes (token-budget sampling, epoch shuffle)
+    must NOT plan an unpartitioned Window — that is Exchange
+    SinglePartition, the one-task collapse the two-phase bucketed prefix
+    scan exists to avoid. Their offset tables must come in via broadcast."""
+    for name in ("sample_token_budget", "corpus_shuffle"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange SinglePartition" not in plan, f"{name} collapses to one task"
+        assert "BroadcastHashJoin" in plan, f"{name} should broadcast its offset table"
+
+
+def test_quality_classifier_is_scan_only(spark, sf_dir):
+    """fastText-style inference is a pure map: the plan must contain no
+    Exchange at all (per-row folds over the token array, no explode, no
+    shuffle)."""
+    plan = _plan(spark, sf_dir, "quality_classifier_score")
+    assert "Exchange" not in plan

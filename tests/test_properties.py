@@ -1121,3 +1121,111 @@ def test_multimodal_dedup_collapses_identical_payloads(spark, monkeypatch):
     assert out[2]["canonical_id"] == 1 and out[2]["is_canonical"] is False
     assert out[1]["is_canonical"] and out[3]["is_canonical"] and out[4]["is_canonical"]
     assert out[4]["n_bytes"] == 0
+
+
+def test_token_budget_admission_is_maximal_and_within_budget(spark, sf_dir):
+    """sample_token_budget: every source's running total stays ≤ budget, and
+    the FIRST excluded doc in priority order would have pushed it over —
+    admission is maximal, not merely valid. Recomputed via the naive
+    single-window prefix scan, so this also cross-checks the two-phase
+    bucketed decomposition on the Spark side alone."""
+    from pyspark.sql.window import Window
+
+    from url_counter_mapreduce_spark.operators import pipeline as pl
+
+    kept = QUERIES["sample_token_budget"](spark, sf_dir).collect()
+    budget = pl.TOKEN_BUDGET_PER_SOURCE
+    per_source_max = {}
+    kept_ids = set()
+    for r in kept:
+        assert r["cum_tokens"] <= budget
+        kept_ids.add(r["doc_id"])
+        per_source_max[r["source"]] = max(
+            per_source_max.get(r["source"], 0), r["cum_tokens"]
+        )
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(filter(split(coalesce(text, ''), ' '), x -> x != '')) AS BIGINT)").alias(
+            "n_tokens"
+        ),
+        F.expr(pl._priority_hash("budget")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = base.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+    # two-phase == naive on the kept set, and first excluded doc overflows
+    for r in naive:
+        if r["cum"] <= budget:
+            assert r["doc_id"] in kept_ids
+        else:
+            assert r["doc_id"] not in kept_ids
+
+
+def test_corpus_shuffle_is_permutation_with_contiguous_balanced_shards(spark, sf_dir):
+    """corpus_shuffle: ranks are exactly 1..N (the two-phase global rank is
+    a permutation — no collision, no gap), shard sizes differ by ≤1, and
+    each shard is one contiguous run of the shuffled order (the property
+    that makes the 100 TB write a repartitionByRange with no extra sort)."""
+    from url_counter_mapreduce_spark.operators import pipeline as pl
+
+    rows = QUERIES["corpus_shuffle"](spark, sf_dir).collect()
+    n = len(rows)
+    ranks = sorted(r["shuffle_rank"] for r in rows)
+    assert ranks == list(range(1, n + 1))
+    by_rank = sorted(rows, key=lambda r: r["shuffle_rank"])
+    shards = [r["shard"] for r in by_rank]
+    assert shards == sorted(shards)  # contiguous runs, in order
+    from collections import Counter
+
+    sizes = Counter(shards)
+    assert set(sizes) == set(range(pl.SHUFFLE_SHARDS))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_quality_classifier_score_sign_and_range(spark, sf_dir):
+    """quality_classifier_score: the keep bit is exactly the sign of the
+    integer numerator (score > 0 ⟺ keep for non-empty docs), and the
+    normalized score stays in (−1, 1)."""
+    rows = QUERIES["quality_classifier_score"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 < r["score"] < 1.0
+        if r["n_toks"] > 0:
+            assert r["keep"] == (r["score"] > 0.0)
+        else:
+            assert r["keep"] is False and r["score"] == 0.0
+
+
+def test_bm25_prefers_higher_tf_and_shorter_docs(spark, monkeypatch):
+    """BM25 on synthetic extremes: with equal length, more occurrences of
+    the term rank higher; with equal tf, the shorter document ranks higher
+    (the length normalization working as specified)."""
+    from url_counter_mapreduce_spark.operators import text as text_ops
+
+    pad = " ".join(["pad"] * 20)
+    rows = [
+        (1, "spark spark spark " + pad, "en", "s0", 0),
+        (2, "spark " + pad + " xx yy", "en", "s0", 0),   # same dl=23, tf=1
+        (3, "spark " + " ".join(["pad"] * 50), "en", "s0", 0),  # tf=1, longer
+    ]
+    rows = [(i, t, l, s, len(t)) for (i, t, l, s, _) in rows]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        "url_counter_mapreduce_spark.operators.text.load_table",
+        lambda _s, _d, _n: docs,
+    )
+    out = [
+        r
+        for r in text_ops.bm25_topk(spark, "x").collect()
+        if r["term"] == "spark"
+    ]
+    by_doc = {r["doc_id"]: r for r in out}
+    assert by_doc[1]["rank"] < by_doc[2]["rank"]  # higher tf wins at equal dl
+    assert by_doc[2]["rank"] < by_doc[3]["rank"]  # shorter doc wins at equal tf

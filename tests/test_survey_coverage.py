@@ -132,6 +132,11 @@ NORTH_STAR_SURFACE = [
     "dedup_semantic",
     "vocab_build_bpe",
     "bpe_encode_corpus",
+    "quality_classifier_score",
+    "bm25_topk",
+    "sample_token_budget",
+    "corpus_shuffle",
+    "source_orc_roundtrip",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

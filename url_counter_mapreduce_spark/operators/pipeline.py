@@ -18,6 +18,9 @@ from ..functions.vector import stable_round
 from ..tables import load_table
 
 _TOKS = "filter(split(text, ' '), x -> x != '')"
+# NULL-safe variant (NULL text → empty token array in BOTH engines; same
+# convention as operators/text._TOKS_SAFE)
+_TOKS_SAFE = "filter(split(coalesce(text, ''), ' '), x -> x != '')"
 
 # md5-derived 32-bit doc hash → decile: the cross-engine-reproducible
 # stand-in for a seeded RNG (same trick as the SimHash token hash)
@@ -840,3 +843,128 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE 'test' END"
     )
     return groups.select("doc_id", "group_id", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# Order-dependent corpus passes (token-budget sampling, epoch shuffling)
+# via a SCALABLE prefix scan. The naive plan — one window over the whole
+# ordering — collapses to a single task in Spark (an unpartitioned Window
+# moves every row to one partition). Instead: the priority hash's high
+# 6 bits define 64 ORDER-PRESERVING buckets (bucket b's rows all precede
+# bucket b+1's in hash order), per-bucket subtotals are a tiny aggregate
+# (|groups|·64 rows) collected to the driver, exclusive prefix offsets are
+# broadcast-joined back, and the window runs per (group, bucket) — 64-way
+# parallel, no task sees more than ~1/64 of a group. The DuckDB oracle
+# runs the NAIVE single-window form; both produce identical rows, which is
+# itself the strongest test that the decomposition is exact.
+# ---------------------------------------------------------------------------
+
+_PREFIX_BUCKETS = 64
+# high 6 bits of the 32-bit priority hash → bucket preserves hash order
+_BUCKET_DIV = 2**32 // _PREFIX_BUCKETS
+
+
+def _priority_hash(salt: str) -> str:
+    """Salted content-independent 32-bit doc priority (same md5 idiom as
+    train_test_split / sample_stratified; the salt decorrelates orderings)."""
+    return (
+        f"CAST(conv(substring(md5(concat('{salt}:', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+
+
+def _with_prefix_cumsum(
+    df: DataFrame, part_cols: list[str], val_col: str, out_col: str
+) -> DataFrame:
+    """Add `out_col` = inclusive cumulative sum of `val_col` over rows of
+    `df` ordered by (h, doc_id) within `part_cols`, WITHOUT a global
+    window. `df` must carry BIGINT columns h (32-bit hash) and doc_id.
+    Shuffle cost: one tiny aggregate + one broadcast join + one window
+    keyed (part_cols, bucket) — at any scale the biggest partition is
+    ~1/64 of the largest group."""
+    from pyspark.sql.functions import broadcast
+
+    b = df.withColumn("bucket", F.expr(f"CAST(h DIV {_BUCKET_DIV} AS INT)"))
+    sub = b.groupBy(*part_cols, "bucket").agg(F.sum(val_col).alias("sub_total"))
+    rows = sub.collect()  # bounded: |groups| × 64 rows of integers
+    if not rows:  # empty input: nothing to rank, avoid schema-less createDataFrame
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    offsets, seen = [], {}
+    for r in sorted(rows, key=lambda r: tuple([*(r[c] for c in part_cols), r["bucket"]])):
+        g = tuple(r[c] for c in part_cols)
+        offsets.append((*g, r["bucket"], seen.get(g, 0)))
+        seen[g] = seen.get(g, 0) + r["sub_total"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, [*part_cols, "bucket", "offset"]
+    ).withColumn("offset", F.col("offset").cast("long"))
+    w = (
+        Window.partitionBy(*part_cols, "bucket")
+        .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(broadcast(off_df), [*part_cols, "bucket"])
+        .withColumn(out_col, (F.col("offset") + F.sum(val_col).over(w)).cast("long"))
+        .drop("bucket", "offset")
+    )
+
+
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: per source, admit documents in deterministic
+    salted-hash priority order until the running token total would exceed
+    TOKEN_BUDGET_PER_SOURCE — the "take N tokens from each source" step of
+    assembling a training mixture under an absolute token budget (recipes
+    are quoted in tokens, not documents; admission must be reproducible
+    across engines/runs/shards, hence hash priority instead of an RNG).
+    Returns every admitted doc with its running total, so the oracle
+    verifies each admission decision and each prefix sum exactly (integer
+    arithmetic throughout).
+
+    Scale: the prefix scan is the two-phase bucketed form above — no
+    global window; admission is a map-side comparison after it."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"CAST(size({_TOKS_SAFE}) AS BIGINT)").alias("n_tokens"),
+        F.expr(_priority_hash("budget")).alias("h"),
+    )
+    cum = _with_prefix_cumsum(base, ["source"], "n_tokens", "cum_tokens")
+    return (
+        cum.filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+SHUFFLE_SHARDS = 16
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + sharding: every document gets a global
+    shuffle_rank (its position in salted-hash order — the reproducible
+    stand-in for "shuffle the corpus before epoch 0") and a contiguous
+    shard in [0, SHUFFLE_SHARDS) of near-equal size
+    (⌊(rank−1)·S/N⌋ — the writer-friendly assignment: each shard is one
+    contiguous run of the shuffled order, so a 100 TB write is
+    repartitionByRange(shard) with zero additional sorting). Training-data
+    loaders consume exactly this artifact: shard files in shuffled order.
+
+    The global rank uses the same bucketed prefix scan (rank = cumulative
+    count), so no single task ever materializes the full ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.lit(1).alias("one"), F.expr(_priority_hash("shuf:0")).alias("h")
+    )
+    n_docs = docs.count()
+    ranked = _with_prefix_cumsum(base, [], "one", "shuffle_rank")
+    return ranked.select(
+        "doc_id",
+        "shuffle_rank",
+        F.expr(f"CAST((shuffle_rank - 1L) * {SHUFFLE_SHARDS}L DIV {n_docs}L AS INT)").alias(
+            "shard"
+        ),
+    )

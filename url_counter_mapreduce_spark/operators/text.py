@@ -583,3 +583,127 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed linear quality classifier.
+#
+# Real pipelines (CCNet, RedPajama, FineWeb) gate documents with a linear
+# classifier over hashed word/bigram features — inference is a per-document
+# dot product, embarrassingly parallel. The weights here are derived
+# deterministically from the feature hash itself (a fixed "model" both
+# engines can reproduce); swapping in trained weights is a broadcast-join
+# of a (hash → weight) table and changes nothing about the plan shape.
+#
+# Exactness design: weights are INTEGERS (hash32 − 2³¹ ∈ [−2³¹, 2³¹)), the
+# per-document score numerator is an exact BIGINT sum (order-independent),
+# and only ONE final division produces the double — so Spark and DuckDB
+# agree bit-for-bit with no rounding heroics, and the keep decision
+# (numerator > 0) is pure integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_QW_UNI = (
+    "(CAST(conv(substring(md5(concat('qw:', t)), 1, 8), 16, 10) AS BIGINT)"
+    " - 2147483648L)"
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words + bigram linear classifier score per document —
+    the fastText-inference shape (CCNet / RedPajama quality gate). Unigram
+    and bigram features hash to signed integer weights; the document logit
+    is their mean. Whole plan is a single map-side projection: per-row
+    in-order folds over the token array, NO explode and NO shuffle — at
+    100 TB this is a pure scan-bound pass that fuses into whatever filter
+    consumes `keep`.
+
+    score = Σw / (n_feats·2³¹) ∈ ~[−1, 1]; Σw is an exact BIGINT so both
+    engines compute the identical double in one division.
+    Reference parity: the reference has no classifier stage (its pipeline
+    ends at count/sort, src/main/main.go:22-49); this is north-star surface.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS_SAFE).alias("toks"))
+    sum_uni = f"aggregate(toks, 0L, (acc, t) -> acc + {_QW_UNI})"
+    # bigram fold over positions 0..n-2
+    sum_bi = (
+        "aggregate(sequence(0, size(toks) - 2), 0L, (acc, i) -> acc + "
+        "(CAST(conv(substring(md5(concat('qw2:', toks[i], ' ', toks[i + 1])), 1, 8), 16, 10) AS BIGINT)"
+        " - 2147483648L))"
+    )
+    return toks.select(
+        "doc_id",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_toks"),
+        F.expr(
+            f"CAST({sum_uni} + CASE WHEN size(toks) < 2 THEN 0L ELSE {sum_bi} END AS BIGINT)"
+        ).alias("sum_w"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        F.expr(
+            "CASE WHEN n_toks = 0 THEN CAST(0.0 AS DOUBLE) "
+            "ELSE CAST(sum_w AS DOUBLE) / (CAST((n_toks + GREATEST(n_toks - 1, 0)) AS DOUBLE) * 2147483648.0D) END"
+        ).alias("score"),
+        F.expr("sum_w > 0").alias("keep"),
+    )
+
+
+# BM25 query terms: fixed probe queries over the corpus vocabulary. The
+# per-term top-k is what a retrieval-quality audit of a corpus snapshot
+# looks at ("which documents dominate common queries").
+BM25_TERMS = ("spark", "join", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 5
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term BM25 document ranking: top-BM25_TOP documents for each probe
+    term by the Okapi saturation score
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    The global idf factor is a per-term CONSTANT, so per-term ranking is
+    independent of it — dropping it keeps the arithmetic pure rational
+    (+,·,÷ in a fixed order), which Spark and DuckDB evaluate
+    bit-identically (same reason tf_idf_topk uses rational idf: libm ln()
+    differs in the last ulp across engines).
+
+    Plan shape at scale: the term filter is applied BEFORE the shuffle
+    (map-side `token IN (...)` on the exploded scan), so the aggregate
+    shuffles only matching (doc, term) pairs — a vanishing fraction of the
+    corpus; dl rides along as a grouping column from the same scan (no
+    second pass, no join); avgdl is two driver-side integers. Final window
+    partitions by term (|terms| groups of ≤ matched docs each) and a
+    rank ≤ k cut."""
+    from ..functions.vector import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS_SAFE).alias("toks"))
+    stats = toks.select(
+        F.sum(F.expr("CAST(size(toks) AS BIGINT)")).alias("sum_dl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).collect()[0]
+    # one exact-integer division → the identical double in both engines
+    avgdl = stats["sum_dl"] / stats["n_docs"]
+    terms_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tf = (
+        toks.select(
+            "doc_id",
+            F.expr("CAST(size(toks) AS BIGINT)").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.expr(f"term IN ({terms_list})"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    score = (
+        f"(CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r}D) / "
+        f"(CAST(tf AS DOUBLE) + {BM25_K1!r}D * "
+        f"({1.0 - BM25_B!r}D + {BM25_B!r}D * CAST(dl AS DOUBLE) / {avgdl!r}D))"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        tf.withColumn("score", F.expr(stable_round(score, 6)))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP)
+        .select("term", "doc_id", "tf", "dl", "score", "rank")
+    )

@@ -1982,6 +1982,129 @@ _register(
 )
 
 # --------------------------------------------------------------------------
+# Round-5 additions, part 2: hashed linear quality classifier, BM25
+# retrieval audit, token-budget sampling, deterministic epoch shuffle,
+# ORC round-trip.
+# --------------------------------------------------------------------------
+
+# NULL-safe DuckDB token list (twin of operators/text._TOKS_SAFE)
+_TOKS_SAFE_SQL = "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
+
+# signed 32-bit feature weight from the md5 hash (twin of text._QW_UNI)
+_QW_UNI_SQL = "(CAST('0x' || substr(md5('qw:' || tk), 1, 8) AS BIGINT) - 2147483648)"
+_QW_BI_SQL = (
+    "(CAST('0x' || substr(md5('qw2:' || toks[i] || ' ' || toks[i + 1]), 1, 8)"
+    " AS BIGINT) - 2147483648)"
+)
+
+_register(
+    "quality_classifier_score",
+    text.quality_classifier_score,
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SAFE_SQL} AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+               CAST(COALESCE(list_sum(list_transform(toks, tk -> {_QW_UNI_SQL})), 0)
+                    + CASE WHEN len(toks) < 2 THEN 0
+                           ELSE COALESCE(list_sum(list_transform(range(1, len(toks)),
+                                i -> {_QW_BI_SQL})), 0) END
+                    AS BIGINT) AS sum_w
+        FROM t
+    )
+    SELECT doc_id, n_toks,
+           CASE WHEN n_toks = 0 THEN 0.0
+                ELSE CAST(sum_w AS DOUBLE)
+                     / (CAST(n_toks + GREATEST(n_toks - 1, 0) AS DOUBLE) * 2147483648.0)
+           END AS score,
+           sum_w > 0 AS keep
+    FROM s
+    """,
+)
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in text.BM25_TERMS)
+
+_register(
+    "bm25_topk",
+    text.bm25_topk,
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SAFE_SQL} AS toks FROM documents
+    ), stats AS (
+        SELECT CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl FROM t
+    ), tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+              FROM t)
+        WHERE term IN ({_BM25_TERMS_SQL})
+        GROUP BY term, doc_id, dl
+    ), scored AS (
+        SELECT term, doc_id, tf, dl,
+               floor(((CAST(tf AS DOUBLE) * {text.BM25_K1 + 1.0!r})
+                      / (CAST(tf AS DOUBLE) + {text.BM25_K1!r}
+                         * ({1.0 - text.BM25_B!r} + {text.BM25_B!r} * CAST(dl AS DOUBLE)
+                            / (SELECT avgdl FROM stats)))) * 1e6 + 0.5) / 1e6 AS score
+        FROM tf
+    ), ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY term
+                       ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        FROM scored
+    )
+    SELECT term, doc_id, tf, dl, score, rank FROM ranked WHERE rank <= {text.BM25_TOP}
+    """,
+)
+
+# salted 32-bit priority hash, DuckDB twin of pipeline._priority_hash
+def _prio_sql(salt: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    )
+
+
+# The oracle runs the NAIVE single-window prefix scan; the Spark side runs
+# the 64-bucket two-phase decomposition (operators/pipeline.py) — identical
+# rows prove the decomposition exact.
+_register(
+    "sample_token_budget",
+    _pipeline.sample_token_budget,
+    f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS_SAFE_SQL}) AS BIGINT) AS n_tokens,
+               {_prio_sql("budget")} AS h
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+        FROM base
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+    WHERE cum_tokens <= {_pipeline.TOKEN_BUDGET_PER_SOURCE}
+    """,
+)
+
+_register(
+    "corpus_shuffle",
+    _pipeline.corpus_shuffle,
+    f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY {_prio_sql("shuf:0")} ASC, doc_id ASC)
+                    AS BIGINT) AS shuffle_rank
+        FROM documents
+    )
+    SELECT doc_id, shuffle_rank,
+           CAST((shuffle_rank - 1) * {_pipeline.SHUFFLE_SHARDS}
+                // (SELECT COUNT(*) FROM documents) AS INT) AS shard
+    FROM ranked
+    """,
+)
+
+_register("source_orc_roundtrip", _roundtrip.source_orc_roundtrip, _ROUNDTRIP_ORACLE)
+
+# --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
 # ``udtf_surface`` at position 9 pushed position 51 out of the file). To make

@@ -51,6 +51,18 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_summary(back)
 
 
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC → back → per-lang summary. ORC is the other columnar
+    interchange format warehouse exports arrive in (Hive/Trino lineage);
+    Spark's writer/reader is native JVM (no extra package), with the same
+    predicate-pushdown/column-pruning surface as parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _rt_dir("orc", sf_dir)
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(docs.schema).orc(path)
+    return _doc_summary(back)
+
+
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → CSV (RFC-4180 double-quote escaping) → back → per-lang
     summary. Free text with commas/quotes is exactly what breaks naive CSV
