@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "sample_token_budget",
     "corpus_shuffle",
+    "training_export",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

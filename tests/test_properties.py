@@ -1229,3 +1229,20 @@ def test_bm25_prefers_higher_tf_and_shorter_docs(spark, monkeypatch):
     by_doc = {r["doc_id"]: r for r in out}
     assert by_doc[1]["rank"] < by_doc[2]["rank"]  # higher tf wins at equal dl
     assert by_doc[2]["rank"] < by_doc[3]["rank"]  # shorter doc wins at equal tf
+
+
+def test_training_export_shards_balanced_and_within_budget(spark, sf_dir):
+    """training_export manifest: shard ids are contiguous from 0, shard
+    sizes differ by ≤1 (the ⌊(rank−1)·S/N⌋ assignment), and no source can
+    have contributed more than the token budget (so the per-shard token
+    sums total at most sources × budget)."""
+    from url_counter_mapreduce_spark.operators import pipeline as pl
+
+    rows = QUERIES["training_export"](spark, sf_dir).collect()
+    assert rows
+    shards = sorted(r["shard"] for r in rows)
+    assert shards == list(range(len(shards)))
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    n_sources = load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    assert sum(r["n_tokens"] for r in rows) <= n_sources * pl.EXPORT_TOKEN_BUDGET

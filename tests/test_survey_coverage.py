@@ -137,6 +137,7 @@ NORTH_STAR_SURFACE = [
     "sample_token_budget",
     "corpus_shuffle",
     "source_orc_roundtrip",
+    "training_export",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

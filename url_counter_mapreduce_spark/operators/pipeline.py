@@ -968,3 +968,80 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard"
         ),
     )
+
+
+EXPORT_TOKEN_BUDGET = 600
+EXPORT_SHARDS = 8
+EXPORT_MIN_TOKENS = 10
+
+
+def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the raw-corpus → training-shards export as one composed
+    pipeline — classifier quality gate → exact dedup → per-source token
+    budget → deterministic shuffle+shard → per-shard manifest. This is the
+    artifact a trainer actually mounts: shard files in shuffled order with
+    a manifest row per shard (doc/token counts + an order-insensitive
+    content signature that pins every surviving byte).
+
+    Stages (each individually oracle-checked elsewhere; the capstone
+    verifies the COMPOSITION end-to-end):
+      1. keep docs with classifier Σw > 0 and ≥ EXPORT_MIN_TOKENS tokens
+         (map-side, fuses into the scan);
+      2. exact dedup on the normalized-text md5, keep min doc_id
+         (one hash aggregate + semi join — the dedup_exact shape);
+      3. admit per source until EXPORT_TOKEN_BUDGET running tokens
+         (two-phase bucketed prefix scan, no single-partition window);
+      4. global shuffle rank + contiguous shards (same prefix-scan);
+      5. per-shard counts + bit_xor content signature.
+
+    Driver-side state: two bounded offset collects + one count — all
+    O(sources × 64) integers, the same discipline as mix_sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .text import classifier_sum_w_expr
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(_TOKS_SAFE).alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+        F.expr(classifier_sum_w_expr("toks")).alias("sum_w"),
+    )
+    gated = base.filter(
+        (F.col("sum_w") > 0) & (F.col("n_tokens") >= EXPORT_MIN_TOKENS)
+    ).withColumn("fp", F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    keepers = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = gated.join(keepers.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "source", "n_tokens", "fp", F.expr(_priority_hash("export")).alias("h")
+    )
+    admitted = (
+        _with_prefix_cumsum(survivors, ["source"], "n_tokens", "cum_tokens")
+        .filter(F.col("cum_tokens") <= EXPORT_TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "fp",
+            F.lit(1).alias("one"),
+            F.expr(_priority_hash("export-shuf")).alias("h"),
+        )
+    )
+    n_admitted = admitted.count()
+    ranked = _with_prefix_cumsum(admitted, [], "one", "shuffle_rank")
+    sharded = ranked.withColumn(
+        "shard",
+        F.expr(
+            f"CAST((shuffle_rank - 1L) * {EXPORT_SHARDS}L DIV {max(n_admitted, 1)}L AS INT)"
+        ),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(bit_xor(CAST(conv(substring(md5(concat_ws('|', CAST(doc_id AS STRING), fp)), 1, 15), 16, 10) AS BIGINT)) AS BIGINT)"
+        ).alias("content_sig"),
+    )

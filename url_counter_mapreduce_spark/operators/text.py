@@ -606,6 +606,21 @@ _QW_UNI = (
     "(CAST(conv(substring(md5(concat('qw:', t)), 1, 8), 16, 10) AS BIGINT)"
     " - 2147483648L)"
 )
+
+
+def classifier_sum_w_expr(toks_col: str = "toks") -> str:
+    """Exact-integer classifier numerator Σw over unigram+bigram hashed
+    features of a token-array column — shared by the standalone scorer and
+    the training_export capstone (and mirrored in SQL by the registry)."""
+    uni = f"aggregate({toks_col}, 0L, (acc, t) -> acc + {_QW_UNI})"
+    bi = (
+        f"aggregate(sequence(0, size({toks_col}) - 2), 0L, (acc, i) -> acc + "
+        f"(CAST(conv(substring(md5(concat('qw2:', {toks_col}[i], ' ', {toks_col}[i + 1])), 1, 8), 16, 10) AS BIGINT)"
+        " - 2147483648L))"
+    )
+    return f"CAST({uni} + CASE WHEN size({toks_col}) < 2 THEN 0L ELSE {bi} END AS BIGINT)"
+
+
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed bag-of-words + bigram linear classifier score per document —
     the fastText-inference shape (CCNet / RedPajama quality gate). Unigram
@@ -622,19 +637,10 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.expr(_TOKS_SAFE).alias("toks"))
-    sum_uni = f"aggregate(toks, 0L, (acc, t) -> acc + {_QW_UNI})"
-    # bigram fold over positions 0..n-2
-    sum_bi = (
-        "aggregate(sequence(0, size(toks) - 2), 0L, (acc, i) -> acc + "
-        "(CAST(conv(substring(md5(concat('qw2:', toks[i], ' ', toks[i + 1])), 1, 8), 16, 10) AS BIGINT)"
-        " - 2147483648L))"
-    )
     return toks.select(
         "doc_id",
         F.expr("CAST(size(toks) AS BIGINT)").alias("n_toks"),
-        F.expr(
-            f"CAST({sum_uni} + CASE WHEN size(toks) < 2 THEN 0L ELSE {sum_bi} END AS BIGINT)"
-        ).alias("sum_w"),
+        F.expr(classifier_sum_w_expr("toks")).alias("sum_w"),
     ).select(
         "doc_id",
         "n_toks",

@@ -1997,6 +1997,14 @@ _QW_BI_SQL = (
     " AS BIGINT) - 2147483648)"
 )
 
+# exact-integer classifier numerator over a `toks` list column — the DuckDB
+# twin of text.classifier_sum_w_expr, shared with training_export
+_SUM_W_SQL = f"""CAST(COALESCE(list_sum(list_transform(toks, tk -> {_QW_UNI_SQL})), 0)
+                    + CASE WHEN len(toks) < 2 THEN 0
+                           ELSE COALESCE(list_sum(list_transform(range(1, len(toks)),
+                                i -> {_QW_BI_SQL})), 0) END
+                    AS BIGINT)"""
+
 _register(
     "quality_classifier_score",
     text.quality_classifier_score,
@@ -2005,11 +2013,7 @@ _register(
         SELECT doc_id, {_TOKS_SAFE_SQL} AS toks FROM documents
     ), s AS (
         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
-               CAST(COALESCE(list_sum(list_transform(toks, tk -> {_QW_UNI_SQL})), 0)
-                    + CASE WHEN len(toks) < 2 THEN 0
-                           ELSE COALESCE(list_sum(list_transform(range(1, len(toks)),
-                                i -> {_QW_BI_SQL})), 0) END
-                    AS BIGINT) AS sum_w
+               {_SUM_W_SQL} AS sum_w
         FROM t
     )
     SELECT doc_id, n_toks,
@@ -2103,6 +2107,52 @@ _register(
 )
 
 _register("source_orc_roundtrip", _roundtrip.source_orc_roundtrip, _ROUNDTRIP_ORACLE)
+
+# Capstone: raw corpus → training shards. The oracle replays the full
+# composition with NAIVE windows (the Spark side's bucketed prefix scans
+# must produce row-identical admissions/ranks for the manifest to hash-match).
+_register(
+    "training_export",
+    _pipeline.training_export,
+    rf"""
+    WITH t AS (
+        SELECT doc_id, source, text, {_TOKS_SAFE_SQL} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, source, text,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               {_SUM_W_SQL} AS sum_w
+        FROM t
+    ), gate AS (
+        SELECT doc_id, source, n_tokens,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM g WHERE sum_w > 0 AND n_tokens >= {_pipeline.EXPORT_MIN_TOKENS}
+    ), keep AS (
+        SELECT * FROM gate
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1
+    ), bud AS (
+        SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source
+                       ORDER BY h ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                      AS cum_tokens
+        FROM (SELECT *, {_prio_sql("export")} AS h FROM keep)
+    ), adm AS (
+        SELECT doc_id, source, n_tokens, fp FROM bud
+        WHERE cum_tokens <= {_pipeline.EXPORT_TOKEN_BUDGET}
+    ), rk AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY {_prio_sql("export-shuf")} ASC,
+                       doc_id ASC) AS BIGINT) AS shuffle_rank
+        FROM adm
+    ), sh AS (
+        SELECT *, CAST((shuffle_rank - 1) * {_pipeline.EXPORT_SHARDS}
+                       // GREATEST((SELECT COUNT(*) FROM adm), 1) AS INT) AS shard
+        FROM rk
+    )
+    SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || fp),
+                1, 15) AS BIGINT)) AS BIGINT) AS content_sig
+    FROM sh GROUP BY shard
+    """,
+)
 
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
