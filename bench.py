@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "sample_token_budget",
     "corpus_shuffle",
     "training_export",
+    "host_pagerank",
     # temporal / advanced relational
     "sessionize_events",
     "join_asof",

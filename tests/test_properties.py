@@ -1246,3 +1246,25 @@ def test_training_export_shards_balanced_and_within_budget(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1
     n_sources = load_table(spark, sf_dir, "documents").select("source").distinct().count()
     assert sum(r["n_tokens"] for r in rows) <= n_sources * pl.EXPORT_TOKEN_BUDGET
+
+
+def test_host_pagerank_ranks_hub_first_and_mass_bounded(spark, monkeypatch):
+    """PageRank on a synthetic star: a hub that every spoke links to must
+    rank first, and total rank mass stays ≤ 1 (dangling mass is dropped,
+    never amplified)."""
+    from url_counter_mapreduce_spark.operators import graph as graph_ops
+
+    # hub is a pure sink: a hub↔spoke back-edge would make a period-2 cycle
+    # that is still oscillating (not yet damped) at PR_ITERS iterations
+    rows = [(i, f"spoke{i:02d} hub", "en", "s0", 15) for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        "url_counter_mapreduce_spark.operators.graph.load_table",
+        lambda _s, _d, _n: docs,
+    )
+    out = graph_ops.host_pagerank(spark, "x").collect()
+    assert out[0]["host"] == "hub"
+    assert out[0]["rank"] > max(r["rank"] for r in out[1:])
+    assert sum(r["rank"] for r in out) <= 1.0 + 1e-6

@@ -138,6 +138,7 @@ NORTH_STAR_SURFACE = [
     "corpus_shuffle",
     "source_orc_roundtrip",
     "training_export",
+    "host_pagerank",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -294,3 +294,93 @@ def connected_components_star(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         .join(labels, nodes.doc_id == F.col("_lbl_id"), "left")
         .select("doc_id", F.coalesce("group_id", F.col("doc_id").cast("long")).alias("group_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-graph PageRank — the URL-authority pass of web-corpus curation
+# (crawl frontiers and corpus quality weights both rank domains by link
+# authority; Common Crawl publishes exactly this artifact as its host-level
+# ranking). Nodes are normalized hosts (the url_host_stats normalization),
+# edges are consecutive-host adjacencies within a document (the flagship
+# fixture's URL-token stream), and the rank is PR_ITERS rounds of damped
+# power iteration.
+#
+# Exactness across engines: edge weights and out-degrees are exact
+# integers; each iteration's rank is re-quantized to 9 dp (stable floor
+# rounding) in BOTH engines, clamping the order-dependent float-sum drift
+# every round instead of letting it compound over iterations. Dangling-node
+# mass is dropped (the simplified PageRank variant) — a deterministic,
+# SQL-replayable choice, documented here.
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 8
+PR_DAMPING = 0.85
+PR_TOP = 50
+
+
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_TOP hosts by damped PageRank over the within-document host
+    adjacency graph. Driver-controlled iteration (the CC/BPE pattern): the
+    edge table — with out-degree attached — is built once, checkpointed,
+    and reused every round; each round is ONE join + ONE aggregate keyed on
+    the node id, shuffle ∝ edges (hosts, not corpus). The DuckDB oracle
+    replays all PR_ITERS rounds as generated unrolled CTE stages."""
+    from ..functions.vector import stable_round
+    from .text import URL_HOST_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')").alias("toks")
+    )
+    hosts = toks.select(
+        F.transform(
+            "toks",
+            lambda t: F.coalesce(
+                F.nullif(F.regexp_extract(F.lower(t), URL_HOST_RE, 1), F.lit("")),
+                F.lower(t),
+            ),
+        ).alias("hosts")
+    ).localCheckpoint(eager=False)
+    pairs = (
+        hosts.filter(F.expr("size(hosts) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(hosts) - 2),"
+                    " i -> named_struct('src', hosts[i], 'dst', hosts[i + 1]))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = edges.join(outw, "src").localCheckpoint()  # built once, reused PR_ITERS times
+    nodes = (
+        hosts.select(F.explode("hosts").alias("host")).distinct().localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    base = (1.0 - PR_DAMPING) / n_nodes
+    ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    for _ in range(PR_ITERS):
+        contrib = (
+            e.join(ranks.withColumnRenamed("host", "src"), "src")
+            .groupBy("dst")
+            .agg(F.expr("sum((CAST(w AS DOUBLE) / CAST(outw AS DOUBLE)) * r)").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "host"), "host", "left")
+            .select(
+                "host",
+                F.expr(
+                    stable_round(f"{base!r}D + {PR_DAMPING!r}D * coalesce(s, 0.0D)", 9)
+                ).alias("r"),
+            )
+            .localCheckpoint()  # one job per round; lineage stays flat
+        )
+    return (
+        ranks.select("host", F.expr(stable_round("r", 6)).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("host").asc())
+        .limit(PR_TOP)
+    )

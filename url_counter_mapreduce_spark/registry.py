@@ -2108,6 +2108,57 @@ _register(
 
 _register("source_orc_roundtrip", _roundtrip.source_orc_roundtrip, _ROUNDTRIP_ORACLE)
 
+def _pagerank_oracle_sql(n_iters: int) -> str:
+    """DuckDB replay of host_pagerank as ``n_iters`` unrolled power-iteration
+    CTE stages (the BPE-oracle pattern: the loop is driver-controlled in
+    Spark, SQL has no loops, so the oracle is generated). Both engines
+    re-quantize the rank to 9 dp per round, so order-dependent float-sum
+    drift cannot compound across iterations."""
+    d = _graph.PR_DAMPING
+    head = f"""
+    WITH t AS (
+        SELECT list_transform({_TOKS_SAFE_SQL},
+                   tk -> COALESCE(nullif(regexp_extract(lower(tk), '{text.URL_HOST_RE}', 1), ''),
+                                  lower(tk))) AS hosts
+        FROM documents
+    ), pairs AS (
+        SELECT hosts[i] AS src, hosts[i + 1] AS dst
+        FROM (SELECT hosts, unnest(range(1, len(hosts))) AS i FROM t WHERE len(hosts) >= 2)
+        WHERE hosts[i] <> hosts[i + 1]
+    ), edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY src, dst
+    ), outw AS (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY src
+    ), e AS MATERIALIZED (
+        SELECT edges.src, dst, w, outw FROM edges JOIN outw USING (src)
+    ), nodes AS MATERIALIZED (
+        SELECT DISTINCT h AS host FROM (SELECT unnest(hosts) AS h FROM t)
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ), r0 AS (
+        SELECT host, (SELECT 1.0 / n FROM nn) AS r FROM nodes
+    )"""
+    stages = []
+    for k in range(n_iters):
+        stages.append(f"""
+    , r{k + 1} AS MATERIALIZED (
+        SELECT nodes.host,
+               floor(((SELECT {1.0 - d!r} / n FROM nn) + {d!r} * COALESCE(c.s, 0.0)) * 1e9 + 0.5) / 1e9 AS r
+        FROM nodes LEFT JOIN (
+            SELECT dst, SUM((CAST(w AS DOUBLE) / CAST(outw AS DOUBLE)) * r{k}.r) AS s
+            FROM e JOIN r{k} ON r{k}.host = e.src GROUP BY dst
+        ) c ON c.dst = nodes.host
+    )""")
+    tail = f"""
+    SELECT host, floor(r * 1e6 + 0.5) / 1e6 AS rank
+    FROM r{n_iters}
+    ORDER BY rank DESC, host ASC LIMIT {_graph.PR_TOP}
+    """
+    return head + "".join(stages) + tail
+
+
+_register("host_pagerank", _graph.host_pagerank, _pagerank_oracle_sql(_graph.PR_ITERS))
+
 # Capstone: raw corpus → training shards. The oracle replays the full
 # composition with NAIVE windows (the Spark side's bucketed prefix scans
 # must produce row-identical admissions/ranks for the manifest to hash-match).
