@@ -107,6 +107,15 @@ BENCH_QUERIES = [
     "decorrelated_subquery",
     "running_total_orders",
     "agg_string_concat",
+    # round-5 batch 2: windows / graph census / cogroup / exact stats
+    "window_sliding_count",
+    "events_gap_fill",
+    "session_window_agg",
+    "host_triangles",
+    "cogroup_reconcile",
+    "unpivot_lineitem",
+    "corr_pricing",
+    "embedding_centroid",
 ]
 
 

@@ -104,6 +104,53 @@ def test_stream_matches_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_stream_sliding_matches_batch(spark, sf_dir):
+    """The hopping-window streaming count must equal its batch twin on the
+    same bounded data — each event fans out to window/slide = 4 windows in
+    both engines, and the watermark must not have dropped anything under
+    AvailableNow (no late data in a single drained batch)."""
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in QUERIES["window_sliding_count"](spark, sf_dir).collect()
+    }
+    stream = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in QUERIES["stream_sliding_count"](spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_session_window_boundary_semantics(spark):
+    """Native session_window boundary semantics (pinned by probe, relied on
+    by the oracle): an event at exactly last_ts + gap still MERGES (split
+    is strict `>`), one microsecond past it splits. Built inline so the
+    boundary case actually exists (the fixture corpus may not hit it)."""
+    import datetime as dt
+
+    from url_counter_mapreduce_spark.operators.temporal import SESSION_GAP_MIN
+
+    gap = dt.timedelta(minutes=SESSION_GAP_MIN)
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + gap - dt.timedelta(microseconds=1), 1.0),  # merges
+        (2, t0, 1.0),
+        (2, t0 + gap, 1.0),  # exactly the gap: still merges
+        (3, t0, 1.0),
+        (3, t0 + gap + dt.timedelta(microseconds=1), 1.0),  # splits
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = (
+        df.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    sessions = {r.user_id: r["count"] for r in out}
+    assert sessions == {1: 1, 2: 1, 3: 2}
+
+
 def test_approx_distinct_within_bounds(spark, sf_dir):
     exact = {
         r.event_type: r.n
@@ -1268,3 +1315,35 @@ def test_host_pagerank_ranks_hub_first_and_mass_bounded(spark, monkeypatch):
     assert out[0]["host"] == "hub"
     assert out[0]["rank"] > max(r["rank"] for r in out[1:])
     assert sum(r["rank"] for r in out) <= 1.0 + 1e-6
+
+
+def test_triangle_census_matches_bruteforce(spark):
+    """Degree-ordered distributed triangle counting vs itertools brute
+    force on a seeded random graph — covers hubs (skewed degree), isolated
+    edges, and degree ties (the (deg, id) total-order tiebreak)."""
+    import itertools
+    import random
+
+    from url_counter_mapreduce_spark.operators.graph import triangle_census
+
+    rng = random.Random(42)
+    nodes = [f"h{i}" for i in range(40)]
+    edges = set()
+    for _ in range(160):
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    # add a deliberate hub wired to many low-degree leaves
+    for i in range(20):
+        a, b = sorted(("hub", f"h{i}"))
+        edges.add((a, b))
+    adj = edges
+    n_brute = sum(
+        1
+        for x, y, z in itertools.combinations(sorted({n for e in edges for n in e}), 3)
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj
+    )
+    und = spark.createDataFrame(sorted(edges), "a string, b string")
+    row = triangle_census(und).collect()[0]
+    assert row.n_triangles == n_brute
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len({n for e in edges for n in e})

@@ -139,6 +139,17 @@ NORTH_STAR_SURFACE = [
     "source_orc_roundtrip",
     "training_export",
     "host_pagerank",
+    # round-5 batch 2: temporal windows, graph census, cogroup surface,
+    # unpivot, exact second-moment stats, vector centroids
+    "window_sliding_count",
+    "stream_sliding_count",
+    "events_gap_fill",
+    "session_window_agg",
+    "host_triangles",
+    "cogroup_reconcile",
+    "unpivot_lineitem",
+    "corr_pricing",
+    "embedding_centroid",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design
@@ -154,6 +165,7 @@ ROWS_ONLY_BY_DESIGN = {
     "dedup_mllib_minhash",  # MLlib seeded hash family, not DuckDB-reproducible
     "stream_enriched_counts",
     "approx_quantiles_value",  # GK sketch values are engine-specific
+    "stream_sliding_count",  # streaming state; batch twin window_sliding_count
 }
 
 

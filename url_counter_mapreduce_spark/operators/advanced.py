@@ -327,3 +327,64 @@ def url_topk_sketch(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame
         .agg(F.min("c").alias("est_cnt"))
     )
     return est.orderBy(F.col("est_cnt").desc(), F.col("token").asc()).limit(k)
+
+
+COGROUP_BUCKETS = 64
+
+
+def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/lineitem reconciliation through the cogroup surface
+    (`groupBy().cogroup().applyInPandas`): per order, item count, total
+    quantity and item revenue — the escape hatch for reconciliation logic
+    too imperative for joins (here the logic IS a join+agg, so the DuckDB
+    oracle can verify the plumbing exactly).
+
+    Scale shape: cogrouping on the raw key would hand Arrow one pandas
+    call per order — 10^9 calls at 100 TB. Instead both sides cogroup on a
+    HASH BUCKET of the key (COGROUP_BUCKETS per side), and the pandas fn
+    does a vectorized merge+groupby within the bucket: one shuffle per
+    side, O(buckets) python invocations, Arrow-batched columns throughout.
+    Buckets are pmod(xxhash64(key)) so skew spreads; bucket width is tuned
+    so a bucket fits executor memory (the applyInPandas contract)."""
+    import pandas as pd
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    ob = od.withColumn("bucket", F.pmod(F.xxhash64("o_orderkey"), F.lit(COGROUP_BUCKETS)))
+    lb = li.withColumn("bucket", F.pmod(F.xxhash64("l_orderkey"), F.lit(COGROUP_BUCKETS)))
+
+    def reconcile(orders_pdf: pd.DataFrame, items_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(items_pdf) > 0:
+            g = items_pdf.groupby("l_orderkey", as_index=False).agg(
+                n_items=("l_quantity", "size"),
+                sum_qty=("l_quantity", "sum"),
+                revenue=("l_extendedprice", "sum"),
+            )
+        else:
+            g = pd.DataFrame(
+                {"l_orderkey": pd.Series(dtype="int64"),
+                 "n_items": pd.Series(dtype="int64"),
+                 "sum_qty": pd.Series(dtype="float64"),
+                 "revenue": pd.Series(dtype="float64")}
+            )
+        out = orders_pdf.merge(
+            g, left_on="o_orderkey", right_on="l_orderkey", how="left"
+        )
+        out["n_items"] = out["n_items"].fillna(0).astype("int64")
+        out["sum_qty"] = out["sum_qty"].fillna(0.0).round(4)
+        out["revenue"] = out["revenue"].fillna(0.0).round(4)
+        return out[["o_orderkey", "o_orderstatus", "n_items", "sum_qty", "revenue"]]
+
+    return (
+        ob.groupby("bucket")
+        .cogroup(lb.groupby("bucket"))
+        .applyInPandas(
+            lambda left, right: reconcile(left, right),
+            "o_orderkey long, o_orderstatus string, n_items long, "
+            "sum_qty double, revenue double",
+        )
+    )

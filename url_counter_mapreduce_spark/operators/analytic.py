@@ -90,3 +90,43 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
+
+
+def corr_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag —
+    numerically EXACT across engines: quantities are integral and prices
+    are exact cents in this schema, so all five sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) are accumulated as DECIMAL(38,0) integers
+    (order-independent, overflow-free to ~10³⁸), and only the final
+    closed-form division happens in floating point. This is the 100 TB
+    pattern for second-moment statistics: one partial-aggregated pass, no
+    double-summation drift, bit-identical results whatever the partition
+    count. (`F.corr` — double accumulators — is the built-in alternative;
+    it loses bit-reproducibility under re-partitioning.)"""
+    from ..functions.vector import stable_round
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(l_quantity AS DECIMAL(38,0))").alias("x"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(38,0))").alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            stable_round(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+                " / sqrt(CAST(n * syy - sy * sy AS DOUBLE))",
+                6,
+            )
+        ).alias("corr_qty_price"),
+    )

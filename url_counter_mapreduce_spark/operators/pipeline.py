@@ -1045,3 +1045,36 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(bit_xor(CAST(conv(substring(md5(concat_ws('|', CAST(doc_id AS STRING), fp)), 1, 15), 16, 10) AS BIGINT)) AS BIGINT)"
         ).alias("content_sig"),
     )
+
+
+CENTROID_Q = 1_000_000  # per-component quantization: 6 dp fixed-point
+
+
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, component-wise — the class-prototype
+    table behind semantic dedup cell seeding, nearest-centroid
+    classification, and drift monitoring. Output is long-form
+    (label, pos, c, n): one row per (label, dimension).
+
+    Exactness: each float32 component is quantized to 6-dp fixed point
+    BEFORE summing, so the per-(label, pos) accumulator is an exact BIGINT
+    — order-independent across any partitioning — and only the final
+    mean division is floating point. Shape: posexplode (map-side, rows ×
+    dim) into ONE partial-aggregated groupBy on (label, pos) — the
+    distributed way to average vectors; `F.aggregate` over a
+    `collect_list` would materialize every vector of a label in one row."""
+    em = load_table(spark, sf_dir, "embeddings")
+    from ..functions.vector import stable_round
+
+    comp = em.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.expr(f"CAST(floor(CAST(x AS DOUBLE) * {CENTROID_Q} + 0.5) AS BIGINT)").alias("q"),
+    )
+    comp = comp.withColumn("pos", F.col("pos").cast("long"))
+    return comp.groupBy("label", "pos").agg(
+        F.expr(stable_round(f"CAST(sum(q) AS DOUBLE) / count(1) / {CENTROID_Q}", 6)).alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

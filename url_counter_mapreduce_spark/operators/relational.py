@@ -214,3 +214,23 @@ def window_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
+
+
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (`DataFrame.unpivot`): the three lineitem amount
+    columns melted into (metric, amount) rows, then aggregated per
+    (returnflag, metric) — the normalization step feeding any generic
+    per-metric monitoring/quality sink. Unpivot is a zero-shuffle map-side
+    expand (Catalyst `Expand`, same machinery as rollup); the only
+    exchange is the final partial-aggregated groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    up = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )
+    return up.groupBy("l_returnflag", "metric").agg(
+        F.round(F.sum("amount"), 4).alias("sum_amount"),
+        F.count(F.lit(1)).alias("n"),
+    )

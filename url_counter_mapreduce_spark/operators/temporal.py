@@ -121,3 +121,92 @@ def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, list(EVENT_TYPES))
     )
+
+
+# Sliding-window parameters: 1-hour windows advancing every 15 minutes —
+# each event lands in WINDOW_US / SLIDE_US = 4 overlapping windows. Spark
+# aligns window starts to the epoch (slide boundaries), so the assignment
+# is pure integer arithmetic on microseconds and the DuckDB oracle can
+# replay it exactly with a range() unnest.
+SLIDE_WINDOW_US = 3_600_000_000
+SLIDE_STEP_US = 900_000_000
+
+
+def window_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: events per 1-hour window sliding by
+    15 minutes, per event type — the batch twin of the streaming hopping
+    window (`streaming.event_count.stream_sliding_count`). Spark expands
+    each row into window_len/slide = 4 (window, row) pairs map-side, then
+    one partial-aggregated groupBy — shuffle carries only the aggregated
+    (window, type) pairs, not the 4× row expansion."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: hourly event counts per type with missing
+    buckets materialized as zero rows — the densification step before any
+    rolling-average / anomaly pass (a gap is signal, not absence).
+
+    Scale shape: the raw table is aggregated FIRST (one shuffle on
+    (type, bucket)); the spine is generated from the per-type min/max via
+    sequence()+explode — rows ∝ hours × types, trivially small next to the
+    corpus — and the final left join is a broadcast of the aggregate onto
+    the spine. No global sort, no per-row Python."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("bucket"),
+        )
+    )
+    return (
+        spine.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (`F.session_window`, 30-minute gap): per-user
+    sessions merge while consecutive events arrive within the gap —
+    INCLUSIVE of the boundary (an event at exactly last_ts + gap still
+    merges; verified by tests/test_properties.py's boundary probe), i.e.
+    the same strict-`>`-splits rule as the lag-based `sessionize_events`.
+    The session end is last_ts + gap, not last_ts.
+
+    Same shuffle shape as the lag formulation — one exchange on user_id —
+    but expressed through the engine's native session operator, so the
+    identical query runs unmodified over an unbounded stream with a
+    watermark bounding session state."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT).alias("session_start"),
+            F.date_format(F.col("w.end"), TS_FMT).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -2206,6 +2206,194 @@ _register(
 )
 
 # --------------------------------------------------------------------------
+# Round-5 batch 2: temporal windows (sliding / gap-fill / native session),
+# graph triangle census, the cogroup surface, unpivot, exact distributed
+# second-moment statistics, and vector centroids. Oracle conventions as
+# above: integer/fixed-point accumulators wherever sums must be
+# order-independent; strftime timestamp formatting; stable_round (floor
+# half-up) for per-row-deterministic doubles.
+# --------------------------------------------------------------------------
+
+_register(
+    "window_sliding_count",
+    temporal.window_sliding_count,
+    f"""
+    WITH e AS (
+        SELECT event_type, value, epoch_us(ts) AS us FROM events
+    ), w AS (
+        SELECT event_type, value,
+               unnest(range((us - {temporal.SLIDE_WINDOW_US}) // {temporal.SLIDE_STEP_US} + 1,
+                            us // {temporal.SLIDE_STEP_US} + 1)) AS k
+        FROM e
+    )
+    SELECT strftime(make_timestamp(k * {temporal.SLIDE_STEP_US}), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+
+# streaming twin of window_sliding_count: rows-only by contract (driver
+# design: streaming state); exact equivalence to the batch twin is asserted
+# in tests/test_multimode.py
+_register("stream_sliding_count", event_count.stream_sliding_count, None)
+
+_register(
+    "events_gap_fill",
+    temporal.events_gap_fill,
+    """
+    WITH h AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT event_type, min(bucket) AS mn, max(bucket) AS mx FROM h GROUP BY 1
+    ), s AS (
+        SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM r
+    )
+    SELECT s.event_type, strftime(s.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events
+    FROM s LEFT JOIN h ON h.event_type = s.event_type AND h.bucket = s.bucket
+    """,
+)
+
+_register(
+    "session_window_agg",
+    temporal.session_window_agg,
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > {temporal.SESSION_GAP_MIN * 60 * 1_000_000}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL {temporal.SESSION_GAP_MIN} MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+
+_register(
+    "host_triangles",
+    _graph.host_triangles,
+    f"""
+    WITH t AS (
+        SELECT list_transform({{toks}},
+                   tk -> COALESCE(nullif(regexp_extract(lower(tk), '{{host_re}}', 1), ''),
+                                  lower(tk))) AS hosts
+        FROM documents
+    ), pairs AS (
+        SELECT least(hosts[i], hosts[i + 1]) AS a, greatest(hosts[i], hosts[i + 1]) AS b
+        FROM (SELECT hosts, unnest(range(1, len(hosts))) AS i FROM t WHERE len(hosts) >= 2)
+        WHERE hosts[i] <> hosts[i + 1]
+    ), und AS (
+        SELECT DISTINCT a, b FROM pairs
+    ), deg AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS h FROM und UNION ALL SELECT b AS h FROM und
+        ) GROUP BY h
+    ), oriented AS (
+        SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
+               CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS v
+        FROM und JOIN deg da ON da.h = und.a JOIN deg db ON db.h = und.b
+    ), wedges AS (
+        SELECT e1.v AS v, e2.v AS w
+        FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u
+        WHERE e1.v < e2.v
+    ), tri AS (
+        SELECT COUNT(*) AS c FROM wedges JOIN und ON und.a = wedges.v AND und.b = wedges.w
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles
+    """.replace("{toks}", _TOKS_SAFE_SQL).replace("{host_re}", text.URL_HOST_RE),
+)
+
+_register(
+    "cogroup_reconcile",
+    advanced.cogroup_reconcile,
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(COUNT(l_orderkey) AS BIGINT) AS n_items,
+           round(COALESCE(SUM(l_quantity), 0.0), 4) AS sum_qty,
+           round(COALESCE(SUM(l_extendedprice), 0.0), 4) AS revenue
+    FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+
+_register(
+    "unpivot_lineitem",
+    relational.unpivot_lineitem,
+    """
+    WITH up AS (
+        SELECT l_returnflag, 'l_extendedprice' AS metric, l_extendedprice AS amount FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, metric, round(SUM(amount), 4) AS sum_amount, COUNT(*) AS n
+    FROM up GROUP BY 1, 2
+    """,
+)
+
+# exact integer sufficient statistics (HUGEINT ≙ Spark DECIMAL(38,0)),
+# one floating-point division at the end — mirrors analytic.corr_pricing
+_register(
+    "corr_pricing",
+    analytic.corr_pricing,
+    """
+    WITH q AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS HUGEINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (floor((CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   / sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e6 + 0.5) / 1e6)
+               AS corr_qty_price
+    FROM s
+    """,
+)
+
+_register(
+    "embedding_centroid",
+    _pipeline.embedding_centroid,
+    f"""
+    WITH comp AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               unnest(embedding) AS x
+        FROM embeddings
+    ), q AS (
+        SELECT label, pos,
+               CAST(floor(CAST(x AS DOUBLE) * {_pipeline.CENTROID_Q} + 0.5) AS BIGINT) AS qv
+        FROM comp
+    )
+    SELECT label, pos,
+           (floor((CAST(SUM(qv) AS DOUBLE) / COUNT(1) / {_pipeline.CENTROID_Q}) * 1e6 + 0.5) / 1e6) AS c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM q GROUP BY label, pos
+    """,
+)
+
+# --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
 # ``udtf_surface`` at position 9 pushed position 51 out of the file). To make

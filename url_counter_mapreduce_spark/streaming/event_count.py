@@ -102,3 +102,34 @@ def stream_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window streaming count: 1-hour windows sliding every
+    15 minutes with a 1-hour watermark — the streaming twin of
+    ``operators.temporal.window_sliding_count`` (same column names, so the
+    local equivalence test is a direct frame comparison). Each arriving
+    event updates window_len/slide = 4 window states; the watermark closes
+    and GCs windows whose end falls behind max(ts) - 1h."""
+    windowed = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = "stream_sliding_count_sink"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
