@@ -116,6 +116,14 @@ BENCH_QUERIES = [
     "unpivot_lineitem",
     "corr_pricing",
     "embedding_centroid",
+    # round-5 batch 3
+    "scd2_intervals",
+    "retention_cohorts",
+    "funnel_conversion",
+    "inverted_index",
+    "host_degree_histogram",
+    "arrow_surface",
+    "layout_zorder",
 ]
 
 

@@ -1347,3 +1347,49 @@ def test_triangle_census_matches_bruteforce(spark):
     assert row.n_triangles == n_brute
     assert row.n_edges == len(edges)
     assert row.n_nodes == len({n for e in edges for n in e})
+
+
+def test_funnel_is_monotone_and_fraction_bounded(spark, sf_dir):
+    """Ordered-funnel invariants: stage counts never increase down the
+    funnel, and frac_of_first is 1.0 at stage 1, within [0, 1] after."""
+    rows = {r.stage: r for r in QUERIES["funnel_conversion"](spark, sf_dir).collect()}
+    assert list(sorted(rows)) == ["1_view", "2_click", "3_purchase"]
+    ns = [rows[s].n for s in sorted(rows)]
+    assert ns == sorted(ns, reverse=True)
+    assert rows["1_view"].frac_of_first == 1.0
+    for s in rows.values():
+        assert 0.0 <= s.frac_of_first <= 1.0
+
+
+def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
+    """SCD2 invariants per user: bands alternate (adjacent intervals never
+    share a band), exactly one open interval (valid_to NULL), and each
+    interval's valid_to equals the next interval's valid_from."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in QUERIES["scd2_intervals"](spark, sf_dir).collect():
+        by_user[r.user_id].append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ivs if r.valid_to is None) == 1
+        assert ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.band != b.band, user
+            assert a.valid_to == b.valid_from, user
+
+
+def test_zorder_buckets_narrow_both_dimensions(spark, sf_dir):
+    """The point of z-order: average per-bucket range must be materially
+    narrower than the global range on BOTH keys simultaneously (a 1-D sort
+    narrows one key and leaves the other at full width)."""
+    rows = QUERIES["layout_zorder"](spark, sf_dir).collect()
+    assert sum(r.n_rows for r in rows) > 0
+    gp = max(r.max_part for r in rows) - min(r.min_part for r in rows)
+    gs = max(r.max_supp for r in rows) - min(r.min_supp for r in rows)
+    multi = [r for r in rows if r.n_rows >= 50]
+    avg_p = sum(r.max_part - r.min_part for r in multi) / len(multi)
+    avg_s = sum(r.max_supp - r.min_supp for r in multi) / len(multi)
+    assert avg_p < 0.8 * gp
+    assert avg_s < 0.8 * gs

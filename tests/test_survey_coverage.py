@@ -150,6 +150,15 @@ NORTH_STAR_SURFACE = [
     "unpivot_lineitem",
     "corr_pricing",
     "embedding_centroid",
+    # round-5 batch 3: warehouse/product-analytics, retrieval index,
+    # z-order layout, graph stats, mapInArrow surface
+    "scd2_intervals",
+    "retention_cohorts",
+    "funnel_conversion",
+    "inverted_index",
+    "host_degree_histogram",
+    "arrow_surface",
+    "layout_zorder",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

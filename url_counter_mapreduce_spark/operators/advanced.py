@@ -388,3 +388,74 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty double, revenue double",
         )
     )
+
+
+ZORDER_BITS = 8
+ZORDER_BUCKETS = 64
+
+
+def _z_spark(x: str, y: str) -> str:
+    """Morton (z-order) interleave as a Spark SQL expression: bit i of x →
+    bit 2i, bit i of y → bit 2i+1."""
+    terms = [
+        f"shiftleft((shiftright({x}, {i}) & 1), {2 * i})"
+        f" + shiftleft((shiftright({y}, {i}) & 1), {2 * i + 1})"
+        for i in range(ZORDER_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _scale8(x: str, mn: str, mx: str) -> str:
+    """Min/max-scale an integer key to 0..255 — raw-bit interleave would
+    let the wider-range key dominate (a key spanning 0..9 contributes 4
+    meaningful bits against another's 15, and buckets stop narrowing it);
+    scaling gives both keys ZORDER_BITS significant bits. Integer-exact:
+    (x−mn)·256 ≤ 2⁶⁴ and the one double division is identical IEEE in
+    both engines."""
+    return f"CAST(floor(({x} - {mn}) * 256.0 / ({mx} - {mn} + 1)) AS BIGINT)"
+
+
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout summary over (l_partkey, l_suppkey):
+    each key is min/max-scaled to 8 bits, the scaled bits interleave into
+    a 16-bit z value, rows are assigned to ZORDER_BUCKETS equal z-ranges,
+    and each bucket reports its row count and min/max of BOTH keys — the
+    data-skipping contract of multi-dimensional clustering (each bucket's
+    footer ranges are narrow on part AND supp simultaneously, which
+    neither single-column sort achieves; asserted by a property test).
+
+    At 100 TB this is the write path of an OPTIMIZE ZORDER pass:
+    `repartitionByRange(z)` + `sortWithinPartitions(z)` and let every
+    parquet file's min/max footer prune 2-D predicates. The min/max
+    scaling constants come from one tiny aggregate (broadcast back via
+    crossJoin), so the bucket assignment is fully deterministic — no
+    sampled range boundaries — and the DuckDB oracle replays it exactly;
+    the interleave itself is pure integer bit math, JVM-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"),
+        F.max("l_suppkey").alias("maxs"),
+    )
+    scaled = li.crossJoin(bounds).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_scale8("l_partkey", "minp", "maxp")).alias("px"),
+        F.expr(_scale8("l_suppkey", "mins", "maxs")).alias("py"),
+    )
+    z = scaled.withColumn("z", F.expr(_z_spark("px", "py")))
+    return (
+        z.withColumn(
+            "bucket",
+            F.expr(f"CAST(floor(z * {ZORDER_BUCKETS} / {4 ** ZORDER_BITS}.0) AS INT)"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )

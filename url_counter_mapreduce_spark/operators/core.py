@@ -204,3 +204,35 @@ def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         .filter(F.col("rn") <= k)
         .select("lang", "token", "cnt", "rn")
     )
+
+
+def arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow surface: per-document character and separator counts
+    computed with pure pyarrow compute kernels — no pandas conversion, no
+    per-row Python, vectorized C++ over Arrow batches. This is the fourth
+    and lowest-overhead rung of the Python-extension ladder (UDF → pandas
+    UDF → mapInPandas → mapInArrow): for binary/text bulk transforms the
+    Arrow path skips even the pandas block-construction cost.
+
+    reference parity: the UDF surface of main.go:24-33 (mapF/reduceF as
+    user-supplied functions) — realized here at the Arrow batch level."""
+    from ..tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                names=["doc_id", "n_chars_utf8", "n_spaces"],
+            )
+
+    return docs.mapInArrow(stats, schema="doc_id long, n_chars_utf8 long, n_spaces long")

@@ -463,3 +463,43 @@ def triangle_census(und: DataFrame) -> DataFrame:
         .crossJoin(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def host_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the undirected host adjacency graph: how many
+    hosts have each degree — the one-glance skew diagnostic that decides
+    whether the triangle/CC passes need the degree-ordered and salted
+    variants. Same canonical edge build as host_triangles; two cheap
+    aggregates after it."""
+    from .text import URL_HOST_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.expr(
+            "transform(filter(split(coalesce(text, ''), ' '), x -> x != ''),"
+            f" t -> coalesce(nullif(regexp_extract(lower(t), '{URL_HOST_RE}', 1), ''),"
+            " lower(t)))"
+        ).alias("hosts")
+    )
+    und = (
+        hosts.filter(F.expr("size(hosts) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(hosts) - 2),"
+                    " i -> named_struct('a', least(hosts[i], hosts[i + 1]),"
+                    "                   'b', greatest(hosts[i], hosts[i + 1])))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("h"))
+        .unionAll(und.select(F.col("b").alias("h")))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("n_hosts"))

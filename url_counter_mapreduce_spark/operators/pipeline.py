@@ -1011,12 +1011,25 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
         F.expr(classifier_sum_w_expr("toks")).alias("sum_w"),
     )
-    gated = base.filter(
-        (F.col("sum_w") > 0) & (F.col("n_tokens") >= EXPORT_MIN_TOKENS)
-    ).withColumn("fp", F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    # the composition is consumed by SIX downstream jobs (two prefix-scan
+    # offset collects, the admitted count, the final aggregate — each with
+    # gated on both sides of the dedup semi join); without lineage
+    # truncation the tokenize+classifier scan re-executes ~8×, measured
+    # 28 s vs ~4 s at sf0.1. Non-eager localCheckpoint at each reuse
+    # point: first consumer materializes, the rest read.
+    gated = (
+        base.filter((F.col("sum_w") > 0) & (F.col("n_tokens") >= EXPORT_MIN_TOKENS))
+        .withColumn("fp", F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+        .drop("text")
+        .localCheckpoint(eager=False)
+    )
     keepers = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    survivors = gated.join(keepers.select("doc_id"), "doc_id", "left_semi").select(
-        "doc_id", "source", "n_tokens", "fp", F.expr(_priority_hash("export")).alias("h")
+    survivors = (
+        gated.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id", "source", "n_tokens", "fp", F.expr(_priority_hash("export")).alias("h")
+        )
+        .localCheckpoint(eager=False)
     )
     admitted = (
         _with_prefix_cumsum(survivors, ["source"], "n_tokens", "cum_tokens")
@@ -1029,6 +1042,7 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("one"),
             F.expr(_priority_hash("export-shuf")).alias("h"),
         )
+        .localCheckpoint(eager=False)
     )
     n_admitted = admitted.count()
     ranked = _with_prefix_cumsum(admitted, [], "one", "shuffle_rank")
@@ -1077,4 +1091,39 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("label", "pos").agg(
         F.expr(stable_round(f"CAST(sum(q) AS DOUBLE) / count(1) / {CENTROID_Q}", 6)).alias("c"),
         F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+INVIDX_MIN_DF = 2
+INVIDX_POSTINGS_CAP = 20
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists: per token (df ≥ INVIDX_MIN_DF), its
+    document frequency and the first INVIDX_POSTINGS_CAP doc ids in sorted
+    order — the retrieval artifact behind BM25/decontamination probes,
+    materialized. Postings are serialized as a comma-joined string (stable
+    across engines; array dtype canonicalization differs).
+
+    Shape: explode → distinct (token, doc) → ONE groupBy token with
+    collect_set. The postings cap bounds the per-token row: stopword-class
+    tokens would otherwise build multi-GB lists in a single aggregation
+    buffer at 100 TB — the cap plus the df count is what a real index
+    stores per segment anyway (full lists live partitioned BY token
+    range, which is exactly what the groupBy's hash partitioning gives
+    the sink)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")).alias("token"),
+    ).distinct()
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, INVIDX_POSTINGS_CAP), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= INVIDX_MIN_DF)
     )

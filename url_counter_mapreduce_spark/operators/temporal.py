@@ -210,3 +210,109 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+SCD2_VALUE_BAND = 100.0
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) interval materialization:
+    per user, contiguous runs of the same value band ('high' ≥ 100 /
+    'low') become validity intervals [valid_from, valid_to), the open
+    current interval carrying NULL valid_to — the standard warehouse
+    history table built from an event stream.
+
+    Gaps-and-islands: change-flag via lag, island id via running sum,
+    one aggregate per island, then a lead over the aggregated islands for
+    valid_to. Every window and the aggregate shuffle on user_id ONLY (one
+    exchange reused end-to-end); the lead runs over islands, already ~2-3
+    orders of magnitude smaller than events."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    banded = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("value") >= SCD2_VALUE_BAND, F.lit("high")).otherwise(F.lit("low")).alias("band"),
+    )
+    flagged = banded.withColumn(
+        "chg",
+        F.when(F.lag("band", 1).over(w).isNull() | (F.lag("band", 1).over(w) != F.col("band")), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    islands = flagged.groupBy("user_id", "island", "band").agg(
+        F.min("ts").alias("vf"), F.count(F.lit(1)).alias("n_events")
+    )
+    wl = Window.partitionBy("user_id").orderBy(F.col("island").asc())
+    return islands.select(
+        "user_id",
+        "band",
+        F.date_format("vf", TS_FMT).alias("valid_from"),
+        F.date_format(F.lead("vf", 1).over(wl), TS_FMT).alias("valid_to"),
+        "n_events",
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted by
+    distinct active days at each offset — the standard product-analytics
+    retention triangle. Shape: per-user min (one shuffle on user_id), a
+    distinct over (user, day) (same key prefix), one broadcast-sized join
+    back, and a final small groupBy on (cohort, offset)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    active = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("offset_days"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after their
+    first view, then purchased strictly after that click — per-stage user
+    counts plus conversion fraction from stage 1. Three aggregates all
+    keyed on user_id (AQE reuses the partitioning; no other shuffle), then
+    a 3-row union. The naive alternative — a per-user sorted event scan in
+    Python — is what this shape replaces at 100 TB."""
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin(*FUNNEL_STAGES))
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count(F.lit(1)).alias("n")).select(F.lit("1_view").alias("stage"), "n")
+        .unionAll(t2.agg(F.count(F.lit(1)).alias("n")).select(F.lit("2_click").alias("stage"), "n"))
+        .unionAll(t3.agg(F.count(F.lit(1)).alias("n")).select(F.lit("3_purchase").alias("stage"), "n"))
+    )
+    base = t1.agg(F.count(F.lit(1)).alias("n_base"))
+    return counts.crossJoin(base).select(
+        "stage",
+        "n",
+        F.expr(stable_round("CAST(n AS DOUBLE) / n_base", 6)).alias("frac_of_first"),
+    )

@@ -2394,6 +2394,179 @@ _register(
 )
 
 # --------------------------------------------------------------------------
+# Round-5 batch 3: warehouse/product-analytics shapes (SCD2 history,
+# retention cohorts, ordered funnel), retrieval index materialization,
+# multi-dimensional z-order layout, graph degree stats, and the mapInArrow
+# extension surface.
+# --------------------------------------------------------------------------
+
+_register(
+    "scd2_intervals",
+    temporal.scd2_intervals,
+    f"""
+    WITH banded AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value >= {temporal.SCD2_VALUE_BAND!r} THEN 'high' ELSE 'low' END AS band
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, event_id, band,
+               CASE WHEN lag(band) OVER w IS NULL OR lag(band) OVER w <> band
+                    THEN 1 ELSE 0 END AS chg
+        FROM banded
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, band,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    ), islands AS (
+        SELECT user_id, island, band, min(ts) AS vf, COUNT(*) AS n_events
+        FROM numbered GROUP BY 1, 2, 3
+    )
+    SELECT user_id, band,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY island),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM islands
+    """,
+)
+
+_register(
+    "retention_cohorts",
+    temporal.retention_cohorts,
+    """
+    WITH first AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM events GROUP BY 1
+    ), active AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS offset_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM active JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+
+_register(
+    "funnel_conversion",
+    temporal.funnel_conversion,
+    """
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ), t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+    ), t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+    ), c AS (
+        SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM t1
+        UNION ALL SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM t2
+        UNION ALL SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+    )
+    SELECT stage, n,
+           (floor((CAST(n AS DOUBLE) / (SELECT COUNT(*) FROM t1)) * 1e6 + 0.5) / 1e6)
+               AS frac_of_first
+    FROM c
+    """,
+)
+
+_register(
+    "inverted_index",
+    _pipeline.inverted_index,
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, t.token FROM (
+            SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+            FROM documents
+        ) t
+        WHERE t.token <> ''
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id))[1:{_pipeline.INVIDX_POSTINGS_CAP}], ',')
+               AS postings
+    FROM toks GROUP BY token HAVING COUNT(*) >= {_pipeline.INVIDX_MIN_DF}
+    """,
+)
+
+_register(
+    "host_degree_histogram",
+    _graph.host_degree_histogram,
+    """
+    WITH t AS (
+        SELECT list_transform({toks},
+                   tk -> COALESCE(nullif(regexp_extract(lower(tk), '{host_re}', 1), ''),
+                                  lower(tk))) AS hosts
+        FROM documents
+    ), pairs AS (
+        SELECT least(hosts[i], hosts[i + 1]) AS a, greatest(hosts[i], hosts[i + 1]) AS b
+        FROM (SELECT hosts, unnest(range(1, len(hosts))) AS i FROM t WHERE len(hosts) >= 2)
+        WHERE hosts[i] <> hosts[i + 1]
+    ), und AS (
+        SELECT DISTINCT a, b FROM pairs
+    ), deg AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS h FROM und UNION ALL SELECT b AS h FROM und
+        ) GROUP BY h
+    )
+    SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_hosts FROM deg GROUP BY deg
+    """.replace("{toks}", _TOKS_SAFE_SQL).replace("{host_re}", text.URL_HOST_RE),
+)
+
+_register(
+    "arrow_surface",
+    core.arrow_surface,
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_utf8,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+)
+
+
+def _z_duckdb(x: str, y: str) -> str:
+    """Morton interleave in DuckDB operator syntax — independently derived
+    from the Spark expression (shift operators vs shiftleft/shiftright
+    functions), so the two formulations cross-check each other."""
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(advanced.ZORDER_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _scale8_duckdb(x: str, mn: str, mx: str) -> str:
+    return f"CAST(floor(({x} - {mn}) * 256.0 / ({mx} - {mn} + 1)) AS BIGINT)"
+
+
+_register(
+    "layout_zorder",
+    advanced.layout_zorder,
+    f"""
+    WITH b AS (
+        SELECT MIN(l_partkey) AS minp, MAX(l_partkey) AS maxp,
+               MIN(l_suppkey) AS mins, MAX(l_suppkey) AS maxs
+        FROM lineitem
+    ), s AS (
+        SELECT l_partkey, l_suppkey,
+               {_scale8_duckdb("l_partkey", "minp", "maxp")} AS px,
+               {_scale8_duckdb("l_suppkey", "mins", "maxs")} AS py
+        FROM lineitem, b
+    ), z AS (
+        SELECT l_partkey, l_suppkey, {_z_duckdb("px", "py")} AS z FROM s
+    )
+    SELECT CAST(floor(z * {advanced.ZORDER_BUCKETS} / {4 ** advanced.ZORDER_BITS}.0) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+           MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+    FROM z GROUP BY 1
+    """,
+)
+
+# --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
 # ``udtf_surface`` at position 9 pushed position 51 out of the file). To make
