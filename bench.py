@@ -124,6 +124,11 @@ BENCH_QUERIES = [
     "host_degree_histogram",
     "arrow_surface",
     "layout_zorder",
+    # round-5 batch 4
+    "langid_confusion",
+    "vocab_coverage",
+    "rolling_daily_avg",
+    "value_bucketing",
 ]
 
 

@@ -108,11 +108,18 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     against the corpus — O(|Q|·N) by design)."""
     from url_counter_mapreduce_spark import QUERIES, ORACLES
 
-    # similarity_topk is the ONLY deliberate BNL (exact brute-force baseline);
-    # similarity_ivf's literal-centroid rework removed its BNL entirely.
-    # the recall harnesses embed the brute-force side as ground truth, so
-    # their plans legitimately contain that same single BNL.
+    # similarity_topk is the ONLY deliberate corpus-sized BNL (exact
+    # brute-force baseline); similarity_ivf's literal-centroid rework
+    # removed its BNL entirely. the recall harnesses embed the brute-force
+    # side as ground truth, so their plans legitimately contain that same
+    # single BNL.
     bnl_allowed = {"similarity_topk", "ann_recall", "ann_recall_multiprobe"}
+    # second category: tables.scalar_join attaches a ONE-ROW aggregate
+    # (bounds/totals) to every row — the data movement of a scalar
+    # subquery. Catalyst constant-folds any constant-key equi-join to a
+    # BNL anyway, so these plans are BNL-with-1-row-build by construction,
+    # shuffle-free and safe at any scale.
+    bnl_allowed |= {"host_triangles", "funnel_conversion", "layout_zorder"}
     streaming = {n for n in QUERIES if n.startswith("stream_")}
     for name in QUERIES:
         if name in streaming:

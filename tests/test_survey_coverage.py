@@ -159,6 +159,11 @@ NORTH_STAR_SURFACE = [
     "host_degree_histogram",
     "arrow_surface",
     "layout_zorder",
+    # round-5 batch 4: evaluation/reporting compositions
+    "langid_confusion",
+    "vocab_coverage",
+    "rolling_daily_avg",
+    "value_bucketing",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

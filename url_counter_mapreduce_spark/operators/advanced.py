@@ -438,7 +438,9 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("mins"),
         F.max("l_suppkey").alias("maxs"),
     )
-    scaled = li.crossJoin(bounds).select(
+    from ..tables import scalar_join
+
+    scaled = scalar_join(li, bounds).select(
         "l_partkey",
         "l_suppkey",
         F.expr(_scale8("l_partkey", "minp", "maxp")).alias("px"),

@@ -130,3 +130,37 @@ def corr_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_qty_price"),
     )
+
+
+ROLLING_DAYS = 7
+
+
+def rolling_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling average of daily order revenue — the RANGE window
+    frame (interval-bounded, not row-bounded: days missing from the data
+    must not widen the window). The raw table is aggregated to one row
+    per day FIRST, so the range window runs over the daily series —
+    thousands of rows at ANY corpus scale — and the unpartitioned sort is
+    a deliberate no-hazard (the single partition holds days, not orders).
+    Daily revenue is rounded before the rolling mean so both engines
+    average identical inputs."""
+    from ..functions.vector import stable_round
+
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("revenue")
+    )
+    w = (
+        Window.orderBy(F.col("day_i").asc())
+        .rangeBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    return (
+        daily.withColumn("day_i", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .withColumn("avg_raw", F.avg("revenue").over(w))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+            F.expr(stable_round("avg_raw", 4)).alias("avg_7d"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_days_in_window"),
+        )
+    )

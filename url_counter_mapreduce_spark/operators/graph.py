@@ -457,12 +457,15 @@ def triangle_census(und: DataFrame) -> DataFrame:
     # closing edge — so the membership join probes `und` directly
     wedges = oriented.join(e2, F.col("u") == F.col("u2")).filter(F.col("v") < F.col("w"))
     tri = wedges.join(und, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")))
-    return (
-        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-        .crossJoin(und.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
-        .crossJoin(deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
-        .select("n_nodes", "n_edges", "n_triangles")
-    )
+    from ..tables import scalar_join
+
+    return scalar_join(
+        scalar_join(
+            tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")),
+            und.agg(F.count(F.lit(1)).cast("long").alias("n_edges")),
+        ),
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")),
+    ).select("n_nodes", "n_edges", "n_triangles")
 
 
 def host_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

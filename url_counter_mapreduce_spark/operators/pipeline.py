@@ -1127,3 +1127,33 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= INVIDX_MIN_DF)
     )
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV-rate report per language: what fraction of
+    corpus token OCCURRENCES fall outside the min-count-5 vocabulary —
+    the go/no-go metric for a tokenizer vocabulary before committing to a
+    training run. The vocab side is corpus-derived (vocab_build's filter),
+    broadcast against the exploded token stream; per-lang totals are one
+    partial-aggregated groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.expr(_TOKS_SAFE)).alias("token")
+    )
+    vocab = _token_counts(docs.select("text")).filter(
+        F.col("cnt") >= VOCAB_MIN_COUNT
+    ).select("token", F.lit(1).alias("in_vocab"))
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.expr(stable_round("CAST(n_oov AS DOUBLE) / n_tokens", 6)).alias("oov_rate"),
+        )
+    )

@@ -310,9 +310,50 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(t2.agg(F.count(F.lit(1)).alias("n")).select(F.lit("2_click").alias("stage"), "n"))
         .unionAll(t3.agg(F.count(F.lit(1)).alias("n")).select(F.lit("3_purchase").alias("stage"), "n"))
     )
+    from ..tables import scalar_join
+
     base = t1.agg(F.count(F.lit(1)).alias("n_base"))
-    return counts.crossJoin(base).select(
+    return scalar_join(counts, base).select(
         "stage",
         "n",
         F.expr(stable_round("CAST(n AS DOUBLE) / n_base", 6)).alias("frac_of_first"),
+    )
+
+
+BUCKET_QS = (0.25, 0.5, 0.75)
+
+
+def value_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile) discretization of value per event type — the
+    feature-binning pass of feature engineering: boundaries from exact
+    per-group percentiles, each event assigned its quartile by comparison,
+    reported as per-(type, bucket) count + range. Boundaries are one tiny
+    aggregate broadcast back onto the stream (one shuffle for the
+    boundary agg, one for the final count; the assignment itself is
+    map-side). At 100 TB the boundary pass switches to approx_percentile
+    — the assignment plan is unchanged."""
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"q{int(q * 100)}")
+            for q in BUCKET_QS
+        ]
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CASE WHEN value < q25 THEN 0 WHEN value < q50 THEN 1"
+                " WHEN value < q75 THEN 2 ELSE 3 END"
+            ),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(stable_round("min(value)", 6)).alias("min_value"),
+            F.expr(stable_round("max(value)", 6)).alias("max_value"),
+        )
     )

@@ -713,3 +713,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BM25_TOP)
         .select("term", "doc_id", "tf", "dl", "score", "rank")
     )
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the stopword-argmax
+    heuristic against the labeled lang column — the shipped-measurement
+    discipline (ann_recall's pattern) applied to lang-ID: the classifier
+    and its accuracy report live in the same engine pass. One equi-join
+    on doc_id (AQE broadcasts the smaller side) + a tiny groupBy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    guesses = lang_id_heuristic(spark, sf_dir).select("doc_id", "lang_guess")
+    return (
+        docs.join(guesses, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

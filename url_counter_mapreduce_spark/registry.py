@@ -2567,6 +2567,102 @@ _register(
 )
 
 # --------------------------------------------------------------------------
+# Round-5 batch 4: evaluation/reporting compositions — lang-ID confusion,
+# vocabulary OOV coverage, interval-bounded rolling averages, equi-depth
+# binning.
+# --------------------------------------------------------------------------
+
+_register(
+    "langid_confusion",
+    text.langid_confusion,
+    f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               len(list_intersect(list_distinct({_TOKS_SQL}), {_stoplist_sql('en')}))::BIGINT AS score_en,
+               len(list_intersect(list_distinct({_TOKS_SQL}), {_stoplist_sql('es')}))::BIGINT AS score_es,
+               len(list_intersect(list_distinct({_TOKS_SQL}), {_stoplist_sql('de')}))::BIGINT AS score_de
+        FROM documents
+    ), guessed AS (
+        SELECT lang,
+               CASE WHEN score_en = 0 AND score_es = 0 AND score_de = 0 THEN 'unknown'
+                    WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                    WHEN score_es >= score_de THEN 'es'
+                    ELSE 'de' END AS lang_guess
+        FROM scores
+    )
+    SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM guessed GROUP BY 1, 2
+    """,
+)
+
+_register(
+    "vocab_coverage",
+    _pipeline.vocab_coverage,
+    f"""
+    WITH vocab AS (
+        SELECT token FROM (
+            SELECT t.token, COUNT(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ) t WHERE t.token <> '' GROUP BY t.token
+        ) WHERE cnt >= {_pipeline.VOCAB_MIN_COUNT}
+    ), toks AS (
+        SELECT lang, token FROM (
+            SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS token
+            FROM documents
+        )
+        WHERE token <> ''
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           (floor((CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*)) * 1e6 + 0.5) / 1e6) AS oov_rate
+    FROM toks LEFT JOIN vocab ON toks.token = vocab.token
+    GROUP BY lang
+    """,
+)
+
+_register(
+    "rolling_daily_avg",
+    analytic.rolling_daily_avg,
+    f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d, round(SUM(o_totalprice), 4) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS order_date, revenue,
+           (floor(AVG(revenue) OVER w * 1e4 + 0.5) / 1e4) AS avg_7d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window
+    FROM daily
+    WINDOW w AS (ORDER BY d ASC
+                 RANGE BETWEEN INTERVAL {analytic.ROLLING_DAYS - 1} DAYS PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+
+_register(
+    "value_bucketing",
+    temporal.value_bucketing,
+    f"""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, {temporal.BUCKET_QS[0]}) AS q25,
+               quantile_cont(value, {temporal.BUCKET_QS[1]}) AS q50,
+               quantile_cont(value, {temporal.BUCKET_QS[2]}) AS q75
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CASE WHEN value < q25 THEN 0 WHEN value < q50 THEN 1
+                WHEN value < q75 THEN 2 ELSE 3 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (floor(MIN(value) * 1e6 + 0.5) / 1e6) AS min_value,
+           (floor(MAX(value) * 1e6 + 0.5) / 1e6) AS max_value
+    FROM events e JOIN bounds ON e.event_type = bounds.event_type
+    GROUP BY 1, 2
+    """,
+)
+
+# --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
 # ``udtf_surface`` at position 9 pushed position 51 out of the file). To make

@@ -111,3 +111,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     _VIEWS_REGISTERED[spark] = sf_dir
+
+
+def scalar_join(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
+    """Attach a single-row statistics frame (bounds, totals, zmax …) to
+    every row of ``df``. Plans as a BroadcastNestedLoopJoin with a 1-row
+    build side — the exact data movement of a scalar subquery (broadcast
+    one row, no shuffle), safe at any scale; the plan guard
+    (tests/test_plans.py) allowlists the ops that use this helper under
+    that justification. (A constant-key equi-join does NOT avoid the BNL:
+    Catalyst constant-folds the condition to true.)"""
+    return df.crossJoin(F.broadcast(scalar_df))
