@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "vocab_coverage",
     "rolling_daily_avg",
     "value_bucketing",
+    "dq_constraints",
 ]
 
 

@@ -164,6 +164,7 @@ NORTH_STAR_SURFACE = [
     "vocab_coverage",
     "rolling_daily_avg",
     "value_bucketing",
+    "dq_constraints",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

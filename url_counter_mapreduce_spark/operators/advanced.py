@@ -461,3 +461,56 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_supp"),
         )
     )
+
+
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the dbt-test / Deequ-shaped pass a
+    pipeline runs before promoting a snapshot: referential integrity
+    (orders→customer, lineitem→orders), primary-key uniqueness (orders,
+    documents), and completeness (events.ts), reported as one row per
+    constraint with checked/violation counts.
+
+    Each check is the cheapest plan of its class: FK checks are ONE left
+    join to the (unique-keyed) dimension + a conditional count in the
+    same aggregate — not an anti join plus a second count pass;
+    uniqueness is COUNT − COUNT(DISTINCT) in one aggregate; completeness
+    is a map-side null count. The union of five 1-row aggregates needs no
+    driver round-trip."""
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+
+    def fk(name, fact, fk_col, dim, pk_col):
+        joined = fact.select(fk_col).join(
+            dim.select(F.col(pk_col).alias("_pk")),
+            F.col(fk_col) == F.col("_pk"),
+            "left",
+        )
+        return joined.agg(
+            F.lit(name).alias("constraint"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).cast("long").alias("n_violations"),
+        ).select("constraint", "n_checked", "n_violations")
+
+    def uniq(name, tbl, col):
+        return tbl.agg(
+            F.lit(name).alias("constraint"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            (F.count(F.lit(1)) - F.countDistinct(col)).cast("long").alias("n_violations"),
+        ).select("constraint", "n_checked", "n_violations")
+
+    nn_ts = ev.agg(
+        F.lit("events.ts not null").alias("constraint"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).cast("long").alias("n_violations"),
+    ).select("constraint", "n_checked", "n_violations")
+
+    return (
+        fk("orders.o_custkey -> customer", od, "o_custkey", cu, "c_custkey")
+        .unionAll(fk("lineitem.l_orderkey -> orders", li, "l_orderkey", od, "o_orderkey"))
+        .unionAll(uniq("orders.o_orderkey unique", od, "o_orderkey"))
+        .unionAll(uniq("documents.doc_id unique", docs, "doc_id"))
+        .unionAll(nn_ts)
+    )

@@ -2662,6 +2662,37 @@ _register(
     """,
 )
 
+_register(
+    "dq_constraints",
+    advanced.dq_constraints,
+    """
+    SELECT 'orders.o_custkey -> customer' AS constraint,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN c._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders LEFT JOIN (SELECT c_custkey AS _pk FROM customer) c ON o_custkey = c._pk
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN (SELECT o_orderkey AS _pk FROM orders) o ON l_orderkey = o._pk
+    UNION ALL
+    SELECT 'orders.o_orderkey unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'documents.doc_id unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'events.ts not null',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
