@@ -1393,3 +1393,49 @@ def test_zorder_buckets_narrow_both_dimensions(spark, sf_dir):
     avg_s = sum(r.max_supp - r.min_supp for r in multi) / len(multi)
     assert avg_p < 0.8 * gp
     assert avg_s < 0.8 * gs
+
+
+def test_corr_pricing_matches_numpy(spark, sf_dir):
+    """The DECIMAL(38,0) sufficient-statistics correlation must agree with
+    numpy's float pipeline to float precision (the exact-integer path is
+    the one that cannot drift; numpy is the independent reference)."""
+    import numpy as np
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    got = {r.l_returnflag: r.corr_qty_price for r in QUERIES["corr_pricing"](spark, sf_dir).collect()}
+    for flag, grp in li.groupby("l_returnflag"):
+        expected = np.corrcoef(grp["l_quantity"], grp["l_extendedprice"])[0, 1]
+        assert abs(got[flag] - expected) < 1e-6, flag
+
+
+def test_sliding_window_fanout_is_exact(spark, sf_dir):
+    """Every event contributes to exactly window/slide = 4 sliding windows:
+    the sum of per-window counts must be 4× the event count."""
+    ev_n = load_table(spark, sf_dir, "events").count()
+    total = sum(r.n_events for r in QUERIES["window_sliding_count"](spark, sf_dir).collect())
+    assert total == 4 * ev_n
+
+
+def test_cogroup_reconcile_matches_join(spark, sf_dir):
+    """The bucketed cogroup/applyInPandas path must equal the pure-SQL
+    join+aggregate formulation row for row (the point of the bucketing is
+    plumbing, not semantics)."""
+    got = {
+        r.o_orderkey: (r.n_items, r.sum_qty, r.revenue)
+        for r in QUERIES["cogroup_reconcile"](spark, sf_dir).collect()
+    }
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ref = (
+        od.join(li, od.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 4).alias("sum_qty"),
+            F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 4).alias("revenue"),
+        )
+    )
+    for r in ref.collect():
+        assert got[r.o_orderkey] == (r.n_items, r.sum_qty, r.revenue), r.o_orderkey
