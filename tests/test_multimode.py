@@ -58,6 +58,16 @@ EQUIV_QUERIES = [
     # island assignment must not depend on which partition a position
     # arrives from
     "dedup_substring_spans",
+    # round-5: gaps-and-islands SCD2 numbering, the two-phase prefix scans
+    # composed end-to-end (training_export's manifest is order-sensitive by
+    # construction), the bucketed cogroup (pandas merge per hash bucket —
+    # bucket contents vary with partitioning, results must not), the
+    # degree-ordered triangle join, and hopping-window assignment
+    "scd2_intervals",
+    "training_export",
+    "cogroup_reconcile",
+    "host_triangles",
+    "window_sliding_count",
 ]
 
 _CHILD = r"""

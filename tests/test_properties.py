@@ -1389,6 +1389,7 @@ def test_zorder_buckets_narrow_both_dimensions(spark, sf_dir):
     gp = max(r.max_part for r in rows) - min(r.min_part for r in rows)
     gs = max(r.max_supp for r in rows) - min(r.min_supp for r in rows)
     multi = [r for r in rows if r.n_rows >= 50]
+    assert multi, "no bucket has >= 50 rows; fixture too small for this probe"
     avg_p = sum(r.max_part - r.min_part for r in multi) / len(multi)
     avg_s = sum(r.max_supp - r.min_supp for r in multi) / len(multi)
     assert avg_p < 0.8 * gp

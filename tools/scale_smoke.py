@@ -94,6 +94,24 @@ def replicated_dir(spark, factor: int) -> str:
             .write.mode("overwrite")
             .parquet(os.path.join(d, "documents.parquet"))
         )
+    ev_marker = os.path.join(d, "events.parquet", "_SUCCESS")
+    if not os.path.exists(ev_marker):
+        # events replicate along the USER dimension (event_id/user_id
+        # remapped per replica, timestamps untouched): sessionization /
+        # SCD2 / retention group counts grow K×, per-group sizes stay
+        # fixed — the realistic growth mode for an event stream
+        from url_counter_mapreduce_spark.tables import load_table
+
+        ev = load_table(spark, SRC, "events")
+        (
+            ev.withColumn("replica", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+            .withColumn("event_id", F.col("event_id") * factor + F.col("replica"))
+            .withColumn("user_id", F.col("user_id") * factor + F.col("replica"))
+            .drop("replica")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "events.parquet"))
+        )
     return d
 
 

@@ -348,9 +348,7 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a bucket fits executor memory (the applyInPandas contract)."""
     import pandas as pd
 
-    od = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
@@ -383,7 +381,7 @@ def cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ob.groupby("bucket")
         .cogroup(lb.groupby("bucket"))
         .applyInPandas(
-            lambda left, right: reconcile(left, right),
+            reconcile,
             "o_orderkey long, o_orderstatus string, n_items long, "
             "sum_qty double, revenue double",
         )

@@ -402,6 +402,17 @@ def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hub host with degree 10^6 contributes paths by its LOW-degree
     neighbors' fan-out, not its own square. Shuffles are all equi-joins
     keyed on host; no global sort, no driver materialization."""
+    return triangle_census(_host_undirected_edges(spark, sf_dir))
+
+
+def _host_undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected host adjacency edges (a < b, distinct,
+    non-eagerly checkpointed): the shared edge build behind
+    host_triangles and host_degree_histogram — same host normalization as
+    host_pagerank's weighted directed build. The checkpoint matters:
+    consumers fan the edge set into multiple plan branches (degree
+    union, wedge self-join), and without truncation each branch would
+    re-run the corpus explode+distinct."""
     from .text import URL_HOST_RE
 
     docs = load_table(spark, sf_dir, "documents")
@@ -412,7 +423,7 @@ def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " lower(t)))"
         ).alias("hosts")
     )
-    und = (
+    return (
         hosts.filter(F.expr("size(hosts) >= 2"))
         .select(
             F.explode(
@@ -428,7 +439,6 @@ def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    return triangle_census(und)
 
 
 def triangle_census(und: DataFrame) -> DataFrame:
@@ -472,33 +482,10 @@ def host_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the undirected host adjacency graph: how many
     hosts have each degree — the one-glance skew diagnostic that decides
     whether the triangle/CC passes need the degree-ordered and salted
-    variants. Same canonical edge build as host_triangles; two cheap
-    aggregates after it."""
-    from .text import URL_HOST_RE
-
-    docs = load_table(spark, sf_dir, "documents")
-    hosts = docs.select(
-        F.expr(
-            "transform(filter(split(coalesce(text, ''), ' '), x -> x != ''),"
-            f" t -> coalesce(nullif(regexp_extract(lower(t), '{URL_HOST_RE}', 1), ''),"
-            " lower(t)))"
-        ).alias("hosts")
-    )
-    und = (
-        hosts.filter(F.expr("size(hosts) >= 2"))
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(hosts) - 2),"
-                    " i -> named_struct('a', least(hosts[i], hosts[i + 1]),"
-                    "                   'b', greatest(hosts[i], hosts[i + 1])))"
-                )
-            ).alias("e")
-        )
-        .select("e.a", "e.b")
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    variants. Shares _host_undirected_edges with host_triangles (the
+    checkpoint keeps the degree unionAll from re-running the corpus
+    explode+distinct per branch); two cheap aggregates after it."""
+    und = _host_undirected_edges(spark, sf_dir)
     deg = (
         und.select(F.col("a").alias("h"))
         .unionAll(und.select(F.col("b").alias("h")))

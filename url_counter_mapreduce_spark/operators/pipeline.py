@@ -1105,24 +1105,32 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized. Postings are serialized as a comma-joined string (stable
     across engines; array dtype canonicalization differs).
 
-    Shape: explode → distinct (token, doc) → ONE groupBy token with
-    collect_set. The postings cap bounds the per-token row: stopword-class
-    tokens would otherwise build multi-GB lists in a single aggregation
-    buffer at 100 TB — the cap plus the df count is what a real index
-    stores per segment anyway (full lists live partitioned BY token
-    range, which is exactly what the groupBy's hash partitioning gives
-    the sink)."""
+    Shape: explode → distinct (token, doc) → rank-within-token window →
+    ONE groupBy token. The cap is applied BEFORE aggregation (row_number
+    ≤ cap feeds the collect; df counts all rows in the same aggregate):
+    a stopword-class token at 100 TB contributes at most
+    INVIDX_POSTINGS_CAP entries to any aggregation buffer — capping after
+    a full collect_set would be exactly the multi-GB single-buffer hazard
+    the cap exists to prevent. The window and the groupBy share the one
+    hash shuffle on token."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")).alias("token"),
     ).distinct()
+    w = Window.partitionBy("token").orderBy(F.col("doc_id").asc())
+    ranked = toks.withColumn("rn", F.row_number().over(w))
     return (
-        toks.groupBy("token")
+        ranked.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.array_join(
-                F.slice(F.sort_array(F.collect_set("doc_id")), 1, INVIDX_POSTINGS_CAP), ","
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") <= INVIDX_POSTINGS_CAP, F.col("doc_id"))
+                    )
+                ),
+                ",",
             ).alias("postings"),
         )
         .filter(F.col("df") >= INVIDX_MIN_DF)

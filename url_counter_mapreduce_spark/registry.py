@@ -2221,9 +2221,13 @@ _register(
     WITH e AS (
         SELECT event_type, value, epoch_us(ts) AS us FROM events
     ), w AS (
+        -- floor division via floor(), NOT DuckDB's `//` (which truncates
+        -- toward zero and would shift window indices for pre-1970
+        -- timestamps); epoch_us ≪ 2^53 so the double division is exact
         SELECT event_type, value,
-               unnest(range((us - {temporal.SLIDE_WINDOW_US}) // {temporal.SLIDE_STEP_US} + 1,
-                            us // {temporal.SLIDE_STEP_US} + 1)) AS k
+               unnest(range(
+                   CAST(floor((us - {temporal.SLIDE_WINDOW_US}) / {temporal.SLIDE_STEP_US}.0) AS BIGINT) + 1,
+                   CAST(floor(us / {temporal.SLIDE_STEP_US}.0) AS BIGINT) + 1)) AS k
         FROM e
     )
     SELECT strftime(make_timestamp(k * {temporal.SLIDE_STEP_US}), '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -2234,7 +2238,7 @@ _register(
 
 # streaming twin of window_sliding_count: rows-only by contract (driver
 # design: streaming state); exact equivalence to the batch twin is asserted
-# in tests/test_multimode.py
+# in tests/test_properties.py::test_stream_sliding_matches_batch
 _register("stream_sliding_count", event_count.stream_sliding_count, None)
 
 _register(
