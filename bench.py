@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "rolling_daily_avg",
     "value_bucketing",
     "dq_constraints",
+    "hll_sketch_rollup",
 ]
 
 

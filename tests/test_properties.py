@@ -1440,3 +1440,13 @@ def test_cogroup_reconcile_matches_join(spark, sf_dir):
     )
     for r in ref.collect():
         assert got[r.o_orderkey] == (r.n_items, r.sum_qty, r.revenue), r.o_orderkey
+
+
+def test_hll_rollup_merge_equals_direct_and_bounds_error(spark, sf_dir):
+    """Sketch mergeability (the reason sketch tables exist at 100 TB):
+    union of per-day sketches must estimate EXACTLY what one sketch over
+    the raw stream estimates, and both must sit within 5% of exact."""
+    for r in QUERIES["hll_sketch_rollup"](spark, sf_dir).collect():
+        assert r.est_merged == r.est_direct, r.event_type
+        assert abs(r.est_merged - r.exact_distinct) <= 0.05 * r.exact_distinct + 1, r
+        assert r.n_day_sketches >= 1

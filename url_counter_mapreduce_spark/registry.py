@@ -2697,6 +2697,12 @@ _register(
     """,
 )
 
+# rows-only: Apache DataSketches HLL values are engine-specific (DuckDB
+# cannot replay them); the accuracy measurement ships IN the result
+# (est vs exact_distinct) and tests/test_properties.py bounds the error
+# and asserts union-of-partials ≡ sketch-of-whole
+_register("hll_sketch_rollup", advanced.hll_sketch_rollup, None)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
