@@ -74,3 +74,33 @@ def test_pil_branch_decodes_non_png_image(spark):
     df = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, payload binary")
     r = decode_blobs(df).collect()[0]
     assert (r.decode_status, r.width, r.height) == ("pil", 9, 4)
+
+
+def test_parse_wav_truncated_fmt_returns_none():
+    """A RIFF/WAVE header whose fmt chunk DECLARES 16 bytes but is cut off
+    mid-chunk must parse as malformed (None), not raise struct.error —
+    decode_blobs feeds arbitrary bytes through these parsers inside a
+    Spark task."""
+    import struct
+
+    from url_counter_mapreduce_spark.operators.multimodal import parse_wav
+
+    blob = b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt " + struct.pack("<I", 16) + b"\x01\x00"
+    assert parse_wav(blob) is None
+
+
+def test_parse_wav_odd_sized_chunk_is_word_aligned():
+    """RIFF chunks are word-aligned: an odd-sized chunk is followed by one
+    pad byte. Build a WAV with an odd-sized LIST chunk BEFORE fmt/data —
+    without the (size & 1) pad skip the walk would misalign and miss the
+    fmt chunk entirely."""
+    import struct
+
+    from url_counter_mapreduce_spark.operators.multimodal import parse_wav, wav_bytes
+
+    base = wav_bytes(8000, 1, 101)
+    fmt_and_data = base[12:]  # the valid chunks after the RIFF/WAVE header
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3-byte chunk + pad
+    body = b"WAVE" + odd + fmt_and_data
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_wav(blob) == (8000, 1, 101)

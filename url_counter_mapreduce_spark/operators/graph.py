@@ -361,26 +361,43 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         hosts.select(F.explode("hosts").alias("host")).distinct().localCheckpoint()
     )
     n_nodes = nodes.count()
-    base = (1.0 - PR_DAMPING) / n_nodes
-    ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes))
+    # Integer nano-unit ranks (r = R / 1e9) with PER-EDGE quantization:
+    # each edge contributes w · (R·1000 div outw) — BIGINT floor division,
+    # so every accumulator is an exact integer and the round's sum is
+    # order-independent. (A double sum re-quantized to 9 dp — the previous
+    # formulation — diverges between engines when a sum lands within an
+    # ulp of a floor boundary; integers cannot.) Bounds: R·1000 ≤ 1e12 and
+    # w ≤ outw give per-edge c ≤ 1e12; the per-node sum is accumulated as
+    # DECIMAL(38,0) (DuckDB: HUGEINT), overflow-free to ~1e38. Only the
+    # final damped update touches doubles, on identical integer inputs.
+    import math
+
+    base_nano = (1.0 - PR_DAMPING) / n_nodes * 1e9
+    r0 = int(math.floor(1e9 / n_nodes + 0.5))
+    ranks = nodes.withColumn("R", F.lit(r0).cast("long"))
     for _ in range(PR_ITERS):
         contrib = (
             e.join(ranks.withColumnRenamed("host", "src"), "src")
+            .select("dst", F.expr("CAST(w * (R * 1000L DIV outw) AS DECIMAL(38,0))").alias("c"))
             .groupBy("dst")
-            .agg(F.expr("sum((CAST(w AS DOUBLE) / CAST(outw AS DOUBLE)) * r)").alias("s"))
+            .agg(F.sum("c").alias("s"))
         )
         ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "host"), "host", "left")
             .select(
                 "host",
                 F.expr(
-                    stable_round(f"{base!r}D + {PR_DAMPING!r}D * coalesce(s, 0.0D)", 9)
-                ).alias("r"),
+                    f"CAST(floor({base_nano!r}D + {PR_DAMPING!r}D"
+                    " * (CAST(coalesce(s, CAST(0 AS DECIMAL(38,0))) AS DOUBLE) / 1e3)"
+                    " + 0.5) AS BIGINT)"
+                ).alias("R"),
             )
             .localCheckpoint()  # one job per round; lineage stays flat
         )
     return (
-        ranks.select("host", F.expr(stable_round("r", 6)).alias("rank"))
+        ranks.select(
+            "host", F.expr(stable_round("CAST(R AS DOUBLE) / 1e9", 6)).alias("rank")
+        )
         .orderBy(F.col("rank").desc(), F.col("host").asc())
         .limit(PR_TOP)
     )

@@ -113,6 +113,8 @@ def parse_wav(blob: bytes):
         cid = blob[pos : pos + 4]
         (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
         if cid == b"fmt " and size >= 16:
+            if pos + 24 > len(blob):  # truncated fmt chunk: malformed, not a crash
+                return None
             _fmt, chans, rate, _br, block, _bits = struct.unpack(
                 "<HHIIHH", blob[pos + 8 : pos + 24]
             )
@@ -166,6 +168,8 @@ def decode_blobs(payloads: DataFrame) -> DataFrame:
                 cid = blob[pos : pos + 4]
                 (size,) = _st.unpack("<I", blob[pos + 4 : pos + 8])
                 if cid == b"fmt " and size >= 16:
+                    if pos + 24 > len(blob):  # truncated fmt chunk
+                        return None
                     _f, chans, rate, _b, block, _bt = _st.unpack("<HHIIHH", blob[pos + 8 : pos + 24])
                 elif cid == b"data" and block:
                     nframes = size // block

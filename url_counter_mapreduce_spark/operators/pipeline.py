@@ -291,7 +291,10 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates its own final symbolization, so training AND application
     are cross-checked end-to-end."""
     docs = load_table(spark, sf_dir, "documents")
-    words = _token_counts(docs)
+    # checkpoint BEFORE fanning out: the word-count table feeds both the
+    # training collect (inside bpe_merge_table) and the encode plan below —
+    # un-truncated, the corpus tokenize+groupBy would execute twice
+    words = _token_counts(docs).localCheckpoint(eager=False)
     merges = sorted(
         (int(r["merge_rank"]), r["lhs"], r["rhs"]) for r in bpe_merge_table(words).collect()
     )

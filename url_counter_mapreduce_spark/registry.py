@@ -1988,7 +1988,9 @@ _register(
 # --------------------------------------------------------------------------
 
 # NULL-safe DuckDB token list (twin of operators/text._TOKS_SAFE)
-_TOKS_SAFE_SQL = "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
+# alias of the NULL-safe tokenizer defined once above — a single
+# definition so a tokenizer-contract change cannot fork the oracles
+_TOKS_SAFE_SQL = _TOKS_SQL_SAFE
 
 # signed 32-bit feature weight from the md5 hash (twin of text._QW_UNI)
 _QW_UNI_SQL = "(CAST('0x' || substr(md5('qw:' || tk), 1, 8) AS BIGINT) - 2147483648)"
@@ -2111,9 +2113,12 @@ _register("source_orc_roundtrip", _roundtrip.source_orc_roundtrip, _ROUNDTRIP_OR
 def _pagerank_oracle_sql(n_iters: int) -> str:
     """DuckDB replay of host_pagerank as ``n_iters`` unrolled power-iteration
     CTE stages (the BPE-oracle pattern: the loop is driver-controlled in
-    Spark, SQL has no loops, so the oracle is generated). Both engines
-    re-quantize the rank to 9 dp per round, so order-dependent float-sum
-    drift cannot compound across iterations."""
+    Spark, SQL has no loops, so the oracle is generated). Ranks are BIGINT
+    nano-units with per-edge integer quantization (w · (R·1000 // outw)),
+    so every per-round accumulator is an exact integer in both engines —
+    order-independent by construction, not merely re-quantized; the one
+    double step (the damped update) runs on identical integer inputs with
+    an identical expression shape."""
     d = _graph.PR_DAMPING
     head = f"""
     WITH t AS (
@@ -2136,21 +2141,25 @@ def _pagerank_oracle_sql(n_iters: int) -> str:
     ), nn AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
     ), r0 AS (
-        SELECT host, (SELECT 1.0 / n FROM nn) AS r FROM nodes
+        -- BIGINT nano-unit ranks; expression shapes mirror the Spark loop
+        -- exactly so the one double step computes identical values
+        SELECT host, (SELECT CAST(floor(1e9 / n + 0.5) AS BIGINT) FROM nn) AS R FROM nodes
     )"""
     stages = []
     for k in range(n_iters):
         stages.append(f"""
     , r{k + 1} AS MATERIALIZED (
         SELECT nodes.host,
-               floor(((SELECT {1.0 - d!r} / n FROM nn) + {d!r} * COALESCE(c.s, 0.0)) * 1e9 + 0.5) / 1e9 AS r
+               CAST(floor((SELECT {1.0 - d!r} / n * 1e9 FROM nn)
+                          + {d!r} * (CAST(COALESCE(c.s, 0) AS DOUBLE) / 1e3)
+                          + 0.5) AS BIGINT) AS R
         FROM nodes LEFT JOIN (
-            SELECT dst, SUM((CAST(w AS DOUBLE) / CAST(outw AS DOUBLE)) * r{k}.r) AS s
+            SELECT dst, SUM(CAST(w * ((r{k}.R * 1000) // outw) AS HUGEINT)) AS s
             FROM e JOIN r{k} ON r{k}.host = e.src GROUP BY dst
         ) c ON c.dst = nodes.host
     )""")
     tail = f"""
-    SELECT host, floor(r * 1e6 + 0.5) / 1e6 AS rank
+    SELECT host, floor((CAST(R AS DOUBLE) / 1e9) * 1e6 + 0.5) / 1e6 AS rank
     FROM r{n_iters}
     ORDER BY rank DESC, host ASC LIMIT {_graph.PR_TOP}
     """
