@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "value_bucketing",
     "dq_constraints",
     "hll_sketch_rollup",
+    "source_xml_roundtrip",
+    "source_binaryfile_scan",
+    "url_normalize_dedup",
 ]
 
 

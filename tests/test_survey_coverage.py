@@ -166,6 +166,9 @@ NORTH_STAR_SURFACE = [
     "value_bucketing",
     "dq_constraints",
     "hll_sketch_rollup",
+    "source_xml_roundtrip",
+    "source_binaryfile_scan",
+    "url_normalize_dedup",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

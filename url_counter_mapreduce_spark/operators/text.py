@@ -728,3 +728,69 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# deterministic per-occurrence variant selector (md5 idiom — cross-engine)
+_URL_VARIANT = (
+    "pmod(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(pos AS STRING))),"
+    " 1, 8), 16, 10) AS BIGINT), 4)"
+)
+
+
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier/dedup pass that
+    merges scheme/www/tracking-param/trailing-slash variants of the same
+    resource before counting or fetching. The fixture's token stream is
+    decorated into four deterministic raw variants per occurrence
+    (https://, http://www., bare + trailing slash, uppercase-scheme +
+    utm param — chosen by a content-independent md5 of (doc_id, pos), the
+    engine's seeded-RNG stand-in), then normalized back by the
+    lowercase → strip-scheme → strip-www → strip-utm → strip-slash chain;
+    groups whose variants actually merged are reported.
+
+    Everything is map-side regexp work until one partial-aggregated
+    groupBy on the normalized key — at 100 TB the normalization cost is
+    the scan itself, and the aggregate carries only distinct canonical
+    URLs."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.posexplode(F.expr(_TOKS_SAFE)).alias("pos", "tok")
+    )
+    raw = occ.select(
+        F.expr(
+            f"""
+            CASE {_URL_VARIANT}
+                WHEN 0 THEN concat('https://', tok, '.com/a')
+                WHEN 1 THEN concat('http://www.', tok, '.com/a')
+                WHEN 2 THEN concat(tok, '.com/a/')
+                ELSE concat('HTTPS://', tok, '.com/a?utm_source=x')
+            END
+            """
+        ).alias("url")
+    )
+    norm = raw.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("url")), r"^[a-z][a-z0-9+.-]*://", ""
+                    ),
+                    r"^www\.",
+                    "",
+                ),
+                r"[?&]utm_[^&]*",
+                "",
+            ),
+            r"/$",
+            "",
+        ).alias("norm_url"),
+        F.col("url").alias("raw_url"),
+    )
+    return (
+        norm.groupBy("norm_url")
+        .agg(
+            F.countDistinct("raw_url").cast("long").alias("n_variants"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )

@@ -2712,6 +2712,58 @@ _register(
 # and asserts union-of-partials ≡ sketch-of-whole
 _register("hll_sketch_rollup", advanced.hll_sketch_rollup, None)
 
+_register("source_xml_roundtrip", _roundtrip.source_xml_roundtrip, _ROUNDTRIP_ORACLE)
+
+_register(
+    "url_normalize_dedup",
+    text.url_normalize_dedup,
+    f"""
+    WITH occ AS (
+        SELECT doc_id, pos, tok FROM (
+            SELECT doc_id,
+                   unnest(range(0, len({_TOKS_SQL_SAFE}))) AS pos,
+                   unnest({_TOKS_SQL_SAFE}) AS tok
+            FROM documents
+        )
+    ), raw AS (
+        SELECT CASE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) % 4)
+                   WHEN 0 THEN 'https://' || tok || '.com/a'
+                   WHEN 1 THEN 'http://www.' || tok || '.com/a'
+                   WHEN 2 THEN tok || '.com/a/'
+                   ELSE 'HTTPS://' || tok || '.com/a?utm_source=x'
+               END AS url
+        FROM occ
+    ), norm AS (
+        SELECT regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+                           '^www\\.', ''),
+                       '[?&]utm_[^&]*', '', 'g'),
+                   '/$', '') AS norm_url,
+               url AS raw_url
+        FROM raw
+    )
+    SELECT norm_url,
+           CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_variants,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM norm GROUP BY norm_url
+    HAVING COUNT(DISTINCT raw_url) >= 2
+    """,
+)
+
+_register(
+    "source_binaryfile_scan",
+    _roundtrip.source_binaryfile_scan,
+    f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    WHERE doc_id < {_roundtrip.BINARYFILE_MAX_DOCS}
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting

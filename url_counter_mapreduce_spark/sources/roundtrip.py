@@ -83,3 +83,62 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     return _doc_summary(back)
+
+
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → XML (Spark 4 built-in xml data source, one <doc> row
+    element per record) → back → per-lang summary. XML is the interchange
+    format of the oldest crawl/feed archives (ARC-era metadata, sitemaps,
+    vendor exports); the writer/reader pair is the same distributed
+    one-task-per-partition path as JSONL. The reader gets the explicit
+    schema — inference over XML is a full extra pass and type-guesses.
+
+    Caveat pinned by the oracle: XML 1.0 cannot represent most control
+    characters, so a corpus containing them needs escaping before this
+    sink — the fixture corpus is control-free, and a lossy write would
+    break the content signature."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _rt_dir("xml", sf_dir)
+    docs.write.mode("overwrite").format("xml").option("rowTag", "doc").save(path)
+    back = (
+        spark.read.schema(docs.schema).format("xml").option("rowTag", "doc").load(path)
+    )
+    return _doc_summary(back)
+
+
+BINARYFILE_MAX_DOCS = 200
+
+
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-per-record binary ingest via the `binaryFile` data source —
+    the path image/audio corpora actually take into Spark (a directory of
+    media files, one row per file with path/length/content). A bounded
+    sample of documents (doc_id < BINARYFILE_MAX_DOCS) is materialized as
+    one .bin file each (UTF-8 text bytes — the stand-in for image bytes;
+    the write is a bounded driver artifact, the READ is the distributed
+    path under test), then scanned back and digested per file.
+
+    At 100 TB the reader's partitioning knobs (maxPartitionBytes,
+    filesMinPartitionNum) batch small files into tasks — the same
+    small-files story as sink_compacted_parquet, on the ingest side."""
+    import hashlib
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.filter(F.col("doc_id") < BINARYFILE_MAX_DOCS).select("doc_id", "text")
+    d = _rt_dir("binfiles", sf_dir)
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        pdf = sample.toPandas()  # bounded: BINARYFILE_MAX_DOCS rows
+        for _, row in pdf.iterrows():
+            with open(os.path.join(d, f"{int(row.doc_id):06d}.bin"), "wb") as f:
+                f.write(row.text.encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write(str(len(pdf)))
+    scanned = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(d)
+    return scanned.select(
+        F.regexp_extract(F.col("path"), r"(\d{6})\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )
