@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "source_xml_roundtrip",
     "source_binaryfile_scan",
     "url_normalize_dedup",
+    "dedup_minhash_recall",
 ]
 
 

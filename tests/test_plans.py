@@ -119,7 +119,7 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     # subquery. Catalyst constant-folds any constant-key equi-join to a
     # BNL anyway, so these plans are BNL-with-1-row-build by construction,
     # shuffle-free and safe at any scale.
-    bnl_allowed |= {"host_triangles", "funnel_conversion", "layout_zorder"}
+    bnl_allowed |= {"host_triangles", "funnel_conversion", "layout_zorder", "dedup_minhash_recall"}
     streaming = {n for n in QUERIES if n.startswith("stream_")}
     for name in QUERIES:
         if name in streaming:

@@ -169,6 +169,7 @@ NORTH_STAR_SURFACE = [
     "source_xml_roundtrip",
     "source_binaryfile_scan",
     "url_normalize_dedup",
+    "dedup_minhash_recall",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

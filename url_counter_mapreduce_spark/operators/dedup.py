@@ -867,3 +867,72 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "fp")
     prev = docs.filter(F.col("doc_id") % 3 != 0).select("fp")
     return cur.join(prev, "fp", "left_anti").select("doc_id", "fp")
+
+
+RECALL_SAMPLE_DECILES = 2  # measure on a deterministic 20% doc sample
+RECALL_JACCARD_T = 0.5
+
+# content-independent doc decile (the train_test_split idiom)
+_DOC_DECILE = (
+    "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), 10)"
+)
+
+
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipped RECALL measurement for the banded MinHash-LSH pass — the
+    ann_recall discipline applied to dedup: what fraction of TRUE
+    near-dup pairs (exact shingle Jaccard ≥ 0.5) does the 4×2 banding
+    actually surface? Ground truth needs pair candidates beyond the LSH
+    buckets, which is quadratic — so the measurement runs on a
+    DETERMINISTIC 20% doc sample (the md5-decile idiom; at 100 TB the
+    sample is capped upstream and this stays a bounded audit job), where
+    truth comes from an exhaustive shingle-SHARING join: every pair with
+    Jaccard > 0 shares at least one shingle, so the shingle join's
+    candidate set provably contains all true pairs — no all-pairs scan.
+
+    One row: true pairs, LSH-found pairs (a subset by construction, both
+    exact-verified at the same threshold), recall."""
+    from ..tables import load_table, scalar_join
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.expr(f"{_DOC_DECILE} < {RECALL_SAMPLE_DECILES}")
+    )
+    sigs_sh = _signatures_with_shingles(docs).persist()
+    # truth: shingle-sharing candidates -> exact Jaccard
+    expl = sigs_sh.select("doc_id", F.explode("shingles").alias("s"))
+    cand_all = (
+        expl.alias("a")
+        .join(expl.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = sigs_sh.select("doc_id", "shingles")
+    truth = (
+        cand_all.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a"
+        )
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .withColumn("jaccard", F.expr(_JACCARD_EXPR))
+        .filter(F.col("jaccard") >= RECALL_JACCARD_T)
+    )
+    found = (
+        _pairs_rejoin(sigs_sh)
+        .withColumn("jaccard", F.expr(_JACCARD_EXPR))
+        .filter(F.col("jaccard") >= RECALL_JACCARD_T)
+    )
+    from ..functions.vector import stable_round
+
+    return scalar_join(
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs")),
+        found.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_pairs")),
+    ).select(
+        "n_true_pairs",
+        "n_lsh_pairs",
+        F.expr(
+            stable_round(
+                "CASE WHEN n_true_pairs = 0 THEN 1.0"
+                " ELSE CAST(n_lsh_pairs AS DOUBLE) / n_true_pairs END",
+                6,
+            )
+        ).alias("recall"),
+    )

@@ -2714,6 +2714,49 @@ _register("hll_sketch_rollup", advanced.hll_sketch_rollup, None)
 
 _register("source_xml_roundtrip", _roundtrip.source_xml_roundtrip, _ROUNDTRIP_ORACLE)
 
+_JACCARD_SQL = (
+    "floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+    " / len(list_distinct(sa.shingles || sb.shingles)) * 1e6 + 0.5) / 1e6"
+)
+
+_register(
+    "dedup_minhash_recall",
+    dedup.dedup_minhash_recall,
+    _SHINGLES_CTE.replace(
+        "FROM documents\n",
+        "FROM documents\n  WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+        f" % 10) < {dedup.RECALL_SAMPLE_DECILES}\n",
+    )
+    + f", sigs AS (SELECT doc_id, {_MH} FROM sh)\n"
+    + f", bands AS ({_BANDS_SQL})"
+    + f"""
+    , cand_lsh AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), found AS (
+        SELECT doc_a, doc_b FROM cand_lsh
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE {_JACCARD_SQL} >= {dedup.RECALL_JACCARD_T}
+    ), expl AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), cand_all AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), truth AS (
+        SELECT doc_a, doc_b FROM cand_all
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE {_JACCARD_SQL} >= {dedup.RECALL_JACCARD_T}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_lsh_pairs,
+           floor(CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0
+                      ELSE CAST((SELECT COUNT(*) FROM found) AS DOUBLE)
+                           / (SELECT COUNT(*) FROM truth) END * 1e6 + 0.5) / 1e6 AS recall
+    """,
+)
+
 _register(
     "url_normalize_dedup",
     text.url_normalize_dedup,
