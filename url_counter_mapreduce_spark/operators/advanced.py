@@ -481,15 +481,23 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     def fk(name, fact, fk_col, dim, pk_col):
+        # dimension keys DISTINCT before the join: if the dim's own PK
+        # uniqueness is violated (exactly what the uniq checks catch), a
+        # raw left join would fan fact rows out and n_checked would stop
+        # meaning "rows scanned". NULL FKs follow SQL/dbt relationship
+        # semantics: not a referential violation (not-null is its own
+        # check), so the violation predicate requires a non-null FK.
         joined = fact.select(fk_col).join(
-            dim.select(F.col(pk_col).alias("_pk")),
+            dim.select(F.col(pk_col).alias("_pk")).distinct(),
             F.col(fk_col) == F.col("_pk"),
             "left",
         )
         return joined.agg(
             F.lit(name).alias("constraint"),
             F.count(F.lit(1)).cast("long").alias("n_checked"),
-            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)).cast("long").alias("n_violations"),
+            F.sum(
+                F.when(F.col(fk_col).isNotNull() & F.col("_pk").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_violations"),
         ).select("constraint", "n_checked", "n_violations")
 
     def uniq(name, tbl, col):

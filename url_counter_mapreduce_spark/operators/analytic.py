@@ -160,7 +160,10 @@ def rolling_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.date_format("d", "yyyy-MM-dd").alias("order_date"),
             "revenue",
-            F.expr(stable_round("avg_raw", 4)).alias("avg_7d"),
+            # round(), NOT stable_round: a window aggregate's inputs differ
+            # in the last ulp between engines, which is exactly the case
+            # stable_round's contract excludes (functions/vector.py)
+            F.round("avg_raw", 4).alias("avg_7d"),
             F.count(F.lit(1)).over(w).cast("long").alias("n_days_in_window"),
         )
     )

@@ -872,10 +872,30 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 RECALL_SAMPLE_DECILES = 2  # measure on a deterministic 20% doc sample
 RECALL_JACCARD_T = 0.5
 
-# content-independent doc decile (the train_test_split idiom)
-_DOC_DECILE = (
-    "pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), 10)"
-)
+
+def _sampled_signatures_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature+shingle table for the deterministic recall sample, served
+    from the same bounded _SIG_CACHE FIFO as the full-corpus index (keyed
+    separately) — an un-keyed per-call persist() here would accumulate one
+    cached table per bench/driver invocation for the life of the session."""
+    from ..tables import load_table as _lt
+    from .pipeline import _DECILE  # single definition of the md5-decile idiom
+
+    key = (spark.sparkContext.applicationId, sf_dir, "recall-sample")
+    if key not in _SIG_CACHE:
+        while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
+            oldest = next(iter(_SIG_CACHE))
+            try:
+                _SIG_CACHE.pop(oldest).unpersist()
+            except Exception:
+                pass
+        docs = _lt(spark, sf_dir, "documents").filter(
+            F.expr(f"{_DECILE} < {RECALL_SAMPLE_DECILES}")
+        )
+        sigs = _signatures_with_shingles(docs).persist()
+        sigs.count()  # materialize once
+        _SIG_CACHE[key] = sigs
+    return _SIG_CACHE[key]
 
 
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,12 +912,9 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One row: true pairs, LSH-found pairs (a subset by construction, both
     exact-verified at the same threshold), recall."""
-    from ..tables import load_table, scalar_join
+    from ..tables import scalar_join
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.expr(f"{_DOC_DECILE} < {RECALL_SAMPLE_DECILES}")
-    )
-    sigs_sh = _signatures_with_shingles(docs).persist()
+    sigs_sh = _sampled_signatures_for(spark, sf_dir)
     # truth: shingle-sharing candidates -> exact Jaccard
     expl = sigs_sh.select("doc_id", F.explode("shingles").alias("s"))
     cand_all = (

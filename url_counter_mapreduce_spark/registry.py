@@ -2644,7 +2644,7 @@ _register(
         FROM orders GROUP BY 1
     )
     SELECT strftime(d, '%Y-%m-%d') AS order_date, revenue,
-           (floor(AVG(revenue) OVER w * 1e4 + 0.5) / 1e4) AS avg_7d,
+           round(AVG(revenue) OVER w, 4) AS avg_7d,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window
     FROM daily
     WINDOW w AS (ORDER BY d ASC
@@ -2681,13 +2681,17 @@ _register(
     """
     SELECT 'orders.o_custkey -> customer' AS constraint,
            CAST(COUNT(*) AS BIGINT) AS n_checked,
-           CAST(SUM(CASE WHEN c._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
-    FROM orders LEFT JOIN (SELECT c_custkey AS _pk FROM customer) c ON o_custkey = c._pk
+           CAST(SUM(CASE WHEN o_custkey IS NOT NULL AND c._pk IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+    FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) c
+      ON o_custkey = c._pk
     UNION ALL
     SELECT 'lineitem.l_orderkey -> orders',
            CAST(COUNT(*) AS BIGINT),
-           CAST(SUM(CASE WHEN o._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-    FROM lineitem LEFT JOIN (SELECT o_orderkey AS _pk FROM orders) o ON l_orderkey = o._pk
+           CAST(SUM(CASE WHEN l_orderkey IS NOT NULL AND o._pk IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders) o
+      ON l_orderkey = o._pk
     UNION ALL
     SELECT 'orders.o_orderkey unique',
            CAST(COUNT(*) AS BIGINT),

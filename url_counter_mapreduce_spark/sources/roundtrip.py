@@ -127,15 +127,29 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sample = docs.filter(F.col("doc_id") < BINARYFILE_MAX_DOCS).select("doc_id", "text")
     d = _rt_dir("binfiles", sf_dir)
+    # reuse marker keyed on the sample-size constant AND a content
+    # fingerprint of the source parquet (the sink_compacted_parquet
+    # lesson): a changed cap or regenerated fixture must re-materialize,
+    # or the scan reads stale files while the oracle reads fresh parquet
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    stamp = f"{BINARYFILE_MAX_DOCS}:{st.st_size}:{int(st.st_mtime)}"
     marker = os.path.join(d, "_DONE")
-    if not os.path.exists(marker):
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read()
+    if current != stamp:
         os.makedirs(d, exist_ok=True)
+        for stale in os.listdir(d):
+            if stale.endswith(".bin"):
+                os.unlink(os.path.join(d, stale))
         pdf = sample.toPandas()  # bounded: BINARYFILE_MAX_DOCS rows
         for _, row in pdf.iterrows():
             with open(os.path.join(d, f"{int(row.doc_id):06d}.bin"), "wb") as f:
                 f.write(row.text.encode("utf-8"))
         with open(marker, "w") as f:
-            f.write(str(len(pdf)))
+            f.write(stamp)
     scanned = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(d)
     return scanned.select(
         F.regexp_extract(F.col("path"), r"(\d{6})\.bin$", 1).cast("long").alias("doc_id"),
