@@ -1450,3 +1450,59 @@ def test_hll_rollup_merge_equals_direct_and_bounds_error(spark, sf_dir):
         assert r.est_merged == r.est_direct, r.event_type
         assert abs(r.est_merged - r.exact_distinct) <= 0.05 * r.exact_distinct + 1, r
         assert r.n_day_sketches >= 1
+
+
+def test_prefix_cumsum_matches_naive_window(spark):
+    """The two-phase bucketed prefix scan (training_export / token-budget /
+    shuffle backbone) must equal the naive single-partition window on
+    random data — including duplicate hash keys (tiebreak on doc_id) and
+    both the grouped and global forms."""
+    import random
+
+    from pyspark.sql.window import Window as W
+
+    from url_counter_mapreduce_spark.operators.pipeline import _with_prefix_cumsum
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(1 << 32), rng.choice("abc"), rng.randint(0, 50))
+        for i in range(500)
+    ]
+    rows += [(1000 + i, rows[i][1], rows[i][2], 7) for i in range(20)]  # hash ties
+    df = spark.createDataFrame(rows, "doc_id long, h long, source string, n_tokens long")
+
+    for part_cols in (["source"], []):
+        got = {
+            (tuple(r[c] for c in part_cols), r.doc_id): r.cum
+            for r in _with_prefix_cumsum(df, part_cols, "n_tokens", "cum").collect()
+        }
+        w = (
+            W.partitionBy(*part_cols)
+            .orderBy(F.col("h").asc(), F.col("doc_id").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        ref = {
+            (tuple(r[c] for c in part_cols), r.doc_id): r.cum
+            for r in df.withColumn("cum", F.sum("n_tokens").over(w)).collect()
+        }
+        assert got == ref, f"part_cols={part_cols}"
+
+
+def test_zorder_interleave_roundtrips(spark):
+    """Morton interleave bijectivity: de-interleaving the z value must
+    recover both scaled keys for a sweep of 8-bit pairs."""
+    from url_counter_mapreduce_spark.operators.advanced import ZORDER_BITS, _z_spark
+
+    vals = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 23)]
+    df = spark.createDataFrame(vals, "px long, py long").withColumn(
+        "z", F.expr(_z_spark("px", "py"))
+    )
+    even = " + ".join(
+        f"shiftleft((shiftright(z, {2 * i}) & 1), {i})" for i in range(ZORDER_BITS)
+    )
+    odd = " + ".join(
+        f"shiftleft((shiftright(z, {2 * i + 1}) & 1), {i})" for i in range(ZORDER_BITS)
+    )
+    out = df.select("px", "py", F.expr(even).alias("rx"), F.expr(odd).alias("ry")).collect()
+    for r in out:
+        assert (r.px, r.py) == (r.rx, r.ry)
