@@ -877,19 +877,30 @@ def _priority_hash(salt: str) -> str:
 
 
 def _with_prefix_cumsum(
-    df: DataFrame, part_cols: list[str], val_col: str, out_col: str
+    df: DataFrame,
+    part_cols: list[str],
+    val_col: str,
+    out_col: str,
+    grand_total: list | None = None,
 ) -> DataFrame:
     """Add `out_col` = inclusive cumulative sum of `val_col` over rows of
     `df` ordered by (h, doc_id) within `part_cols`, WITHOUT a global
     window. `df` must carry BIGINT columns h (32-bit hash) and doc_id.
     Shuffle cost: one tiny aggregate + one broadcast join + one window
     keyed (part_cols, bucket) — at any scale the biggest partition is
-    ~1/64 of the largest group."""
+    ~1/64 of the largest group.
+
+    ``grand_total``: pass an empty list to receive Σ val_col (appended as
+    its single element) for free — the offset collect already holds every
+    bucket subtotal, so callers needing the total (training_export's
+    shard arithmetic) skip a whole extra job over the input."""
     from pyspark.sql.functions import broadcast
 
     b = df.withColumn("bucket", F.expr(f"CAST(h DIV {_BUCKET_DIV} AS INT)"))
     sub = b.groupBy(*part_cols, "bucket").agg(F.sum(val_col).alias("sub_total"))
     rows = sub.collect()  # bounded: |groups| × 64 rows of integers
+    if grand_total is not None:
+        grand_total.append(sum(r["sub_total"] for r in rows))
     if not rows:  # empty input: nothing to rank, avoid schema-less createDataFrame
         return df.withColumn(out_col, F.lit(0).cast("long"))
     offsets, seen = [], {}
@@ -962,8 +973,9 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id", F.lit(1).alias("one"), F.expr(_priority_hash("shuf:0")).alias("h")
     )
-    n_docs = docs.count()
-    ranked = _with_prefix_cumsum(base, [], "one", "shuffle_rank")
+    total: list = []
+    ranked = _with_prefix_cumsum(base, [], "one", "shuffle_rank", grand_total=total)
+    n_docs = max(int(total[0]), 1)  # Σ one from the offset collect: no extra count() job
     return ranked.select(
         "doc_id",
         "shuffle_rank",
@@ -1047,8 +1059,11 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    n_admitted = admitted.count()
-    ranked = _with_prefix_cumsum(admitted, [], "one", "shuffle_rank")
+    total: list = []
+    ranked = _with_prefix_cumsum(admitted, [], "one", "shuffle_rank", grand_total=total)
+    # Σ one over all buckets IS the admitted count — read it off the offset
+    # collect instead of paying a separate count() job over the frame
+    n_admitted = int(total[0])
     sharded = ranked.withColumn(
         "shard",
         F.expr(
