@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "source_binaryfile_scan",
     "url_normalize_dedup",
     "dedup_minhash_recall",
+    "join_partition_pruned",
 ]
 
 

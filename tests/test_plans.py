@@ -158,3 +158,12 @@ def test_quality_classifier_is_scan_only(spark, sf_dir):
     shuffle)."""
     plan = _plan(spark, sf_dir, "quality_classifier_score")
     assert "Exchange" not in plan
+
+
+def test_dynamic_partition_pruning_injected(spark, sf_dir):
+    """join_partition_pruned's fact scan must carry a runtime
+    dynamicpruningexpression in its PartitionFilters — the dimension's
+    surviving keys decide which lang partitions are read, with no pruning
+    literal anywhere in the query."""
+    plan = _plan(spark, sf_dir, "join_partition_pruned")
+    assert "dynamicpruning" in plan.lower(), plan[:800]

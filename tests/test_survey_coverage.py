@@ -170,6 +170,7 @@ NORTH_STAR_SURFACE = [
     "source_binaryfile_scan",
     "url_normalize_dedup",
     "dedup_minhash_recall",
+    "join_partition_pruned",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

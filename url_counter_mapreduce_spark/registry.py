@@ -2718,6 +2718,25 @@ _register("hll_sketch_rollup", advanced.hll_sketch_rollup, None)
 
 _register("source_xml_roundtrip", _roundtrip.source_xml_roundtrip, _ROUNDTRIP_ORACLE)
 
+
+def _dpp_dim_values() -> str:
+    return ", ".join(f"('{lang}', {w})" for lang, w in _partitioned.DPP_DIM_ROWS)
+
+
+_register(
+    "join_partition_pruned",
+    _partitioned.join_partition_pruned,
+    f"""
+    WITH dim(lang, weight) AS (VALUES {_dpp_dim_values()})
+    SELECT d.lang, CAST(weight AS INT) AS weight,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents d JOIN dim ON d.lang = dim.lang
+    WHERE weight < {_partitioned.DPP_WEIGHT_CUT}
+    GROUP BY 1, 2
+    """,
+)
+
 _JACCARD_SQL = (
     "floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
     " / len(list_distinct(sa.shingles || sb.shingles)) * 1e6 + 0.5) / 1e6"

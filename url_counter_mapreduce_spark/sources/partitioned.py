@@ -34,3 +34,47 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.sum(F.length("text")).alias("sum_text_len"),
     )
+
+
+# (lang, weight) dimension rows; the weight < DPP_WEIGHT_CUT filter is the
+# SELECTIVE dimension predicate DPP keys on — it excludes 'es' at runtime,
+# so the fact scan must skip that partition without a literal in the query
+DPP_DIM_ROWS = (("en", 1), ("de", 2), ("es", 99))
+DPP_WEIGHT_CUT = 50
+
+
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the lang-partitioned dataset joined to a
+    small dimension carrying a SELECTIVE filter on a non-join column —
+    Catalyst injects `dynamicpruningexpression(lang IN dynamicpruning#N)`
+    into the fact scan's PartitionFilters, so which partitions are read
+    is decided at RUNTIME from the dimension's surviving keys. This is
+    the star-schema analog of static PartitionFilters
+    (sink_partitioned_parquet): there the pruning literal is in the
+    query; here it comes out of the joined dimension — at 100 TB the
+    difference between scanning 2 of 200 date/lang partitions and all of
+    them whenever the predicate lives on the dim. (Probed: WITHOUT the
+    dim-side filter Catalyst skips DPP — the join keys alone are not a
+    selective predicate.)
+
+    Plan asserted in tests/test_plans.py; correctness via the DuckDB
+    oracle over the original parquet with the same inline dimension."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _part_dir(sf_dir)
+    # reuse the partitioned dataset if the sink already materialized it
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        list(DPP_DIM_ROWS), "lang string, weight int"
+    ).filter(F.col("weight") < DPP_WEIGHT_CUT)
+    return (
+        fact.join(dim, "lang")
+        .groupBy("lang", "weight")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
