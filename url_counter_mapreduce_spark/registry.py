@@ -2737,6 +2737,16 @@ _register(
     """,
 )
 
+from .sources import text as _srctext  # noqa: E402
+
+# same result contract as url_count: the custom python data source must be
+# transparent to the flagship pipeline
+_register(
+    "source_python_datasource",
+    _srctext.source_python_datasource,
+    _COUNTS_CTE + "SELECT token, cnt FROM counts",
+)
+
 _JACCARD_SQL = (
     "floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
     " / len(list_distinct(sa.shingles || sb.shingles)) * 1e6 + 0.5) / 1e6"

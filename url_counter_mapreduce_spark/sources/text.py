@@ -46,3 +46,109 @@ def url_topk_from_text(spark: SparkSession, paths: str | list[str], k: int = 100
         .orderBy(F.col("cnt").desc(), F.col("url").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# The same format through Spark 4's PYTHON DATA SOURCE API — the modern
+# extension point for formats Spark lacks a native reader for. The class
+# below is the reference's input model made literal: ONE InputPartition per
+# data file (master_splitmerge.go splits work file-per-map-task), each task
+# streaming its file's lines. Registration is per-session
+# (spark.dataSource.register); executors unpickle the reader and read their
+# partition's file locally.
+# ---------------------------------------------------------------------------
+
+PYDS_FILES = 8
+
+
+def _pyds_classes():
+    """Define the DataSource classes lazily: pyspark.sql.datasource exists
+    only on Spark 4+, and module import must not require it."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class UrlTextDataSource(DataSource):
+        """`format("urltext")`: directory of whitespace-URL text files →
+        one row per line, one partition per file."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "urltext"
+
+        def schema(self) -> str:
+            return "value string"
+
+        def reader(self, schema):
+            return UrlTextReader(self.options)
+
+    class UrlTextReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def partitions(self):
+            import glob as _glob
+            import os as _os
+
+            files = sorted(_glob.glob(_os.path.join(self.path, "*.txt")))
+            return [InputPartition(f) for f in files]
+
+        def read(self, partition):
+            with open(partition.value, encoding="utf-8") as f:
+                for line in f:
+                    yield (line.rstrip("\n"),)
+
+    return UrlTextDataSource
+
+
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's data0..7.txt layout end-to-end through a CUSTOM
+    PYTHON DATA SOURCE: the documents corpus is materialized once as
+    PYDS_FILES round-robin text files (the reference's exact input
+    layout), read back via `spark.read.format("urltext")` — one Spark
+    task per file, the reference's split model — and reduced to the
+    flagship (token, cnt) table, oracle-identical to url_count over the
+    original parquet.
+
+    At 100 TB the partitions() list is the only driver-side state (one
+    entry per file); each executor streams its file line-by-line — the
+    whole-file materialization the reference needed (common_map.go:19-22)
+    never happens."""
+    import os
+
+    from ..tables import load_table, tmp_scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tmp_scratch_dir("pyds", sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    stamp = f"{PYDS_FILES}:{st.st_size}:{int(st.st_mtime)}"
+    marker = os.path.join(d, "_DONE")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read()
+    if current != stamp:
+        os.makedirs(d, exist_ok=True)
+        pdf = docs.select("doc_id", "text").toPandas()  # bounded fixture corpus
+        handles = [
+            open(os.path.join(d, f"data{k}.txt"), "w", encoding="utf-8")
+            for k in range(PYDS_FILES)
+        ]
+        try:
+            for _, row in pdf.iterrows():
+                handles[int(row.doc_id) % PYDS_FILES].write(row.text + "\n")
+        finally:
+            for h in handles:
+                h.close()
+        with open(marker, "w") as f:
+            f.write(stamp)
+    try:
+        spark.dataSource.register(_pyds_classes())
+    except Exception:
+        pass  # already registered in this session
+    lines = spark.read.format("urltext").option("path", d).load()
+    return (
+        lines.select(F.explode(F.split("value", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
