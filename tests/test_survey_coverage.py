@@ -168,6 +168,7 @@ NORTH_STAR_SURFACE = [
     "hll_sketch_rollup",
     "source_xml_roundtrip",
     "source_binaryfile_scan",
+    "source_python_datasource",
     "url_normalize_dedup",
     "dedup_minhash_recall",
     "join_partition_pruned",
