@@ -54,6 +54,9 @@ def _norm(v):
 
 q = e.queries()
 o = e.oracle_sql()
+only = [a for a in sys.argv[1:] if not a.startswith("-")]
+if only:
+    q = {k: v for k, v in q.items() if k in only}
 fails = []
 for name in sorted(q):
     spdf = q[name](spark, SF).toPandas()

@@ -146,10 +146,10 @@ def clear_signature_cache() -> None:
             pass  # session already stopped
 
 
-def _signatures_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..tables import load_table as _lt
-
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _cached_signatures(key: tuple, build_fn) -> DataFrame:
+    """Single FIFO-eviction + persist lifecycle for _SIG_CACHE entries —
+    shared by the full-corpus and recall-sample signature tables so the
+    eviction/unpersist discipline can't drift between them."""
     if key not in _SIG_CACHE:
         while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
             oldest = next(iter(_SIG_CACHE))
@@ -157,10 +157,19 @@ def _signatures_for(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _SIG_CACHE.pop(oldest).unpersist()
             except Exception:
                 pass
-        sigs = _signatures_with_shingles(_lt(spark, sf_dir, "documents")).persist()
+        sigs = build_fn().persist()
         sigs.count()  # materialize once
         _SIG_CACHE[key] = sigs
     return _SIG_CACHE[key]
+
+
+def _signatures_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table as _lt
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _cached_signatures(
+        key, lambda: _signatures_with_shingles(_lt(spark, sf_dir, "documents"))
+    )
 
 
 # (applicationId, sf_dir, threshold, bucket_cap) → persisted verified-pair
@@ -882,20 +891,14 @@ def _sampled_signatures_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import _DECILE  # single definition of the md5-decile idiom
 
     key = (spark.sparkContext.applicationId, sf_dir, "recall-sample")
-    if key not in _SIG_CACHE:
-        while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
-            oldest = next(iter(_SIG_CACHE))
-            try:
-                _SIG_CACHE.pop(oldest).unpersist()
-            except Exception:
-                pass
+
+    def _build():
         docs = _lt(spark, sf_dir, "documents").filter(
             F.expr(f"{_DECILE} < {RECALL_SAMPLE_DECILES}")
         )
-        sigs = _signatures_with_shingles(docs).persist()
-        sigs.count()  # materialize once
-        _SIG_CACHE[key] = sigs
-    return _SIG_CACHE[key]
+        return _signatures_with_shingles(docs)
+
+    return _cached_signatures(key, _build)
 
 
 def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

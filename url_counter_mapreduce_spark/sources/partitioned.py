@@ -20,6 +20,34 @@ def _part_dir(sf_dir: str) -> str:
     return tmp_scratch_dir("part", sf_dir)
 
 
+def _source_stamp(sf_dir: str) -> str:
+    """Content fingerprint of the source parquet (size+mtime): a
+    regenerated fixture must re-materialize the partitioned scratch, or
+    queries would aggregate stale partitions while the DuckDB oracle
+    reads fresh parquet (the sink_compacted_parquet lesson)."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return f"{st.st_size}:{int(st.st_mtime)}"
+
+
+def _write_stamp(path: str, sf_dir: str) -> None:
+    import os
+
+    with open(os.path.join(path, "_STAMP"), "w") as f:
+        f.write(_source_stamp(sf_dir))
+
+
+def _stamp_fresh(path: str, sf_dir: str) -> bool:
+    import os
+
+    marker = os.path.join(path, "_STAMP")
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        return f.read() == _source_stamp(sf_dir)
+
+
 def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → parquet partitioned by lang → filtered re-read → per-source
     summary of the 'en' partition. The write is the distributed dynamic-
@@ -28,6 +56,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     path = _part_dir(sf_dir)
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    _write_stamp(path, sf_dir)
     back = spark.read.parquet(path).filter(F.col("lang") == "en")
     return back.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -61,11 +90,11 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle over the original parquet with the same inline dimension."""
     docs = load_table(spark, sf_dir, "documents")
     path = _part_dir(sf_dir)
-    # reuse the partitioned dataset if the sink already materialized it
-    import os
-
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # reuse the partitioned dataset only when its content stamp matches the
+    # current source parquet; a regenerated fixture forces a rewrite
+    if not _stamp_fresh(path, sf_dir):
         docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+        _write_stamp(path, sf_dir)
     fact = spark.read.parquet(path)
     dim = spark.createDataFrame(
         list(DPP_DIM_ROWS), "lang string, weight int"

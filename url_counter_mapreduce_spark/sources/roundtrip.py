@@ -147,7 +147,7 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = sample.toPandas()  # bounded: BINARYFILE_MAX_DOCS rows
         for _, row in pdf.iterrows():
             with open(os.path.join(d, f"{int(row.doc_id):06d}.bin"), "wb") as f:
-                f.write(row.text.encode("utf-8"))
+                f.write((row.text or "").encode("utf-8"))
         with open(marker, "w") as f:
             f.write(stamp)
     scanned = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(d)
