@@ -104,3 +104,65 @@ def test_parse_wav_odd_sized_chunk_is_word_aligned():
     body = b"WAVE" + odd + fmt_and_data
     blob = b"RIFF" + struct.pack("<I", len(body)) + body
     assert parse_wav(blob) == (8000, 1, 101)
+
+
+def test_parse_gif_roundtrip_and_offsets():
+    """gif_bytes/parse_gif agree with the closed-form offset formula the
+    DuckDB oracle replays (header 19B; framesize 20 + databytes + nblocks;
+    descriptor of frame i at 19 + i*framesize + 8)."""
+    from url_counter_mapreduce_spark.operators.multimodal import gif_bytes, parse_gif
+
+    for w, h, nf in [(8, 8, 1), (16, 16, 5), (13, 9, 3), (16, 8, 4)]:
+        blob = gif_bytes(w, h, nf)
+        assert blob[:6] == b"GIF89a" and blob[-1] == 0x3B
+        frames = parse_gif(blob)
+        assert len(frames) == nf
+        npix = w * h
+        databytes = npix + (npix + 124) // 125 + 1
+        framesize = 20 + databytes + (databytes + 254) // 255
+        for i, (off, left, top, fw, fh) in enumerate(frames):
+            assert (off, left, top, fw, fh) == (
+                19 + i * framesize + 8, i % 4, (2 * i) % 4, w, h,
+            )
+
+
+def test_parse_gif_rejects_non_gif():
+    from url_counter_mapreduce_spark.operators.multimodal import gif_bytes, parse_gif
+
+    assert parse_gif(b"not a gif at all") is None
+    assert parse_gif(png_bytes(4, 4)) is None
+    assert parse_gif(b"GIF89a") is None  # truncated before the LSD
+    # a stray non-block byte mid-stream is malformed, not a crash
+    blob = bytearray(gif_bytes(8, 8, 1))
+    blob[19] = 0x77
+    assert parse_gif(bytes(blob)) is None
+
+
+def test_gif_lzw_stream_decodes_with_pil_if_available():
+    """The generated LZW pixel stream is REAL: if PIL is importable the
+    frames must decode to the declared geometry and all-index-0 pixels."""
+    pil = pytest.importorskip("PIL.Image")
+    import io
+
+    from url_counter_mapreduce_spark.operators.multimodal import gif_bytes
+
+    with pil.open(io.BytesIO(gif_bytes(11, 7, 3))) as im:
+        assert im.n_frames == 3
+        im.seek(1)
+        assert im.size == (11, 7)
+        assert set(im.getdata()) == {0}
+
+
+def test_framesample_query_matches_generator(spark, sf_dir):
+    from url_counter_mapreduce_spark.operators.multimodal import multimodal_framesample
+
+    rows = multimodal_framesample(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, frames in by_doc.items():
+        assert len(frames) == 1 + doc_id % 5
+        for r in sorted(frames, key=lambda r: r.frame_idx):
+            assert r.width == 8 + doc_id % 9
+            assert r.height == 8 + (doc_id * 3) % 9
+            assert (r.frame_left, r.frame_top) == (r.frame_idx % 4, (2 * r.frame_idx) % 4)

@@ -183,7 +183,6 @@ ROWS_ONLY_BY_DESIGN = {
     "stream_sessionize",
     "stream_user_stats",
     "stream_url_count",
-    "multimodal_framesample",  # Python-side stub sampler
     "dedup_mllib_minhash",  # MLlib seeded hash family, not DuckDB-reproducible
     "stream_enriched_counts",
     "approx_quantiles_value",  # GK sketch values are engine-specific

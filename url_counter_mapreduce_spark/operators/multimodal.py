@@ -2,9 +2,11 @@
 opaque ``binary`` columns with typed metadata; decode / feature-extraction
 run as Arrow-batched Python over ``mapInPandas``.
 
-The container has no image/audio libraries, so the decode step is STUBBED
-(deterministic fake behind an import-try; real decode raises
-NotImplementedError) — but the Spark-side plumbing is real and tested:
+The container has no image/audio libraries, so decode works from the
+PUBLIC container formats directly: PNG IHDR, RIFF/WAVE chunk walk, and
+GIF87a/89a block structure are parsed with stdlib struct-unpack (full
+pixel decode falls back to PIL behind an import-try, else a clearly
+labeled deterministic fake). The Spark-side plumbing is real and tested:
 binary column handling, mapInPandas schema contract, Arrow batch shape,
 partition-preserving metadata extraction.
 
@@ -305,30 +307,147 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, byte_offset long, "
+    "frame_left int, frame_top int, width int, height int"
+)
+
+# GIF generator formulas (the contract the DuckDB oracle replays):
+# all frames of a doc share one (w, h); frames tile with small offsets.
+GIF_W = "8 + doc_id % 9"  # 8..16
+GIF_H = "8 + (doc_id * 3) % 9"  # 8..16
+GIF_NFRAMES = "1 + doc_id % 5"  # 1..5
+
+
+def gif_bytes(width: int, height: int, n_frames: int) -> bytes:
+    """Minimal VALID multi-frame GIF89a (public spec: header + logical
+    screen descriptor + 2-entry global color table, then per frame a
+    graphic-control extension, an image descriptor, and a REAL LZW pixel
+    stream — fixed 8-bit codes with min-code-size 7, a clear code before
+    every 125-pixel run so the code table never grows — ending in the
+    0x3B trailer). Stdlib-only; every byte position is a closed-form
+    function of (width, height, frame index), which is what gives the
+    frame sampler an exact SQL oracle on offsets."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    # logical screen 4px larger than the frames so the tiled left/top
+    # offsets (0..3) keep every frame inside the screen (spec requirement)
+    out += struct.pack("<HH", width + 4, height + 4)
+    out += bytes((0x80, 0, 0))  # GCT present, size field 0 → 2 entries
+    out += bytes((0, 0, 0, 255, 255, 255))  # 2-entry global color table
+    npix = width * height
+    # LZW stream: min code size 7 → 8-bit codes, clear=0x80, EOI=0x81;
+    # emit a clear before each 125-pixel group so code values stay < 256
+    codes = bytearray()
+    for start in range(0, npix, 125):
+        codes.append(0x80)
+        codes += bytes(min(125, npix - start))  # pixel index 0 literals
+    codes.append(0x81)
+    for i in range(n_frames):
+        out += bytes((0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00))  # GCE
+        out += b"\x2c" + struct.pack(
+            "<HHHH", i % 4, (2 * i) % 4, width, height
+        ) + b"\x00"  # image descriptor, no local color table
+        out += bytes((7,))  # LZW minimum code size
+        for start in range(0, len(codes), 255):
+            block = codes[start : start + 255]
+            out += bytes((len(block),)) + block
+        out += b"\x00"  # block terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
+def parse_gif(blob: bytes):
+    """[(byte_offset, left, top, width, height)] for every image
+    descriptor in a GIF87a/89a stream, or None if the bytes are not a
+    GIF — a pure block-structure walk (skip color tables by their size
+    fields, skip extension and pixel sub-blocks by their length bytes),
+    no LZW decode. byte_offset is the position of the 0x2C descriptor."""
+    import struct
+
+    if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = blob[10]
+    pos = 13
+    if packed & 0x80:  # global color table: 3 * 2^(size+1) bytes
+        pos += 3 * (2 << (packed & 0x07))
+    frames = []
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label byte, then sub-blocks
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1  # terminator
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(blob):
+                return None
+            left, top, w, h = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+            frames.append((pos, int(left), int(top), int(w), int(h)))
+            ipacked = blob[pos + 9]
+            pos += 10
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW minimum code size
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1  # terminator
+        else:
+            return None  # malformed stream
+    return frames
+
+
+def synth_gif_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-frame GIF89a per doc_id (dims/frame-count from
+    the GIF_* formulas) — the video-like blob corpus for the frame
+    sampler, built in-engine because the testdata ships no binary table
+    and the container no codec libs."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(
+                        lambda i: gif_bytes(
+                            8 + int(i) % 9, 8 + (int(i) * 3) % 9, 1 + int(i) % 5
+                        )
+                    ),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
 
 
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over opaque video-like blobs: the 1→N mapInPandas
-    shape (each input row expands to a variable number of frame rows).
-    The stub samples every ~256th byte offset as a 'frame' and digests a
-    64-byte window — deterministic; a real ffmpeg-backed sampler slots in
-    behind the identical schema and batch contract."""
+    """Frame sampling over video-like blobs: the 1→N mapInPandas shape
+    (each input row expands to a variable number of frame rows). The
+    blobs are REAL multi-frame GIF89a containers (synth_gif_payloads)
+    and the sampler a REAL GIF block walk (parse_gif) recovering each
+    frame's byte offset and geometry from container structure alone —
+    exact DuckDB oracle: the generator's closed-form offset/geometry
+    formulas replayed in SQL. A seek-based video keyframe sampler slots
+    in behind the identical schema and batch contract."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib as _hl
-
         for pdf in batches:
-            out_doc, out_idx, out_dig = [], [], []
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "byte_offset", "frame_left",
+                "frame_top", "width", "height",
+            )}
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = max(1, len(blob) // 256)
-                for i in range(n_frames):
-                    window = bytes(blob[i * 256 : i * 256 + 64])
-                    out_doc.append(doc_id)
-                    out_idx.append(i)
-                    out_dig.append(_hl.sha256(window).hexdigest())
-            yield pd.DataFrame(
-                {"doc_id": out_doc, "frame_idx": out_idx, "frame_digest": out_dig}
-            )
+                for idx, (off, left, top, w, h) in enumerate(parse_gif(bytes(blob)) or []):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["byte_offset"].append(off)
+                    rows["frame_left"].append(left)
+                    rows["frame_top"].append(top)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+            yield pd.DataFrame(rows)
 
-    return _payloads(spark, sf_dir).mapInPandas(sample, schema=FRAMES_SCHEMA)
+    return synth_gif_payloads(spark, sf_dir).mapInPandas(sample, schema=FRAMES_SCHEMA)

@@ -817,8 +817,38 @@ _register(
     """,
 )
 
-# 1→N frame sampling is Python-side stub logic → rows-only
-_register("multimodal_framesample", multimodal.multimodal_framesample, None)
+# 1→N frame sampling over REAL multi-frame GIF89a containers: the oracle
+# replays the generator's closed-form byte-offset/geometry formulas
+# (header 19B; per-frame size 20 + LZW databytes + sub-block count; the
+# 0x2C descriptor of frame i sits at 19 + i*framesize + 8)
+_register(
+    "multimodal_framesample",
+    multimodal.multimodal_framesample,
+    """
+    WITH f AS (
+        SELECT doc_id,
+               (8 + doc_id % 9) AS w,
+               (8 + (doc_id * 3) % 9) AS h,
+               (1 + doc_id % 5) AS nf
+        FROM documents
+    ), s AS (
+        SELECT doc_id, w, h,
+               UNNEST(range(nf)) AS i,
+               (w * h) AS npix
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(19 + i * (20 + (npix + (npix + 124) // 125 + 1)
+                             + ((npix + (npix + 124) // 125 + 1) + 254) // 255)
+                   + 8 AS BIGINT) AS byte_offset,
+           CAST(i % 4 AS INT) AS frame_left,
+           CAST((2 * i) % 4 AS INT) AS frame_top,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height
+    FROM s
+    """,
+)
 
 # --------------------------------------------------------------------------
 # Analytic shapes: Q6, decorrelated subquery, running totals, string agg
