@@ -138,6 +138,21 @@ BENCH_QUERIES = [
     "join_partition_pruned",
 ]
 
+# EXCLUSION RULE (the complete one): only stream_* queries are excluded
+# from the batch bench — their wall time measures Structured Streaming
+# trigger/checkpoint machinery, not operator throughput (each has a batch
+# twin or exact-oracle fold that IS benched). Every other registry query
+# is benched: the explicit list above fixes the measurement order for
+# round-over-round comparability, and the auto-include below appends any
+# registry query not yet listed, so a new operator can never be silently
+# unbenched.
+BENCH_EXCLUDED_PREFIX = "stream_"
+BENCH_QUERIES += sorted(
+    q
+    for q in QUERIES
+    if q not in BENCH_QUERIES and not q.startswith(BENCH_EXCLUDED_PREFIX)
+)
+
 
 def _run_once(spark, name: str) -> float:
     t0 = time.perf_counter()

@@ -663,7 +663,7 @@ def test_mllib_minhash_recall_on_injected_dups(spark):
     docs = _synthetic_docs(spark)
     pairs = {(r.doc_a, r.doc_b): r.jaccard for r in mllib_minhash_pairs(docs).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
-    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup (unigram jaccard)
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup (3-gram-shingle jaccard)
     assert not any(4 in p for p in pairs)
 
 
@@ -1506,3 +1506,51 @@ def test_zorder_interleave_roundtrips(spark):
     out = df.select("px", "py", F.expr(even).alias("rx"), F.expr(odd).alias("ry")).collect()
     for r in out:
         assert (r.px, r.py) == (r.rx, r.ry)
+
+
+def test_char_entropy_closed_forms(spark):
+    """Quantized entropy hits the closed forms: single repeated char → 0;
+    k distinct equal-count chars → log2(k) (exact at powers of two)."""
+    from url_counter_mapreduce_spark.operators.text import quality_char_entropy
+
+    rows = [
+        (1, "aaaaaaaa", "en", "s0", 8),
+        (2, "abababab", "en", "s0", 8),  # 2 symbols, equal counts → 1 bit
+        (3, "abcdabcd", "en", "s0", 8),  # 4 symbols → 2 bits
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    import os, tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "entropy_closed_form")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in quality_char_entropy(spark, d).collect()}
+    assert got[1].entropy == 0.0 and got[1].n_distinct_chars == 1
+    assert abs(got[2].entropy - 1.0) < 1e-5
+    assert abs(got[3].entropy - 2.0) < 1e-5
+    assert got[3].n_chars_counted == 8
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    from url_counter_mapreduce_spark.operators.similarity import (
+        matryoshka_recall,
+        similarity_matryoshka,
+        similarity_topk,
+    )
+
+    rec = matryoshka_recall(spark, sf_dir).collect()
+    assert len(rec) == 8
+    for r in rec:
+        assert r.n_exact == 3 and 0 <= r.n_hits <= 3
+        assert abs(r.recall - r.n_hits / r.n_exact) < 1e-6
+    # funnel output is 3 full-dim-ranked rows per query, rank 1..3
+    out = similarity_matryoshka(spark, sf_dir).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.qid, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+    # a full-dim shortlist the size of the corpus would reproduce exact
+    # top-3; with MRL_SHORTLIST=20 recall can dip but hits stay inside the
+    # exact candidate universe
+    exact = {(r.qid, r.vid) for r in similarity_topk(spark, sf_dir).filter("rank <= 3").collect()}
+    hits = sum((r.qid, r.vid) in exact for r in out)
+    assert hits == sum(r.n_hits for r in rec)

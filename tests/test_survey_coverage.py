@@ -172,6 +172,10 @@ NORTH_STAR_SURFACE = [
     "url_normalize_dedup",
     "dedup_minhash_recall",
     "join_partition_pruned",
+    # round-6 additions
+    "similarity_matryoshka",
+    "matryoshka_recall",
+    "quality_char_entropy",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design
@@ -272,3 +276,13 @@ def test_query_table_generator_in_sync():
         f"window: only-in-map={sorted(set(gen.SECTION2_OP) - first_50)} "
         f"only-in-window={sorted(first_50 - set(gen.SECTION2_OP))}"
     )
+
+
+def test_bench_covers_every_nonstreaming_query():
+    """The bench exclusion set is exactly the stream_* queries (their batch
+    twins are benched); everything else in the registry must be timed."""
+    import bench
+
+    excluded = {q for q in QUERIES if q.startswith(bench.BENCH_EXCLUDED_PREFIX)}
+    assert set(bench.BENCH_QUERIES) == set(QUERIES) - excluded
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))

@@ -33,6 +33,31 @@ from url_counter_mapreduce_spark.operators.pipeline import decontaminate_ngrams 
 QUERIES = dict(QUERIES)
 QUERIES["decontaminate_capped"] = lambda spark, d: decontaminate_ngrams(spark, d, df_cap=8)
 
+
+def _semantic_scaledcells(spark, d):
+    """dedup_semantic with n_cells scaled to the replicated corpus size —
+    the SemDeDup production knob (k ∝ N keeps cells, and so the per-cell
+    quadratic verify, bounded)."""
+    from url_counter_mapreduce_spark.functions.vector import finite_norm_pred
+    from url_counter_mapreduce_spark.operators.dedup import (
+        SEMDEDUP_CELLS,
+        semantic_dedup_frame,
+    )
+    from url_counter_mapreduce_spark.tables import load_table, spread
+
+    factor = int(os.path.basename(d.rstrip("/")).rsplit("_", 1)[-1].rstrip("x") or 1)
+    emb = spread(load_table(spark, d, "embeddings").select("vec_id", "embedding")).filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    return semantic_dedup_frame(
+        emb,
+        n_cells=SEMDEDUP_CELLS * factor,
+        cache_key=(spark.sparkContext.applicationId, d, "semdedup-scaled"),
+    )
+
+
+QUERIES["dedup_semantic_scaledcells"] = _semantic_scaledcells
+
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTORS = [int(x) for x in os.environ.get("SCALE_FACTORS", "1,4,16").split(",")]
 PIPELINES = [
@@ -62,6 +87,22 @@ PIPELINES = [
     # vocabulary²-ish — sub-linear growth expected once past overhead)
     "quality_gopher",
     "lm_bigram_quality",
+    # round-5: the four batch-3/4 heavy shapes not yet on the curve.
+    # bm25_topk: corpus stats + per-term joins, df-bounded. host_pagerank:
+    # driver-loop power iteration — the DISTINCT host graph is invariant
+    # under replication (links repeat, hosts don't), so edge-agg grows K×
+    # and the per-iteration join cost with it, rank table fixed.
+    # dedup_semantic: replicas are SIGN-FLIP transforms (pairwise cosines
+    # preserved within a replica, scrambled across), so true dup pairs grow
+    # K× (linear), not K²; dedup_semantic_scaledcells also scales n_cells
+    # with the corpus — the production knob that keeps cells bounded.
+    # layout_zorder: Morton interleave + range-partitioned sort, pure
+    # sort-shuffle growth.
+    "bm25_topk",
+    "host_pagerank",
+    "dedup_semantic",
+    "dedup_semantic_scaledcells",
+    "layout_zorder",
     # round-4: exact-substring span mining. The K× replicas share ALL
     # their 8-token windows across replica groups by construction, so
     # every window hash is "shared" — the worst case for the shared-hash
@@ -111,6 +152,41 @@ def replicated_dir(spark, factor: int) -> str:
             .repartition(32)
             .write.mode("overwrite")
             .parquet(os.path.join(d, "events.parquet"))
+        )
+    emb_marker = os.path.join(d, "embeddings.parquet", "_SUCCESS")
+    if not os.path.exists(emb_marker):
+        # embeddings replicate via a per-replica SIGN-FLIP transform
+        # (component i flipped when bit i%8 of the replica index is set):
+        # pairwise cosines WITHIN a replica are exactly preserved (signs
+        # square away), cross-replica cosines are scrambled — so the true
+        # dup-pair population grows K× (linear), not K² as raw copies would
+        emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+        (
+            emb.withColumn("replica", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+            .withColumn("vec_id", F.col("vec_id") * factor + F.col("replica"))
+            .withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, i) -> x * CAST(1 - 2 * pmod(shiftright(replica, pmod(i, 8)), 2) AS FLOAT))"
+                ),
+            )
+            .drop("replica")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "embeddings.parquet"))
+        )
+    li_marker = os.path.join(d, "lineitem.parquet", "_SUCCESS")
+    if not os.path.exists(li_marker):
+        # lineitem replicates by plain row explosion: the z-order layout
+        # pass reads only (l_partkey, l_suppkey), so K× rows over the same
+        # key space is exactly the sort-shuffle growth being measured
+        li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+        (
+            li.withColumn("replica", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+            .drop("replica")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "lineitem.parquet"))
         )
     return d
 

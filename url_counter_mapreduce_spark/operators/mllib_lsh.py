@@ -23,7 +23,21 @@ JACCARD_DISTANCE_MAX = 0.5  # = Jaccard similarity >= 0.5, matching dedup_minhas
 def mllib_minhash_pairs(docs: DataFrame, distance_threshold: float = JACCARD_DISTANCE_MAX) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    toks = spread(docs).withColumn("toks", F.expr("array_distinct(filter(split(text, ' '), x -> x != ''))"))
+    # 3-gram shingles, the same dedup unit as dedup_minhash_pairs: unigram
+    # token SETS over a small shared vocabulary make most doc pairs exceed
+    # Jaccard 0.5 (measured 74% on the fixture corpus), so the pair output
+    # — and approxSimilarityJoin's exact-distance stage — would be O(N²)
+    # regardless of how good the LSH pruning is; shingling restores the
+    # sparse near-dup semantics the operator exists for.
+    toks = spread(docs).withColumn(
+        "t", F.expr("filter(split(coalesce(text, '') , ' '), x -> x != '')")
+    ).withColumn(
+        "toks",
+        F.expr(
+            "array_distinct(CASE WHEN size(t) < 3 THEN t ELSE "
+            "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END)"
+        ),
+    )
     toks = toks.filter(F.size("toks") > 0)  # MinHashLSH requires ≥1 nonzero entry
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
     feats = tf.transform(toks).select("doc_id", "features")
@@ -41,9 +55,9 @@ def mllib_minhash_pairs(docs: DataFrame, distance_threshold: float = JACCARD_DIS
 
 
 def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs (token-set Jaccard ≥ 0.5) via MLlib MinHashLSH —
-    the library counterpart of dedup_minhash_pairs. Note the unit differs
-    deliberately: MLlib hashes the unigram token set (HashingTF input),
-    while dedup_minhash_pairs shingles 3-grams; tests compare recall on
-    injected duplicates, not row-for-row equality."""
+    """Near-dup pairs (3-gram-shingle Jaccard ≥ 0.5) via MLlib
+    MinHashLSH — the library counterpart of dedup_minhash_pairs, same
+    dedup unit (3-gram shingles) so the two paths are comparable; the
+    hash family is MLlib's seeded-random one, so the driver check is
+    rows-only and tests compare recall on injected duplicates."""
     return mllib_minhash_pairs(load_table(spark, sf_dir, "documents"))

@@ -180,6 +180,74 @@ def similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIMS = 16  # matryoshka prefix: rank with the first 16 of 64 dims
+MRL_SHORTLIST = 20  # full-dim re-rank depth
+
+
+def similarity_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka funnel retrieval (Kusupati et al., "Matryoshka
+    Representation Learning", NeurIPS 2022 — the retrieval recipe from
+    §4.3): MRL-trained embeddings keep their semantics in every prefix,
+    so stage 1 ranks ALL candidates by the cosine of the first MRL_DIMS
+    dims (4× less arithmetic and memory traffic per comparison — at
+    100 TB the scan's cost is exactly proportional to the dims touched,
+    and column pruning can't help inside one array column), keeps a
+    MRL_SHORTLIST per query, and stage 2 re-ranks only the shortlist at
+    full dimension. Both stages are JVM-side Catalyst folds; ranking
+    uses rounded cosines + vec_id tiebreaks so the DuckDB oracle replays
+    both stages exactly. Output schema matches the other ANN paths
+    (qid, vid, cosine, rank) with full-dim cosines."""
+    prefix = f"slice(embedding, 1, {MRL_DIMS})"
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.expr(finite_norm_pred("embedding")))
+        .filter(F.expr(finite_norm_pred(prefix)))
+        .select("vec_id", "embedding", F.expr(prefix).alias("prefix"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("prefix").alias("q_prefix"),
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.col("t_cosine").desc(), F.col("vid").asc())
+    shortlist = (
+        broadcast(queries)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("vid"),
+                F.col("embedding").alias("v_emb"),
+                F.col("prefix").alias("v_prefix"),
+            )
+        )
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            "q_emb",
+            "v_emb",
+            F.expr(stable_round(cosine_expr("q_prefix", "v_prefix"), 6)).alias("t_cosine"),
+        )
+        .withColumn("rank1", F.row_number().over(w1))
+        .filter(F.col("rank1") <= MRL_SHORTLIST)
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid").asc())
+    return (
+        shortlist.select(
+            "qid", "vid", F.expr(stable_round(cosine_expr("q_emb", "v_emb"), 6)).alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "vid", "cosine", "rank")
+    )
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_recall for the matryoshka funnel — what truncated-prefix
+    shortlisting loses against exact full-dim brute force (recall < 1
+    only when a true top-3 neighbor falls outside the 16-dim shortlist)."""
+    return _ann_recall_against(spark, sf_dir, similarity_matryoshka)
+
+
 def _lit_arr(vec: list[float]) -> str:
     """A list of driver-side floats as a Spark SQL array<double> literal.
     repr() round-trips doubles exactly, so the literal is bit-faithful."""

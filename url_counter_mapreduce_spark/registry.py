@@ -2871,6 +2871,136 @@ _register(
 )
 
 # --------------------------------------------------------------------------
+# Round-6 additions: matryoshka funnel retrieval + its recall harness
+# --------------------------------------------------------------------------
+
+from .operators.similarity import MRL_DIMS, MRL_SHORTLIST  # noqa: E402
+
+
+def _dot_prefix_sql(a: str, b: str, n: int) -> str:
+    """DuckDB dot product over the first n list elements — the oracle twin
+    of Spark's slice(col, 1, n) + zip_with fold (same element order)."""
+    return (
+        f"list_sum(list_transform(range(1, {n} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cosine_prefix_sql(a: str, b: str, n: int) -> str:
+    return (
+        f"({_dot_prefix_sql(a, b, n)} / "
+        f"(sqrt({_dot_prefix_sql(a, a, n)}) * sqrt({_dot_prefix_sql(b, b, n)})))"
+    )
+
+
+_FINITE_FULL = (
+    f"({_dot_sql('embedding', 'embedding')} > 0.0 "
+    f"AND NOT isnan({_dot_sql('embedding', 'embedding')}))"
+)
+_FINITE_PREFIX = (
+    f"({_dot_prefix_sql('embedding', 'embedding', MRL_DIMS)} > 0.0 "
+    f"AND NOT isnan({_dot_prefix_sql('embedding', 'embedding', MRL_DIMS)}))"
+)
+
+_MRL_FUNNEL_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {_FINITE_FULL} AND {_FINITE_PREFIX}
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 8),
+    t AS (
+        SELECT qid, e.vec_id AS vid, qe, e.embedding AS ve,
+               {_stable_round_sql(_cosine_prefix_sql('qe', 'e.embedding', MRL_DIMS))} AS t_cosine
+        FROM q, e WHERE e.vec_id <> qid
+    ),
+    s AS (
+        SELECT qid, vid, qe, ve,
+               row_number() OVER (PARTITION BY qid ORDER BY t_cosine DESC, vid ASC) AS rank1
+        FROM t
+    ),
+    r AS (
+        SELECT qid, vid, {_stable_round_sql(_cosine_sql('qe', 've'))} AS cosine
+        FROM s WHERE rank1 <= {MRL_SHORTLIST}
+    ),
+    ranked AS (
+        SELECT qid, vid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS INT) AS rank
+        FROM ranked_src
+    )
+    SELECT qid, vid, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+_register(
+    "similarity_matryoshka",
+    similarity.similarity_matryoshka,
+    _MRL_FUNNEL_SQL.replace("ranked_src", "r"),
+)
+
+_register(
+    "matryoshka_recall",
+    similarity.matryoshka_recall,
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE {_FINITE_FULL}),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 8),
+    exact_scored AS (
+        SELECT qid, e.vec_id AS vid,
+               {_stable_round_sql(_cosine_sql('qe', 'e.embedding'))} AS cosine
+        FROM q, e WHERE e.vec_id <> qid
+    ),
+    exact AS (
+        SELECT qid, vid FROM (
+            SELECT qid, vid,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS rank
+            FROM exact_scored
+        ) WHERE rank <= 3
+    ),
+    approx AS ({_MRL_FUNNEL_SQL.replace("ranked_src", "r")})
+    SELECT x.qid,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           {_stable_round_sql('CAST(sum(CASE WHEN a.vid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)')} AS recall
+    FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.vid = x.vid
+    GROUP BY x.qid
+    """,
+)
+
+from .operators.text import ENTROPY_LOG_Q, _log2_table  # noqa: E402
+
+# the oracle embeds the SAME Python-computed quantized-log table as the
+# Spark side (text._log2_table) — no engine-side log2 anywhere, so the
+# entropy is integer-exact cross-engine; 8192 covers any fixture doc length
+_ENTROPY_LT = "[" + ", ".join(str(v) for v in _log2_table(8192)) + "]"
+
+_register(
+    "quality_char_entropy",
+    text.quality_char_entropy,
+    f"""
+    WITH lt AS (SELECT {_ENTROPY_LT} AS L),
+    chars AS (
+        SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+        FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_chars_counted,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               CAST(sum(cnt * L[CAST(cnt AS INT)]) AS BIGINT) AS s
+        FROM counts, lt GROUP BY doc_id, L
+    )
+    SELECT doc_id, n_chars_counted, n_distinct_chars,
+           {_stable_round_sql(
+               'CAST(n_chars_counted * L[CAST(n_chars_counted AS INT)] - s AS DOUBLE)'
+               f' / (CAST(n_chars_counted AS DOUBLE) * {ENTROPY_LOG_Q})'
+           )} AS entropy
+    FROM agg, lt
+    """,
+)
+
+# --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
 # ``udtf_surface`` at position 9 pushed position 51 out of the file). To make
