@@ -176,6 +176,7 @@ NORTH_STAR_SURFACE = [
     "similarity_matryoshka",
     "matryoshka_recall",
     "quality_char_entropy",
+    "source_warc_scan",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -3000,6 +3000,19 @@ _register(
     """,
 )
 
+from .sources.warc import source_warc_scan  # noqa: E402
+
+_register(
+    "source_warc_scan",
+    source_warc_scan,
+    """
+    SELECT doc_id,
+           CAST(strlen(coalesce(text, '')) AS BIGINT) AS content_length,
+           md5(coalesce(text, '')) AS digest
+    FROM documents
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
