@@ -177,6 +177,8 @@ NORTH_STAR_SURFACE = [
     "matryoshka_recall",
     "quality_char_entropy",
     "source_warc_scan",
+    "quality_compression_ratio",
+    "lm_trigram_backoff",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design
@@ -193,6 +195,7 @@ ROWS_ONLY_BY_DESIGN = {
     "approx_quantiles_value",  # GK sketch values are engine-specific
     "stream_sliding_count",  # streaming state; batch twin window_sliding_count
     "hll_sketch_rollup",  # DataSketches HLL values are engine-specific
+    "quality_compression_ratio",  # DEFLATE has no SQL form; deterministic, property-tested
 }
 
 

@@ -865,3 +865,179 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility as a quality signal — boilerplate, key-mash and
+    template spam compress far better than natural prose, so production
+    curation stacks score compressed_size/raw_size per document alongside
+    entropy and the rule batteries (the signal family popularized by
+    web-corpus quality filtering). DEFLATE isn't expressible in SQL, so
+    the driver check is rows-only by design; determinism still holds
+    (zlib level 6 output is a pure function of the input bytes) and
+    property tests pin the bounds and the repetitive≪diverse ordering.
+
+    Plan shape at 100 TB: embarrassingly parallel mapInPandas (Arrow
+    batches in, one compress per doc, no shuffle); the ratio division is
+    JVM-side so the Python stage ships only two small ints per doc."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..functions.vector import stable_round
+    from ..tables import spread
+
+    def comp(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        import zlib as _zlib
+
+        for pdf in batches:
+            data = pdf["text"].fillna("").map(lambda t: t.encode("utf-8"))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": data.map(len).astype("int64"),
+                    "n_compressed": data.map(lambda b: len(_zlib.compress(b, 6))).astype("int64"),
+                }
+            )
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    sized = docs.mapInPandas(comp, schema="doc_id long, n_bytes long, n_compressed long")
+    return sized.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        F.expr(
+            stable_round(
+                "CASE WHEN n_bytes = 0 THEN CAST(NULL AS DOUBLE) "
+                "ELSE CAST(n_compressed AS DOUBLE) / n_bytes END",
+                6,
+            )
+        ).alias("ratio"),
+    )
+
+
+LM_SB_ALPHA = "0.4D"  # stupid-backoff discount (Brants et al. 2007)
+LM_SB_TRAIN_DECILES = 5  # md5-decile < 5 trains the model; >= 5 is scored
+
+
+def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model scoring with a trigram "stupid backoff"
+    model (Brants et al., "Large Language Models in Machine Translation",
+    EMNLP 2007 — the score web-scale LMs actually use, no normalization,
+    no discount tuning): the model trains on the md5-decile<5 half of the
+    corpus and scores the OTHER half, so unseen n-grams genuinely occur
+    and every backoff tier is exercised — the CCNet posture (score with a
+    model trained elsewhere) one rung up from lm_bigram_quality's
+    self-trained bigrams.
+
+    Per trigram occurrence (w1 w2 w3):
+        S = c3(w1w2w3)/c2(w1w2)          if the full trigram was seen
+          = 0.4 · c2(w2w3)/c1(w2)        else if the (w2,w3) bigram was
+          = 0.4² · c1(w3)/N              else (0 for OOV w3)
+    All tiers are single divisions of corpus counts — pure rational
+    arithmetic both engines evaluate bit-identically (the tf_idf_topk
+    rule: no logs). The per-doc mean is a grouped double sum → round(4)
+    like every grouped float aggregate; the tier hit counts are exact
+    BIGINTs. N is read off the materialized unigram aggregate
+    (catalog-stat literal posture).
+
+    Plan shape at 100 TB: one tokenize (non-eager localCheckpoint, shared
+    by the model and scoring branches), three partial-aggregated model
+    counts (tri/bi/uni), then scoring = per-doc trigram aggregate joined
+    to the three model tables on short string keys (bi joined twice:
+    context and backoff) + one per-doc aggregate. Every join key is
+    post-aggregation (∝ distinct n-grams, not occurrences)."""
+    from .pipeline import _DECILE
+    from ..tables import load_table as _lt
+    from ..tables import spread
+
+    docs = _lt(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        spread(docs)
+        .select("doc_id", F.expr(_DECILE).alias("decile"), F.expr(_TOKS_SAFE).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    train = toks.filter(F.col("decile") < LM_SB_TRAIN_DECILES)
+    score = toks.filter(F.col("decile") >= LM_SB_TRAIN_DECILES)
+
+    tr_uni = (
+        train.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
+    )
+    n_tokens = tr_uni.agg(F.sum("c1")).collect()[0][0] or 1
+    tr_bi = (
+        train.filter(F.expr("size(toks) >= 2"))
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i + 1]))")
+            ).alias("big")
+        )
+        .groupBy("big")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    tr_tri = (
+        train.filter(F.expr("size(toks) >= 3"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+                )
+            ).alias("tri")
+        )
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+
+    occ = (
+        score.filter(F.expr("size(toks) >= 3"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> named_struct('w1', toks[i], 'w2', toks[i + 1], 'w3', toks[i + 2]))"
+                )
+            ).alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.expr("concat_ws(' ', t.w1, t.w2, t.w3)").alias("tri"),
+            F.expr("concat_ws(' ', t.w1, t.w2)").alias("big12"),
+            F.expr("concat_ws(' ', t.w2, t.w3)").alias("big23"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+        .groupBy("doc_id", "tri", "big12", "big23", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    b12 = tr_bi.select(F.col("big").alias("big12"), F.col("c2").alias("c2_ctx"))
+    b23 = tr_bi.select(F.col("big").alias("big23"), F.col("c2").alias("c2_back"))
+    u2 = tr_uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))
+    u3 = tr_uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1_w3"))
+    p = (
+        "CASE "
+        "WHEN c3 IS NOT NULL THEN CAST(c3 AS DOUBLE) / c2_ctx "
+        f"WHEN c2_back IS NOT NULL THEN {LM_SB_ALPHA} * CAST(c2_back AS DOUBLE) / c1_w2 "
+        f"ELSE {LM_SB_ALPHA} * {LM_SB_ALPHA} * CAST(coalesce(c1_w3, 0) AS DOUBLE) / {n_tokens}.0D "
+        "END"
+    )
+    return (
+        occ.join(tr_tri, "tri", "left")
+        .join(b12, "big12", "left")
+        .join(b23, "big23", "left")
+        .join(u2, "w2", "left")
+        .join(u3, "w3", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_trigrams"),
+            F.sum(F.expr("CASE WHEN c3 IS NOT NULL THEN n_occ ELSE 0 END")).cast("long").alias("n_tier3"),
+            F.sum(
+                F.expr("CASE WHEN c3 IS NULL AND c2_back IS NOT NULL THEN n_occ ELSE 0 END")
+            ).cast("long").alias("n_tier2"),
+            F.round(F.sum(F.expr(f"n_occ * ({p})")) / F.sum("n_occ"), 4).alias("sb_score"),
+        )
+    )

@@ -3000,6 +3000,79 @@ _register(
     """,
 )
 
+# DEFLATE has no SQL form → rows-only by design (see the guard-list
+# comment in tests/test_survey_coverage.py; property tests pin bounds)
+_register("quality_compression_ratio", text.quality_compression_ratio, None)
+
+_SB_DECILE = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10"
+_SB_ALPHA = "0.4"
+
+_register(
+    "lm_trigram_backoff",
+    text.lm_trigram_backoff,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_SB_DECILE} AS decile,
+               list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    tr_uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS w FROM toks WHERE decile < {text.LM_SB_TRAIN_DECILES})
+        GROUP BY w
+    ),
+    n_tok AS (SELECT CAST(coalesce(sum(c1), 1) AS DOUBLE) AS n FROM tr_uni),
+    tr_bi AS (
+        SELECT big, CAST(count(*) AS BIGINT) AS c2
+        FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS big
+            FROM toks WHERE decile < {text.LM_SB_TRAIN_DECILES} AND len(toks) >= 2
+        ) GROUP BY big
+    ),
+    tr_tri AS (
+        SELECT tri, CAST(count(*) AS BIGINT) AS c3
+        FROM (
+            SELECT unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tri
+            FROM toks WHERE decile < {text.LM_SB_TRAIN_DECILES} AND len(toks) >= 3
+        ) GROUP BY tri
+    ),
+    occ AS (
+        SELECT doc_id, tri, big12, big23, w2, w3, CAST(count(*) AS BIGINT) AS n_occ
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tri,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS big12,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                          i -> toks[i + 1] || ' ' || toks[i + 2])) AS big23,
+                   unnest(list_transform(range(1, len(toks) - 1), i -> toks[i + 1])) AS w2,
+                   unnest(list_transform(range(1, len(toks) - 1), i -> toks[i + 2])) AS w3
+            FROM toks WHERE decile >= {text.LM_SB_TRAIN_DECILES} AND len(toks) >= 3
+        ) GROUP BY doc_id, tri, big12, big23, w2, w3
+    )
+    SELECT o.doc_id,
+           CAST(sum(o.n_occ) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN t.c3 IS NOT NULL THEN o.n_occ ELSE 0 END) AS BIGINT) AS n_tier3,
+           CAST(sum(CASE WHEN t.c3 IS NULL AND bb.c2 IS NOT NULL THEN o.n_occ ELSE 0 END) AS BIGINT) AS n_tier2,
+           round(sum(o.n_occ * (CASE
+               WHEN t.c3 IS NOT NULL THEN CAST(t.c3 AS DOUBLE) / bc.c2
+               WHEN bb.c2 IS NOT NULL THEN {_SB_ALPHA} * CAST(bb.c2 AS DOUBLE) / u2.c1
+               ELSE {_SB_ALPHA} * {_SB_ALPHA} * CAST(coalesce(u3.c1, 0) AS DOUBLE) / n_tok.n
+           END)) / sum(o.n_occ), 4) AS sb_score
+    FROM occ o
+    LEFT JOIN tr_tri t ON t.tri = o.tri
+    LEFT JOIN tr_bi bc ON bc.big = o.big12
+    LEFT JOIN tr_bi bb ON bb.big = o.big23
+    LEFT JOIN tr_uni u2 ON u2.w = o.w2
+    LEFT JOIN tr_uni u3 ON u3.w = o.w3
+    CROSS JOIN n_tok
+    GROUP BY o.doc_id
+    """,
+)
+
 from .sources.warc import source_warc_scan  # noqa: E402
 
 _register(
