@@ -67,7 +67,28 @@ def _warc_classes():
             return [InputPartition(f) for f in files]
 
         def read(self, partition):
+            # Arrow-batched yields (see UrlTextReader): records accumulate
+            # into 2k-row columnar batches instead of per-record pickled
+            # tuples crossing the Python↔JVM boundary
             import hashlib as _hl
+
+            import pyarrow as pa
+
+            cols: dict[str, list] = {"record_id": [], "target_uri": [], "content_length": [], "digest": []}
+
+            def _flush():
+                batch = pa.record_batch(
+                    [
+                        pa.array(cols["record_id"], pa.string()),
+                        pa.array(cols["target_uri"], pa.string()),
+                        pa.array(cols["content_length"], pa.int64()),
+                        pa.array(cols["digest"], pa.string()),
+                    ],
+                    names=list(cols),
+                )
+                for v in cols.values():
+                    v.clear()
+                return batch
 
             with open(partition.value, "rb") as f:
                 while True:
@@ -76,7 +97,7 @@ def _warc_classes():
                     while line in (b"\r\n", b"\n"):
                         line = f.readline()
                     if not line:
-                        return
+                        break
                     if not line.rstrip(b"\r\n").startswith(b"WARC/"):
                         raise ValueError(f"malformed WARC version line: {line[:40]!r}")
                     headers = {}
@@ -90,12 +111,14 @@ def _warc_classes():
                     payload = f.read(n)
                     if len(payload) != n:
                         raise ValueError("truncated WARC payload")
-                    yield (
-                        headers.get(b"warc-record-id", b"").decode("utf-8"),
-                        headers.get(b"warc-target-uri", b"").decode("utf-8"),
-                        n,
-                        _hl.md5(payload).hexdigest(),
-                    )
+                    cols["record_id"].append(headers.get(b"warc-record-id", b"").decode("utf-8"))
+                    cols["target_uri"].append(headers.get(b"warc-target-uri", b"").decode("utf-8"))
+                    cols["content_length"].append(n)
+                    cols["digest"].append(_hl.md5(payload).hexdigest())
+                    if len(cols["digest"]) >= 2048:
+                        yield _flush()
+            if cols["digest"]:
+                yield _flush()
 
     return WarcDataSource
 
