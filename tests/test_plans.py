@@ -114,6 +114,10 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     # side as ground truth, so their plans legitimately contain that same
     # single BNL.
     bnl_allowed = {"similarity_topk": 1, "ann_recall": 1, "ann_recall_multiprobe": 1}
+    # matryoshka: stage-1 prefix scoring broadcasts the query set against
+    # the corpus — the same deliberate brute-force shape as similarity_topk;
+    # its recall harness embeds BOTH that funnel and the exact baseline.
+    bnl_allowed |= {"similarity_matryoshka": 1, "matryoshka_recall": 2}
     # second category: tables.scalar_join attaches a ONE-ROW aggregate
     # (bounds/totals) to every row — the data movement of a scalar
     # subquery. Catalyst constant-folds any constant-key equi-join to a

@@ -476,8 +476,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        .distinct()
+        # Hamming filter BEFORE the dedup of band collisions: the distinct
+        # then shuffles only the near pairs, not every band co-occurrence
+        # (on the dense fixture buckets that is most of the join output)
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
 
 
