@@ -1605,3 +1605,22 @@ def test_trigram_backoff_tiers_and_bounds(spark, sf_dir):
     tot = sum(r.n_trigrams for r in rows)
     t3 = sum(r.n_tier3 for r in rows)
     assert 0 < t3 < tot
+
+
+def test_embedding_covariance_psd_invariants(spark, sf_dir):
+    """Covariance invariants: diagonal = variance ≥ 0, Cauchy-Schwarz
+    |cov(i,j)| ≤ sqrt(var_i·var_j) (up to quantization slack), constant n,
+    full upper triangle present."""
+    import math
+
+    from url_counter_mapreduce_spark.operators.pipeline import COV_DIMS, embedding_covariance
+
+    rows = embedding_covariance(spark, sf_dir).collect()
+    assert len(rows) == COV_DIMS * (COV_DIMS + 1) // 2
+    ns = {r.n for r in rows}
+    assert len(ns) == 1
+    var = {r.i: r.cov for r in rows if r.i == r.j}
+    assert all(v >= 0 for v in var.values())
+    for r in rows:
+        if r.i != r.j:
+            assert abs(r.cov) <= math.sqrt(var[r.i] * var[r.j]) + 1e-6

@@ -179,6 +179,7 @@ NORTH_STAR_SURFACE = [
     "source_warc_scan",
     "quality_compression_ratio",
     "lm_trigram_backoff",
+    "embedding_covariance",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1183,3 +1183,77 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(stable_round("CAST(n_oov AS DOUBLE) / n_tokens", 6)).alias("oov_rate"),
         )
     )
+
+
+COV_Q = 1_000_000  # 6-dp fixed-point quantization for covariance terms
+COV_DIMS = 64  # embedding dimensionality (fixture contract)
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus covariance matrix of the embedding columns — the gram-matrix
+    pass behind PCA/whitening/drift detection, the one linear-algebra
+    reduction every vector corpus eventually needs. Output is long-form
+    upper-triangle (i, j, n, cov), 2080 rows for 64 dims.
+
+    Exactness (the corr_pricing discipline): each component is quantized
+    to 6-dp fixed point, so every outer-product term q_i·q_j is an exact
+    integer, the three sufficient statistics (Σq_iq_j, Σq_i, Σq_j) are
+    DECIMAL(38,0) sums (order-independent, overflow-free to ~10³⁸ — BIGINT
+    would overflow a 100 TB corpus), and only the final closed form
+    (n·S_ij − S_i·S_j)/(n²·Q²) is floating point, per-row deterministic.
+
+    Shape at 100 TB: the upper-triangle pair list is generated MAP-SIDE
+    per row (nested transform + one explode, d(d+1)/2 structs) and
+    partial aggregation collapses it to ≤2080 groups per partition before
+    the shuffle — the gram matrix never crosses the wire at row
+    granularity. First moments ride the same aggregate via the j = i
+    diagonal trick-free second small agg (64 rows, broadcast back)."""
+    from ..functions.vector import finite_norm_pred, stable_round
+    from ..tables import spread
+
+    em = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.expr(finite_norm_pred("embedding")))
+        .select(
+            F.expr(
+                f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {COV_Q} + 0.5) AS DECIMAL(38,0)))"
+            ).alias("qs")
+        )
+    )
+    d = COV_DIMS
+    pairs = em.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {d - 1}),"
+                f" i -> transform(sequence(i, {d - 1}),"
+                " j -> named_struct('i', i, 'j', j, 't', qs[i] * qs[j]))))"
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.t")
+    sij = pairs.groupBy("i", "j").agg(F.sum("t").alias("s_ij"))
+    moments = (
+        em.select(F.posexplode("qs").alias("pos", "q"))
+        .groupBy("pos")
+        .agg(
+            F.sum("q").alias("s"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        )
+    )
+    mi = moments.select(F.col("pos").alias("i"), F.col("s").alias("s_i"), "n")
+    mj = moments.select(F.col("pos").alias("j"), F.col("s").alias("s_j"))
+    return (
+        sij.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("n").cast("long").alias("n"),
+            F.expr(
+                stable_round(
+                    "CAST(n * s_ij - s_i * s_j AS DOUBLE)"
+                    f" / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * {float(COV_Q) ** 2!r}D)",
+                    6,
+                )
+            ).alias("cov"),
+        )
+    )

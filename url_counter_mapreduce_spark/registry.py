@@ -3086,6 +3086,49 @@ _register(
     """,
 )
 
+from .operators.pipeline import COV_DIMS, COV_Q  # noqa: E402
+
+_register(
+    "embedding_covariance",
+    _pipeline.embedding_covariance,
+    f"""
+    WITH e AS (SELECT embedding FROM embeddings WHERE {_FINITE_FULL}),
+    q AS (
+        SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {COV_Q} + 0.5) AS HUGEINT)) AS qs
+        FROM e
+    ),
+    pairs AS (
+        SELECT struct_extract(p, 'i') AS i, struct_extract(p, 'j') AS j,
+               struct_extract(p, 't') AS t
+        FROM (
+            SELECT unnest(flatten(list_transform(range(0, {COV_DIMS}),
+                   i -> list_transform(range(i, {COV_DIMS}),
+                   j -> struct_pack(i := i, j := j, t := qs[i + 1] * qs[j + 1]))))) AS p
+            FROM q
+        )
+    ),
+    sij AS (SELECT i, j, sum(t) AS s_ij FROM pairs GROUP BY i, j),
+    m AS (
+        SELECT pos, sum(qv) AS s, CAST(count(*) AS HUGEINT) AS n
+        FROM (
+            SELECT unnest(qs) AS qv,
+                   unnest(list_transform(range(0, len(qs)), p -> p)) AS pos
+            FROM q
+        ) GROUP BY pos
+    )
+    SELECT CAST(sij.i AS INT) AS i, CAST(sij.j AS INT) AS j,
+           CAST(mi.n AS BIGINT) AS n,
+           {_stable_round_sql(
+               'CAST(mi.n * sij.s_ij - mi.s * mj.s AS DOUBLE)'
+               f' / (CAST(mi.n AS DOUBLE) * CAST(mi.n AS DOUBLE) * {float(COV_Q) ** 2!r})'
+           )} AS cov
+    FROM sij
+    JOIN m mi ON mi.pos = sij.i
+    JOIN m mj ON mj.pos = sij.j
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
