@@ -180,6 +180,8 @@ NORTH_STAR_SURFACE = [
     "quality_compression_ratio",
     "lm_trigram_backoff",
     "embedding_covariance",
+    "variant_events",
+    "lineage_resolve_roots",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -551,3 +551,65 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(direct, "event_type").select(
         "event_type", "est_merged", "est_direct", "exact_distinct", "n_day_sketches"
     )
+
+
+def variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: semi-structured event payloads carried as
+    open-schema VARIANT (parse_json) and read back with typed-path
+    extraction (variant_get with nested-object and array-index paths) —
+    the shredded-storage posture for heterogeneous JSON at 100 TB, where
+    the engine keeps a binary-encoded variant column instead of
+    re-parsing strings or committing to one from_json schema
+    (json_struct_extract covers the fixed-schema path).
+
+    The payload is synthesized from typed columns (nested object + array)
+    so the extraction has an exact oracle: every typed path must
+    round-trip to the source column value, and the double survives the
+    JSON round trip exactly (shortest-repr printing parses back to the
+    identical IEEE value)."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = (
+        "to_json(named_struct("
+        "  'meta', named_struct('etype', event_type, 'k', CAST(get_json_object(props, '$.k') AS INT)),"
+        "  'vals', array(value, value * 2),"
+        "  'uid', user_id))"
+    )
+    v = ev.select("event_id", F.expr(f"parse_json({payload})").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.meta.etype', 'string')").alias("etype"),
+        F.expr("variant_get(v, '$.meta.k', 'int')").alias("k_val"),
+        F.expr("variant_get(v, '$.vals[1]', 'double')").alias("v2"),
+        F.expr("variant_get(v, '$.uid', 'bigint')").alias("uid"),
+    )
+
+
+def lineage_resolve_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE): resolve every document's
+    derivation chain to its root. The corpus's lineage DAG is the binary
+    tree parent(d) = ⌊d/2⌋ (the chunk→parent→source chain a chunked
+    corpus carries; deterministic here so the oracle replays it), roots
+    are doc 0 and doc 1. Output (doc_id, root_id, depth).
+
+    Execution shape: Spark runs the recursion as iterative frontier
+    joins — ⌈log₂ max_id⌉ rounds (~13 at sf0.1, ~40 for 10¹² docs), each
+    a hash join of the surviving frontier against nothing but itself
+    (the parent is computed, not looked up), so the per-round cost
+    shrinks as chains terminate. The DuckDB oracle runs the IDENTICAL
+    recursive SQL — cross-engine parity of the recursion semantics, not
+    just the result."""
+    load_table(spark, sf_dir, "documents").select("doc_id").createOrReplaceTempView(
+        "_lineage_docs"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(doc_id, anc, depth) AS (
+            SELECT doc_id, doc_id AS anc, 0 AS depth FROM _lineage_docs
+            UNION ALL
+            SELECT w.doc_id, CAST(floor(w.anc / 2) AS BIGINT), w.depth + 1
+            FROM walk w WHERE w.anc > 1
+        )
+        SELECT doc_id, anc AS root_id, CAST(depth AS INT) AS depth
+        FROM walk WHERE anc <= 1
+        """
+    )

@@ -3129,6 +3129,34 @@ _register(
     """,
 )
 
+_register(
+    "variant_events",
+    advanced.variant_events,
+    """
+    SELECT event_id,
+           event_type AS etype,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           value * 2 AS v2,
+           user_id AS uid
+    FROM events
+    """,
+)
+
+_register(
+    "lineage_resolve_roots",
+    advanced.lineage_resolve_roots,
+    """
+    WITH RECURSIVE walk(doc_id, anc, depth) AS (
+        SELECT doc_id, doc_id AS anc, 0 AS depth FROM documents
+        UNION ALL
+        SELECT w.doc_id, CAST(floor(w.anc / 2) AS BIGINT), w.depth + 1
+        FROM walk w WHERE w.anc > 1
+    )
+    SELECT doc_id, anc AS root_id, CAST(depth AS INT) AS depth
+    FROM walk WHERE anc <= 1
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
