@@ -182,6 +182,7 @@ NORTH_STAR_SURFACE = [
     "embedding_covariance",
     "variant_events",
     "lineage_resolve_roots",
+    "source_schema_evolution",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

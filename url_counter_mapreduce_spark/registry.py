@@ -3129,6 +3129,22 @@ _register(
     """,
 )
 
+from .sources.roundtrip import source_schema_evolution  # noqa: E402
+
+_register(
+    "source_schema_evolution",
+    source_schema_evolution,
+    """
+    SELECT CAST(1 + doc_id % 2 AS INT) AS gen,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_extra,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars * 2 ELSE 0 END) AS BIGINT) AS sum_extra,
+           CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_text_len
+    FROM documents
+    GROUP BY 1
+    """,
+)
+
 _register(
     "variant_events",
     advanced.variant_events,

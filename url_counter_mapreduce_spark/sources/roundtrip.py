@@ -156,3 +156,52 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("digest"),
     )
+
+
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across ingest generations — the lakehouse reality
+    that a long-lived 100 TB dataset is written by MANY pipeline versions:
+    generation 1 lands (doc_id, text), generation 2 adds a column
+    (n_chars_x2). `mergeSchema` unifies the footers at read time; rows
+    from old files surface the new column as NULL, and the partition
+    column (gen) is discovered from the directory layout, so per-
+    generation audits stay partition-pruned.
+
+    The added column is kept integral (2·n_chars) so the per-generation
+    sums are exact BIGINTs — the oracle replays the generation split and
+    NULL semantics from the original parquet. Scratch is stamped on the
+    source's size+mtime (the sink_compacted_parquet lesson)."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = _rt_dir("evol", sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    stamp = f"v2:{st.st_size}:{int(st.st_mtime)}"
+    marker = os.path.join(d, "_DONE")
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read()
+    if current != stamp:
+        (
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "text")
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "gen=1"))
+        )
+        (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "text", (F.col("n_chars") * 2).alias("n_chars_x2"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "gen=2"))
+        )
+        with open(marker, "w") as f:
+            f.write(stamp)
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return back.groupBy("gen").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_chars_x2").alias("n_with_extra"),
+        F.sum(F.coalesce("n_chars_x2", F.lit(0))).alias("sum_extra"),
+        F.sum(F.length(F.coalesce("text", F.lit("")))).alias("sum_text_len"),
+    )
