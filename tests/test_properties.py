@@ -1624,3 +1624,51 @@ def test_embedding_covariance_psd_invariants(spark, sf_dir):
     for r in rows:
         if r.i != r.j:
             assert abs(r.cov) <= math.sqrt(var[r.i] * var[r.j]) + 1e-6
+
+
+def test_mad_fence_catches_injected_outlier(spark):
+    """MAD robustness: one huge outlier must be flagged without dragging
+    the fence (median/MAD barely move), and a clean group flags nothing."""
+    import datetime, os, tempfile
+
+    from url_counter_mapreduce_spark.operators.analytic import events_anomaly_mad
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(i, ts, i % 5, "steady", 10.0 + (i % 7) * 0.5, "{}") for i in range(60)]
+    rows += [(100 + i, ts, i, "spiky", 10.0 + (i % 7) * 0.5, "{}") for i in range(60)]
+    rows += [(999, ts, 1, "spiky", 5000.0, "{}")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    d = os.path.join(tempfile.gettempdir(), "mad_fixture")
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r.event_type: r for r in events_anomaly_mad(spark, d).collect()}
+    assert got["steady"].n_outliers == 0
+    assert got["spiky"].n_outliers == 1
+    assert abs(got["spiky"].med - got["steady"].med) < 1.0  # fence not dragged
+    assert got["spiky"].mad <= got["steady"].mad + 1.0
+
+
+def test_importance_sampling_is_weight_monotone(spark, sf_dir):
+    """Longer docs are kept at higher rates; every doc with weight >= 1
+    (n_chars >= NORM) is kept unconditionally; decisions replay exactly."""
+    from url_counter_mapreduce_spark.operators.pipeline import (
+        IMPORTANCE_CHARS_NORM,
+        sample_importance,
+    )
+    from url_counter_mapreduce_spark.tables import load_table
+
+    agg = sample_importance(spark, sf_dir).collect()
+    n_total = sum(r.n_total for r in agg)
+    n_kept = sum(r.n_kept for r in agg)
+    assert 0 < n_kept < n_total
+    # replay the per-doc rule driver-side and compare the audit exactly
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars").collect()
+    kept = 0
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        if h * int(IMPORTANCE_CHARS_NORM) < (r.n_chars or 0) * 2**32:
+            kept += 1
+    assert kept == n_kept

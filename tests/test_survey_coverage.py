@@ -183,6 +183,8 @@ NORTH_STAR_SURFACE = [
     "variant_events",
     "lineage_resolve_roots",
     "source_schema_evolution",
+    "events_anomaly_mad",
+    "sample_importance",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -167,3 +167,49 @@ def rolling_daily_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).cast("long").alias("n_days_in_window"),
         )
     )
+
+
+MAD_K = 3  # the classic 3-MAD outlier fence
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screening per event type: median / MAD (median
+    absolute deviation) and the count of points outside the 3-MAD fence —
+    the outlier pass that survives the very outliers it hunts (mean/stddev
+    fences get dragged by the anomalies; median/MAD have a 50% breakdown
+    point). This is the telemetry-sanity operator a 100 TB event pipeline
+    runs before trusting its own aggregates.
+
+    Determinism: both medians are exact interpolated percentiles
+    (sort + one interpolation — the quantiles_value convention), and the
+    fence comparison uses the 6-dp-ROUNDED med/MAD on both engines, so
+    the boundary predicate evaluates identically cross-engine. Plan
+    shape: two grouped exact percentiles over the same event_type
+    partitioning + one broadcast-back join each (the stats tables are
+    |event_types| rows)."""
+    from pyspark.sql.functions import broadcast
+
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr(stable_round("percentile(value, 0.5D)", 6)).alias("med")
+    )
+    dev = ev.join(broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.expr("abs(value - med)").alias("adev")
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr(stable_round("percentile(adev, 0.5D)", 6)).alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"CASE WHEN abs(value - med) > {MAD_K} * mad THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers")
+    )

@@ -1257,3 +1257,43 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+IMPORTANCE_CHARS_NORM = 400.0  # weight = min(1, n_chars / 400)
+
+
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling — keep each document with
+    probability proportional to a quality weight (here length-derived:
+    min(1, n_chars/400)), decided by comparing the doc's md5-hash
+    fraction against its weight. The weighted-selection primitive of
+    corpus curation (upsample long/high-quality documents, downsample
+    boilerplate) in the only form that scales: no RNG state, no
+    sort-by-random, no driver coordination — every engine, run, and
+    shard makes the identical keep decision per doc (the train_test_split
+    idiom, with a per-doc threshold instead of fixed deciles).
+
+    Exactness: the hash fraction is an exact 32-bit integer over 2³²
+    and the weight a rational of BIGINTs, so the keep predicate is pure
+    integer/rational comparison — no float boundary can flip between
+    engines. Output: per-source audit (totals, kept, kept chars, and the
+    exact-integer sum of kept hash values as a content signature)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    # keep  ⟺  h/2³² < min(1, n_chars/NORM)  ⟺  h·NORM < n_chars·2³² (all BIGINT)
+    keep = (
+        f"({h32} * CAST({int(IMPORTANCE_CHARS_NORM)} AS BIGINT)"
+        f" < coalesce(n_chars, 0) * CAST(4294967296 AS BIGINT))"
+    )
+    return (
+        docs.select("source", "n_chars", F.expr(h32).alias("h"), F.expr(keep).alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.expr("CASE WHEN keep THEN 1 ELSE 0 END")).cast("long").alias("n_kept"),
+            F.sum(F.expr("CASE WHEN keep THEN coalesce(n_chars, 0) ELSE 0 END"))
+            .cast("long")
+            .alias("kept_chars"),
+            F.sum(F.expr("CASE WHEN keep THEN h ELSE 0 END")).cast("long").alias("kept_sig"),
+        )
+    )

@@ -3129,6 +3129,53 @@ _register(
     """,
 )
 
+_register(
+    "events_anomaly_mad",
+    analytic.events_anomaly_mad,
+    f"""
+    WITH med AS (
+        SELECT event_type,
+               {_stable_round_sql('quantile_cont(value, 0.5)')} AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, med,
+               {_stable_round_sql('quantile_cont(adev, 0.5)')} AS mad
+        FROM dev GROUP BY event_type, med
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           m.med, m.mad,
+           CAST(sum(CASE WHEN abs(d.value - m.med) > {analytic.MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+)
+
+from .operators.pipeline import IMPORTANCE_CHARS_NORM  # noqa: E402
+
+_register(
+    "sample_importance",
+    _pipeline.sample_importance,
+    f"""
+    WITH s AS (
+        SELECT source, n_chars,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN h * {int(IMPORTANCE_CHARS_NORM)} < coalesce(n_chars, 0) * 4294967296 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN h * {int(IMPORTANCE_CHARS_NORM)} < coalesce(n_chars, 0) * 4294967296 THEN coalesce(n_chars, 0) ELSE 0 END) AS BIGINT) AS kept_chars,
+           CAST(sum(CASE WHEN h * {int(IMPORTANCE_CHARS_NORM)} < coalesce(n_chars, 0) * 4294967296 THEN h ELSE 0 END) AS BIGINT) AS kept_sig
+    FROM s GROUP BY source
+    """,
+)
+
 from .sources.roundtrip import source_schema_evolution  # noqa: E402
 
 _register(
