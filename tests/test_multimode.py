@@ -68,6 +68,14 @@ EQUIV_QUERIES = [
     "cogroup_reconcile",
     "host_triangles",
     "window_sliding_count",
+    # round-6: the trained-model scorer (three model aggregates + 5-way
+    # join — tier assignment must not depend on partitioning), the
+    # decimal-accumulated gram matrix (order-independence is its design
+    # claim; local[1] vs local[8] is the direct test), and the recursive
+    # CTE (frontier-join iteration count/content must be partitioning-free)
+    "lm_trigram_backoff",
+    "embedding_covariance",
+    "lineage_resolve_roots",
 ]
 
 _CHILD = r"""
