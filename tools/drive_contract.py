@@ -58,10 +58,12 @@ only = [a for a in sys.argv[1:] if not a.startswith("-")]
 if only:
     q = {k: v for k, v in q.items() if k in only}
 fails = []
+results = {}
 for name in sorted(q):
     spdf = q[name](spark, SF).toPandas()
     if name not in o:
         print(f"{name}: rows-only, {len(spdf)} rows")
+        results[name] = {"status": "rows-only", "rows": len(spdf)}
         continue
     opdf = con.sql(o[name]).df()
     ok_rows = len(spdf) == len(opdf)
@@ -69,8 +71,35 @@ for name in sorted(q):
     ok_hash = value_hash(spdf) == value_hash(opdf)
     status = "OK" if (ok_rows and ok_cols and ok_hash) else "MISMATCH"
     print(f"{name}: {status} rows={len(spdf)}/{len(opdf)} cols={ok_cols} hash={ok_hash}")
+    results[name] = {
+        "status": status,
+        "rows": len(spdf),
+        "oracle_rows": len(opdf),
+        "cols_match": ok_cols,
+        "hash_match": ok_hash,
+    }
     if status != "OK":
         fails.append(name)
+
+out_path = os.environ.get("CONTRACT_JSON_OUT")
+if out_path:
+    import json
+
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": SF,
+                "n_queries": len(results),
+                "n_exact_ok": sum(1 for r in results.values() if r["status"] == "OK"),
+                "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows-only"),
+                "fails": fails,
+                "queries": results,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"wrote {out_path}")
 
 print("FAILS:", fails if fails else "none")
 sys.exit(1 if fails else 0)

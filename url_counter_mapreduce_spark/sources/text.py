@@ -139,37 +139,22 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker) as f:
             current = f.read()
     if current != stamp:
-        import glob as _glob
-        import shutil
+        from .bucketed_files import write_bucketed_files
 
         os.makedirs(d, exist_ok=True)
         # Distributed write of the reference's dataN.txt layout: bucket by
-        # doc_id % N, repartition so each bucket lands in exactly one task
-        # (all rows of a bucket hash to one of the N partitions), then
-        # partitionBy-text write — no per-row driver loop, scales with the
-        # corpus. NULL text rows become empty lines (coalesce), matching
-        # the tokenizer/oracle convention.
-        staging = os.path.join(d, "_staging")
-        shutil.rmtree(staging, ignore_errors=True)
-        (
+        # doc_id % N — no per-row driver loop, scales with the corpus.
+        # NULL text rows become empty lines (coalesce), matching the
+        # tokenizer/oracle convention.
+        write_bucketed_files(
             docs.select(
                 F.coalesce(F.col("text"), F.lit("")).alias("value"),
                 (F.col("doc_id") % PYDS_FILES).alias("bucket"),
-            )
-            .repartition(PYDS_FILES, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .text(staging)
+            ),
+            d,
+            PYDS_FILES,
+            "txt",
         )
-        for stale in _glob.glob(os.path.join(d, "data*.txt")):
-            os.unlink(stale)
-        for k in range(PYDS_FILES):
-            parts = sorted(_glob.glob(os.path.join(staging, f"bucket={k}", "part-*")))
-            with open(os.path.join(d, f"data{k}.txt"), "wb") as out:
-                for p in parts:
-                    with open(p, "rb") as src_f:
-                        shutil.copyfileobj(src_f, out)
-        shutil.rmtree(staging, ignore_errors=True)
         with open(marker, "w") as f:
             f.write(stamp)
     try:

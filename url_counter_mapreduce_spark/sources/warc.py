@@ -144,9 +144,7 @@ def _materialize_warc(spark: SparkSession, sf_dir: str) -> str:
     bucketed write + driver-side concat of each bucket's part files),
     stamped on the source parquet's size+mtime so a regenerated fixture
     re-materializes."""
-    import glob as _glob
     import os
-    import shutil
 
     d = tmp_scratch_dir("warc", sf_dir)
     src = os.path.join(sf_dir, "documents.parquet")
@@ -159,32 +157,22 @@ def _materialize_warc(spark: SparkSession, sf_dir: str) -> str:
             current = f.read()
     if current == stamp:
         return d
+    from .bucketed_files import write_bucketed_files
+
     os.makedirs(d, exist_ok=True)
-    staging = os.path.join(d, "_staging")
-    shutil.rmtree(staging, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
-    (
-        docs.select(
-            F.expr(_warc_record_expr()).alias("value"),
-            (F.col("doc_id") % WARC_FILES).alias("bucket"),
-        )
-        .repartition(WARC_FILES, "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .text(staging)
-    )
     # each record's value ends '\r\n\r'; the text writer's row terminator
     # supplies the final '\n' — so the on-disk bytes end every record with
     # the spec's CRLF CRLF separator
-    for stale in _glob.glob(os.path.join(d, "data*.warc")):
-        os.unlink(stale)
-    for k in range(WARC_FILES):
-        parts = sorted(_glob.glob(os.path.join(staging, f"bucket={k}", "part-*")))
-        with open(os.path.join(d, f"data{k}.warc"), "wb") as out:
-            for p in parts:
-                with open(p, "rb") as src_f:
-                    shutil.copyfileobj(src_f, out)
-    shutil.rmtree(staging, ignore_errors=True)
+    write_bucketed_files(
+        docs.select(
+            F.expr(_warc_record_expr()).alias("value"),
+            (F.col("doc_id") % WARC_FILES).alias("bucket"),
+        ),
+        d,
+        WARC_FILES,
+        "warc",
+    )
     with open(marker, "w") as f:
         f.write(stamp)
     return d
