@@ -185,6 +185,7 @@ NORTH_STAR_SURFACE = [
     "source_schema_evolution",
     "events_anomaly_mad",
     "sample_importance",
+    "sql_udf_surface",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

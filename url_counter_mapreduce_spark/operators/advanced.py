@@ -613,3 +613,40 @@ def lineage_resolve_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk WHERE anc <= 1
         """
     )
+
+
+def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (CREATE FUNCTION ... RETURN, Spark 3.5+/4):
+    the UDF registry surface where the body is DECLARATIVE — Catalyst
+    inlines it into the plan, so unlike the Python udf/udaf/udtf surfaces
+    (operators/core.py) these stay inside whole-stage codegen and cost
+    nothing at 100 TB. Exercises both forms over the corpus:
+      - scalar: tok_count(text), len_bucket(n) (CASE body)
+      - TABLE-valued: doc_chunk_ids(n) RETURNS TABLE, consumed via a
+        LATERAL join — one row per 100-char chunk of each doc
+    Output: per length bucket, doc count, exact token sum, and the chunk
+    total the lateral TVF produced. The oracle inlines the identical
+    bodies — a wrong inlining or lateral cardinality breaks the hash."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_sqludf_docs")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tok_count(s STRING) RETURNS INT "
+        "RETURN size(filter(split(coalesce(s, ''), ' '), t -> t != ''))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION len_bucket(n BIGINT) RETURNS STRING "
+        "RETURN CASE WHEN n < 150 THEN 'short' WHEN n < 350 THEN 'mid' ELSE 'long' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION doc_chunk_ids(n BIGINT) RETURNS TABLE(chunk_i INT) "
+        "RETURN SELECT explode(sequence(1, CAST(ceil(n / 100.0) AS INT)))"
+    )
+    return spark.sql(
+        """
+        SELECT len_bucket(d.n_chars) AS bucket,
+               COUNT(DISTINCT d.doc_id) AS n_docs,
+               SUM(CASE WHEN c.chunk_i = 1 THEN tok_count(d.text) ELSE 0 END) AS sum_toks,
+               COUNT(1) AS n_chunks
+        FROM _sqludf_docs d, LATERAL doc_chunk_ids(d.n_chars) c
+        GROUP BY len_bucket(d.n_chars)
+        """
+    )

@@ -3130,6 +3130,25 @@ _register(
 )
 
 _register(
+    "sql_udf_surface",
+    advanced.sql_udf_surface,
+    """
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               len(list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '')) AS toks,
+               CASE WHEN n_chars < 150 THEN 'short' WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS bucket,
+               CAST(ceil(n_chars / 100.0) AS INT) AS n_chunk
+        FROM documents
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS sum_toks,
+           CAST(sum(n_chunk) AS BIGINT) AS n_chunks
+    FROM d GROUP BY bucket
+    """,
+)
+
+_register(
     "events_anomaly_mad",
     analytic.events_anomaly_mad,
     f"""
