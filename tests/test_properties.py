@@ -1672,3 +1672,42 @@ def test_importance_sampling_is_weight_monotone(spark, sf_dir):
         if h * int(IMPORTANCE_CHARS_NORM) < (r.n_chars or 0) * 2**32:
             kept += 1
     assert kept == n_kept
+
+
+def test_length_sorted_batches_are_monotone_and_tight(spark, sf_dir):
+    """Batch invariants: ≤B docs per batch (all full except the last),
+    per-batch max_tokens nondecreasing in batch_id (the sort worked), and
+    pad_waste consistent with (n·max − sum)."""
+    from url_counter_mapreduce_spark.operators.pipeline import (
+        PAD_BATCH_SIZE,
+        batch_padding_efficiency,
+    )
+
+    rows = sorted(batch_padding_efficiency(spark, sf_dir).collect(), key=lambda r: r.batch_id)
+    assert rows
+    assert [r.batch_id for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r.n_docs == PAD_BATCH_SIZE
+    assert 0 < rows[-1].n_docs <= PAD_BATCH_SIZE
+    maxes = [r.max_tokens for r in rows]
+    assert maxes == sorted(maxes)
+    for r in rows:
+        assert r.pad_waste == r.n_docs * r.max_tokens - r.sum_tokens
+        assert r.pad_waste >= 0
+
+
+def test_vocab_drift_is_small_on_homogeneous_split(spark, sf_dir):
+    """The md5-decile split of a homogeneous corpus must show small χ²
+    (the split is content-independent): every top contribution bounded,
+    counts positive, ranks contiguous."""
+    from url_counter_mapreduce_spark.operators.pipeline import vocab_drift_chi2
+
+    rows = vocab_drift_chi2(spark, sf_dir).collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.chi2 >= 0
+        assert r.o_t + r.o_h > 0
+    # 3.84 is the 95% χ²₁ critical value; a content-independent split of a
+    # homogeneous corpus should rarely exceed it even at the top rank —
+    # allow slack but pin the order of magnitude
+    assert max(r.chi2 for r in rows) < 15

@@ -186,6 +186,8 @@ NORTH_STAR_SURFACE = [
     "events_anomaly_mad",
     "sample_importance",
     "sql_udf_surface",
+    "batch_padding_efficiency",
+    "vocab_drift_chi2",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1297,3 +1297,117 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CASE WHEN keep THEN h ELSE 0 END")).cast("long").alias("kept_sig"),
         )
     )
+
+
+PAD_BATCH_SIZE = 32
+# composite order key: token length in the high bits, a 24-bit salted doc
+# hash below — global (n_tokens, hash, doc_id) ordering whose value range
+# still spans the prefix-scan buckets (plain n_tokens would land every row
+# in bucket 0 and degrade the scan to one partition)
+_PAD_ORDER_H = (
+    "CAST(n_tokens * 16777216 + "
+    "CAST(conv(substring(md5(concat('pad:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT)"
+    " AS BIGINT)"
+)
+
+
+def batch_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch packing — the training-prep step that decides
+    how much compute padding burns: sort the corpus by token length, cut
+    into fixed-size batches, pad each batch to its own max. Length-sorted
+    batching is the standard trick that collapses padding waste versus
+    random batching (every doc in a batch has nearly the same length).
+    Output: one row per batch (n_docs, max/sum tokens, pad_waste =
+    n_docs·max − sum) — Σ pad_waste over batches IS the wasted-token bill.
+
+    The global sort rank comes from the two-phase bucketed prefix scan
+    (_with_prefix_cumsum with cnt=1 — no single-partition window); the
+    order key packs n_tokens into the high bits of the scan's hash so the
+    rank IS the length order, deterministically tie-broken by salted doc
+    hash. The DuckDB oracle replays the identical composite key with a
+    plain window."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", F.expr(_TOKS_SAFE).alias("toks"))
+        .select("doc_id", F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"))
+        .withColumn("h", F.expr(_PAD_ORDER_H))
+        .withColumn("cnt", F.lit(1).cast("long"))
+    )
+    ranked = _with_prefix_cumsum(base, [], "cnt", "rank")
+    return (
+        ranked.withColumn(
+            "batch_id", F.expr(f"CAST((rank - 1) DIV {PAD_BATCH_SIZE} AS INT)")
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            F.expr("n_docs * max_tokens - sum_tokens").alias("pad_waste"),
+        )
+    )
+
+
+DRIFT_TOP_K = 20
+DRIFT_TRAIN_DECILES = 5  # same md5-decile split as the LM scorer
+
+
+def vocab_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: chi-square contributions of each token
+    to the train-vs-heldout contingency table — the check a production
+    corpus pipeline runs when a new ingest batch lands (did the token
+    distribution move, and WHICH tokens moved it). Reports the top
+    DRIFT_TOP_K drifted tokens with observed counts and their χ²
+    contribution; on the md5-decile split of a homogeneous corpus the
+    statistic is small by construction — the operator measures, the
+    threshold is the caller's.
+
+    Exactness: observed counts are integers, expected counts and
+    contributions are single rational expressions of those integers and
+    the two driver-collected split totals (catalog-stat posture, no
+    1-row-join BNL), so every per-token value is bit-identical
+    cross-engine; ranking uses the 6-dp-rounded contribution with a
+    token tiebreak. Plan: one tokenize+explode, ONE (token, split)
+    aggregate, conditional-sum pivot, rank window over |vocab| rows."""
+    from ..functions.vector import stable_round
+    from ..tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        spread(docs.select("doc_id", "text"))
+        .select(
+            F.expr(f"({_DECILE}) < {DRIFT_TRAIN_DECILES}").alias("is_train"),
+            F.explode(F.expr(_TOKS_SAFE)).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.sum(F.expr("CASE WHEN is_train THEN 1 ELSE 0 END")).cast("long").alias("o_t"),
+            F.sum(F.expr("CASE WHEN is_train THEN 0 ELSE 1 END")).cast("long").alias("o_h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = tok.agg(F.sum("o_t"), F.sum("o_h")).collect()[0]
+    t_total, h_total = int(totals[0] or 1), int(totals[1] or 1)
+    n = t_total + h_total
+    contrib = (
+        f"(CAST(o_t AS DOUBLE) - CAST((o_t + o_h) AS DOUBLE) * {t_total}.0D / {n}.0D)"
+        f" * (CAST(o_t AS DOUBLE) - CAST((o_t + o_h) AS DOUBLE) * {t_total}.0D / {n}.0D)"
+        f" / (CAST((o_t + o_h) AS DOUBLE) * {t_total}.0D / {n}.0D)"
+        f" + (CAST(o_h AS DOUBLE) - CAST((o_t + o_h) AS DOUBLE) * {h_total}.0D / {n}.0D)"
+        f" * (CAST(o_h AS DOUBLE) - CAST((o_t + o_h) AS DOUBLE) * {h_total}.0D / {n}.0D)"
+        f" / (CAST((o_t + o_h) AS DOUBLE) * {h_total}.0D / {n}.0D)"
+    )
+    scored = tok.select(
+        "token", "o_t", "o_h", F.expr(stable_round(contrib, 6)).alias("chi2")
+    )
+    # top-K via orderBy+limit (TakeOrderedAndProject — no corpus-sized
+    # single-partition window); the rank window then runs over K rows only
+    top = scored.orderBy(F.col("chi2").desc(), F.col("token").asc()).limit(DRIFT_TOP_K)
+    w = Window.orderBy(F.col("chi2").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

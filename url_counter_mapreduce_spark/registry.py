@@ -3130,6 +3130,71 @@ _register(
 )
 
 _register(
+    "vocab_drift_chi2",
+    _pipeline.vocab_drift_chi2,
+    f"""
+    WITH tok AS (
+        SELECT token,
+               CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS o_t,
+               CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS o_h
+        FROM (
+            SELECT ({_SB_DECILE}) < {_pipeline.DRIFT_TRAIN_DECILES} AS is_train,
+                   unnest(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS token
+            FROM documents
+        ) GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(sum(o_t) AS DOUBLE) AS t_total, CAST(sum(o_h) AS DOUBLE) AS h_total,
+               CAST(sum(o_t) + sum(o_h) AS DOUBLE) AS n
+        FROM tok
+    ),
+    scored AS (
+        SELECT token, o_t, o_h,
+               {_stable_round_sql(
+                   '(CAST(o_t AS DOUBLE) - CAST((o_t + o_h) AS DOUBLE) * t_total / n)'
+                   ' * (CAST(o_t AS DOUBLE) - CAST((o_t + o_h) AS DOUBLE) * t_total / n)'
+                   ' / (CAST((o_t + o_h) AS DOUBLE) * t_total / n)'
+                   ' + (CAST(o_h AS DOUBLE) - CAST((o_t + o_h) AS DOUBLE) * h_total / n)'
+                   ' * (CAST(o_h AS DOUBLE) - CAST((o_t + o_h) AS DOUBLE) * h_total / n)'
+                   ' / (CAST((o_t + o_h) AS DOUBLE) * h_total / n)'
+               )} AS chi2
+        FROM tok, tot
+    )
+    SELECT token, o_t, o_h, chi2,
+           CAST(row_number() OVER (ORDER BY chi2 DESC, token ASC) AS INT) AS rank
+    FROM scored
+    ORDER BY chi2 DESC, token ASC LIMIT {_pipeline.DRIFT_TOP_K}
+    """,
+)
+
+_register(
+    "batch_padding_efficiency",
+    _pipeline.batch_padding_efficiency,
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT n_tokens,
+               row_number() OVER (
+                   ORDER BY n_tokens * 16777216
+                            + CAST('0x' || substr(md5('pad:' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) ASC,
+                            doc_id ASC
+               ) AS rank
+        FROM base
+    )
+    SELECT CAST((rank - 1) // {_pipeline.PAD_BATCH_SIZE} AS INT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste
+    FROM ranked GROUP BY 1
+    """,
+)
+
+_register(
     "sql_udf_surface",
     advanced.sql_udf_surface,
     """
