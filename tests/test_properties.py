@@ -1711,3 +1711,29 @@ def test_vocab_drift_is_small_on_homogeneous_split(spark, sf_dir):
     # homogeneous corpus should rarely exceed it even at the top rank —
     # allow slack but pin the order of magnitude
     assert max(r.chi2 for r in rows) < 15
+
+
+def test_collision_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """The collision-count estimator must agree with the exact verify path
+    within the MinHash estimator's sampling error: every estimated pair's
+    |Ĵ − J| ≤ 3·stderr(K=8), exact dups estimate 1.0, and the estimated
+    pair set at Ĵ≥0.5 overlaps the verified J≥0.5 pair set."""
+    from url_counter_mapreduce_spark.operators import dedup as D
+
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in D.dedup_minhash_collision(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_minhash_pairs(spark, sf_dir).collect()
+    }
+    assert est
+    both = set(est) & set(exact)
+    assert both  # the two paths agree on a core of real near-dups
+    for pair in both:
+        j = exact[pair]
+        stderr = (j * (1 - j) / 8) ** 0.5
+        assert abs(est[pair] - j) <= 3 * stderr + 0.125  # 3σ + one-slot grain
+        if j == 1.0:
+            assert est[pair] == 1.0

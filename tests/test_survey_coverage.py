@@ -188,6 +188,7 @@ NORTH_STAR_SURFACE = [
     "sql_udf_surface",
     "batch_padding_efficiency",
     "vocab_drift_chi2",
+    "dedup_minhash_collision",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -959,3 +959,39 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("recall"),
     )
+
+
+COLLISION_MIN = 4  # report pairs with ≥4 of 8 colliding minhashes (Ĵ ≥ 0.5)
+
+
+def dedup_minhash_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision-counting LSH join (the C2Net idea, ICDE 2019: estimate
+    similarity from the NUMBER of colliding hash functions instead of
+    verifying candidates against raw sets): candidates come from the wide
+    8×1 banding, and each pair's Jaccard is ESTIMATED as
+    (#matching minhashes)/K — the unbiased MinHash estimator — with no
+    shingle-set verify join at all. At 100 TB this is the
+    network-efficiency trade: only the K-slot signatures ever shuffle
+    (the per-doc shingle sets, orders of magnitude larger, stay at rest),
+    in exchange for an estimator with stderr √(Ĵ(1−Ĵ)/K) instead of the
+    exact verify of dedup_minhash_pairs. Same md5 hash family → exact
+    DuckDB oracle on the estimates themselves."""
+    mh = [f"mh{j}" for j in range(MINHASH_K)]
+    sigs = _signatures_for(spark, sf_dir).select("doc_id", *mh)
+    bands = _band_keys_8x1(sigs, carry=mh)
+    a, b = bands.alias("a"), bands.alias("b")
+    n_coll = " + ".join(f"IF(a.mh{j} = b.mh{j}, 1, 0)" for j in range(MINHASH_K))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(f"CAST({n_coll} AS INT)").alias("n_collisions"),
+        )
+        .distinct()
+        .filter(F.col("n_collisions") >= COLLISION_MIN)
+        .withColumn(
+            "est_jaccard", F.expr(f"CAST(n_collisions AS DOUBLE) / {MINHASH_K}")
+        )
+    )

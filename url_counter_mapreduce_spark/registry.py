@@ -3129,6 +3129,34 @@ _register(
     """,
 )
 
+_BANDS_8X1_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, mh{j} AS key FROM sigs"
+    for j in range(dedup.MINHASH_K)
+)
+_N_COLL_SQL = " + ".join(
+    f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(dedup.MINHASH_K)
+)
+
+_register(
+    "dedup_minhash_collision",
+    dedup.dedup_minhash_collision,
+    _SIGS_CTE
+    + f", bands AS ({_BANDS_8X1_SQL})"
+    + f"""
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({_N_COLL_SQL} AS INT) AS n_collisions,
+           CAST({_N_COLL_SQL} AS DOUBLE) / {dedup.MINHASH_K} AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b
+    WHERE {_N_COLL_SQL} >= {dedup.COLLISION_MIN}
+    """,
+)
+
 _register(
     "vocab_drift_chi2",
     _pipeline.vocab_drift_chi2,
