@@ -171,3 +171,34 @@ def test_dynamic_partition_pruning_injected(spark, sf_dir):
     literal anywhere in the query."""
     plan = _plan(spark, sf_dir, "join_partition_pruned")
     assert "dynamicpruning" in plan.lower(), plan[:800]
+
+
+def test_bloom_filter_join_injects_might_contain(spark, sf_dir):
+    """join_bloom_filtered's fact side must carry the planner-injected
+    bloom probe (might_contain over the dim keys) so non-matching rows die
+    at the scan, before the join shuffle. Asserted on the lazy frame under
+    the operator's conf overrides — the registered query returns the
+    checkpointed result, whose plan is a scan."""
+    import contextlib
+    import io
+
+    from url_counter_mapreduce_spark.operators import advanced
+
+    saved = {k: spark.conf.get(k, None) for k in advanced._BLOOM_CONFS}
+    for k, v in advanced._BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        frame = advanced._bloom_join_frame(spark, sf_dir)
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "might_contain" in plan, plan[:800]
+    assert "bloom_filter_agg" in plan, plan[:800]
+
+
+def test_cdc_snapshot_diff_has_no_exchange(spark, sf_dir):
+    """cdc_changes full-outer-diffs two snapshots bucketed on the key:
+    the executed plan must contain no Exchange — the diff is scan + merge."""
+    plan = _plan(spark, sf_dir, "cdc_changes")
+    assert "Exchange" not in plan, plan[:1200]

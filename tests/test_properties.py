@@ -1737,3 +1737,21 @@ def test_collision_estimate_tracks_exact_jaccard(spark, sf_dir):
         assert abs(est[pair] - j) <= 3 * stderr + 0.125  # 3σ + one-slot grain
         if j == 1.0:
             assert est[pair] == 1.0
+
+
+def test_random_projection_preserves_norms(spark, sf_dir):
+    """JL concentration: with k = 16 Rademacher projections, Σy² / ‖x‖²
+    has mean 1 and std √(2/k) = 0.35 — assert the corpus mean lands in
+    [0.8, 1.2] and every ratio is positive and finite."""
+    from url_counter_mapreduce_spark import QUERIES
+
+    rows = QUERIES["embedding_random_projection"](spark, sf_dir).collect()
+    assert rows
+    ratios = []
+    for r in rows:
+        proj2 = sum(r[f"y{j}"] ** 2 for j in range(16))
+        assert r["orig_norm2"] > 0
+        ratios.append(proj2 / r["orig_norm2"])
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+    assert all(x > 0 for x in ratios)

@@ -189,6 +189,12 @@ NORTH_STAR_SURFACE = [
     "batch_padding_efficiency",
     "vocab_drift_chi2",
     "dedup_minhash_collision",
+    "join_bloom_filtered",
+    "events_ewma",
+    "host_khop",
+    "cdc_changes",
+    "embedding_random_projection",
+    "bigram_lift_topk",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -650,3 +650,138 @@ def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY len_bucket(d.n_chars)
         """
     )
+
+
+# Runtime bloom-filter join (Spark 3.3+ InjectRuntimeFilter): the planner
+# builds a bloom filter over the SELECTIVE side's join keys and pushes a
+# might_contain() predicate onto the large side's scan — the probe rows
+# that cannot match never enter the shuffle. At 100 TB this is the
+# difference between shuffling the full fact table and shuffling the ~20%
+# that survives the dim predicate. Thresholds are lowered only while this
+# query plans/executes (test fixtures sit below the 10 GB default
+# application-side gate); on a real cluster the defaults fire on their own.
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # broadcast would bypass the runtime-filter path entirely at fixture
+    # scale; pinned off so the demonstrated plan IS the big-join plan
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan (separate so tests can assert might_contain under the
+    confs): urgent orders' lineitems, monthly rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    return (
+        li.join(dim, li.l_orderkey == dim.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_extprice"),
+        )
+    )
+
+
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-table join pre-filtered by a runtime bloom filter on the dim
+    keys (monthly lineitem rollup of 1-URGENT orders). Confs are
+    snapshot/restored around an eager localCheckpoint so the injected
+    might_contain() executes here without leaking threshold overrides into
+    the rest of the session. Results are exactly the plain join's — the
+    bloom is a may-contain pre-filter, the hash join stays authoritative."""
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+# applicationId → sf_dir whose CDC snapshot tables are on disk
+_CDC_WRITTEN: dict = {}
+
+
+def cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: the changefeed
+    (inserts / updates / deletes, with before/after images) a lakehouse
+    derives when a partner re-delivers a full snapshot and only the delta
+    should propagate downstream. Snapshots are derived deterministically
+    from orders (old: keys ≢7 mod 10; new: keys ≢3 mod 13, with price +1.0
+    on keys ≡0 mod 5 and status flipped to 'X' on keys ≡0 mod 11), so the
+    DuckDB oracle replays the same diff declaratively.
+
+    Scale shape: both snapshots are written BUCKETED by the key into the
+    same bucket count, so the full-outer sort-merge diff reads bucket i
+    against bucket i with NO Exchange in the plan (asserted in
+    tests/test_plans.py) — at 100 TB the diff of two bucketed snapshots is
+    scan + merge, never a shuffle. Write-once memoized per (session, sf)
+    like bucketed_join."""
+    from ..tables import tmp_scratch_dir
+
+    base = tmp_scratch_dir("cdc_snapshots", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    key = spark.sparkContext.applicationId
+    if _CDC_WRITTEN.get(key) != sf_dir:
+        for name, df in (("spark_graft_cdc_old", old), ("spark_graft_cdc_new", new)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.repartition(N_BUCKETS, "o_orderkey")
+                .write.format("parquet")
+                .mode("overwrite")
+                .option("path", os.path.join(base, name))
+                .bucketBy(N_BUCKETS, "o_orderkey")
+                .sortBy("o_orderkey")
+                .saveAsTable(name)
+            )
+        _CDC_WRITTEN[key] = sf_dir
+    o = spark.table("spark_graft_cdc_old").alias("o")
+    n = spark.table("spark_graft_cdc_new").alias("n")
+    return (
+        o.hint("MERGE")
+        .join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+            F.when(F.col("n.o_orderkey").isNull(), F.lit("D"))
+            .when(F.col("o.o_orderkey").isNull(), F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("change_type"),
+            F.col("o.price").alias("old_price"),
+            F.col("n.price").alias("new_price"),
+            F.col("o.status").alias("old_status"),
+            F.col("n.status").alias("new_status"),
+        )
+        .filter(
+            (F.col("change_type") != "U")
+            | ~F.col("old_price").eqNullSafe(F.col("new_price"))
+            | ~F.col("old_status").eqNullSafe(F.col("new_status"))
+        )
+    )

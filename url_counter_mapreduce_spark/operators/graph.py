@@ -512,3 +512,70 @@ def host_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
     return deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("n_hosts"))
+
+
+KHOP_K = 3  # BFS radius; each hop is one equi-join + one anti-join
+
+
+def host_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability: minimum hop distance (≤ KHOP_K) from the seed
+    set (hosts starting with 'a') over the directed within-document host
+    adjacency graph — the neighborhood-expansion primitive behind crawl
+    frontier scheduling and graph feature extraction.
+
+    Driver-controlled BFS (the PageRank/CC pattern): the distinct edge
+    table is checkpointed once; each hop is ONE equi-join frontier→edges
+    plus ONE left-anti against the visited set, so a host's distance is
+    fixed the first time it is reached (= the minimum) and the frontier
+    never re-expands settled nodes. Shuffle per hop ∝ frontier-adjacent
+    edges, not the graph. The DuckDB oracle walks the same graph with a
+    depth-bounded recursive CTE and takes MIN(d) — independent
+    formulations of BFS layering."""
+    from .text import URL_HOST_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = (
+        docs.select(F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')").alias("toks"))
+        .select(
+            F.transform(
+                "toks",
+                lambda t: F.coalesce(
+                    F.nullif(F.regexp_extract(F.lower(t), URL_HOST_RE, 1), F.lit("")),
+                    F.lower(t),
+                ),
+            ).alias("hosts")
+        )
+        .localCheckpoint(eager=False)
+    )
+    edges = (
+        hosts.filter(F.expr("size(hosts) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(hosts) - 2),"
+                    " i -> named_struct('src', hosts[i], 'dst', hosts[i + 1]))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()  # built once, probed KHOP_K times
+    )
+    nodes = hosts.select(F.explode("hosts").alias("host")).distinct()
+    frontier = nodes.filter(F.col("host").startswith("a")).select(
+        "host", F.lit(0).alias("hops")
+    ).localCheckpoint()
+    visited = frontier
+    for k in range(1, KHOP_K + 1):
+        nxt = (
+            frontier.join(edges, frontier.host == edges.src)
+            .select(F.col("dst").alias("host"))
+            .distinct()
+            .join(visited, "host", "left_anti")
+            .select("host", F.lit(k).alias("hops"))
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.select("host", F.col("hops").cast("int").alias("hops"))

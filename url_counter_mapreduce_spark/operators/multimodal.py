@@ -40,8 +40,11 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python workers costs more in worker startup than it buys (measured
     # 0.7s → 2.7s); at real multimodal scale the input splits already
     # provide parallelism.
+    # coalesce: a NULL-text doc is an EMPTY blob, not a NULL payload — the
+    # Arrow batch reaching Python must never hold None bytes (len/sha256
+    # crash; degenerate-corpus battery)
     return load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        "doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload")
     )
 
 

