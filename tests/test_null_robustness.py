@@ -38,6 +38,7 @@ NULLISH_QUERIES = [
     "lang_id_heuristic",
     "token_count_regex",
     "bigram_lift_topk",
+    "skyline_docs",
     "embedding_random_projection",
     # dedup battery
     "dedup_exact",

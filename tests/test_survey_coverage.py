@@ -195,6 +195,7 @@ NORTH_STAR_SURFACE = [
     "cdc_changes",
     "embedding_random_projection",
     "bigram_lift_topk",
+    "skyline_docs",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -785,3 +785,61 @@ def cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ~F.col("old_status").eqNullSafe(F.col("new_status"))
         )
     )
+
+
+SKYLINE_BUCKET = 1024  # x-range per scan bucket; buckets ≤ max_tokens/1024
+
+
+def skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) query — the classic OLAP operator
+    (Börzsönyi et al., ICDE 2001): document profile points (n_tokens,
+    n_uniq_tokens) not dominated by any other point (≥ in both, > in one).
+    The front is what corpus-curation dashboards plot to pick
+    length/diversity trade-off thresholds.
+
+    Scale shape: the corpus collapses FIRST to one row per distinct
+    n_tokens (max diversity + doc count — one partial-aggregated shuffle,
+    output bounded by max document length, not corpus size). The
+    strict-prefix running max that decides domination then runs BUCKETED
+    (x div 1024): per-bucket maxima are collected (≤ max_tokens/1024
+    integers), the higher-bucket prefix max is computed driver-side and
+    broadcast back — no single-partition window at any scale (the
+    _with_prefix_cumsum discipline, specialized to max)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pts = (
+        docs.select(
+            F.expr(
+                "CAST(size(filter(split(coalesce(text, ''), ' '), x -> x != '')) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(size(array_distinct(filter(split(coalesce(text, ''), ' '), x -> x != ''))) AS BIGINT)"
+            ).alias("y"),
+        )
+        .groupBy("x")
+        .agg(F.max("y").alias("ymax"), F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("bucket", F.expr(f"CAST(x DIV {SKYLINE_BUCKET} AS INT)"))
+        .localCheckpoint(eager=False)  # consumed by the collect AND the join
+    )
+    sub = pts.groupBy("bucket").agg(F.max("ymax").alias("bmax")).collect()
+    # prefix max over STRICTLY HIGHER buckets, driver-side (bounded)
+    hb, run = {}, None
+    for r in sorted(sub, key=lambda r: -r["bucket"]):
+        hb[r["bucket"]] = run
+        run = r["bmax"] if run is None else max(run, r["bmax"])
+    hb_df = spark.createDataFrame(
+        [(int(b), -1 if m is None else int(m)) for b, m in hb.items()],
+        "bucket int, higher_max long",
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        pts.join(F.broadcast(hb_df), "bucket")
+        .withColumn("prev_max", F.greatest(F.coalesce(F.max("ymax").over(w), F.lit(-1)), F.col("higher_max")))
+        .filter(F.col("ymax") > F.col("prev_max"))
+        .select(F.col("x").alias("n_tokens"), F.col("ymax").alias("n_uniq_tokens"), "n_docs")
+    )

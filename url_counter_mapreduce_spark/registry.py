@@ -3495,6 +3495,27 @@ _register(
     """,
 )
 
+_register(
+    "skyline_docs",
+    advanced.skyline_docs,
+    f"""
+    WITH tk AS (SELECT {_TOKS_SAFE_SQL} AS toks FROM documents),
+    agg AS (
+        SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(MAX(len(list_distinct(toks))) AS BIGINT) AS n_uniq_tokens,
+               COUNT(*) AS n_docs
+        FROM tk GROUP BY len(toks)
+    ),
+    scanned AS (
+        SELECT *, MAX(n_uniq_tokens) OVER (
+            ORDER BY n_tokens DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS pm FROM agg
+    )
+    SELECT n_tokens, n_uniq_tokens, n_docs FROM scanned
+    WHERE pm IS NULL OR n_uniq_tokens > pm
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
