@@ -39,6 +39,8 @@ NULLISH_QUERIES = [
     "token_count_regex",
     "bigram_lift_topk",
     "skyline_docs",
+    "quality_readability",
+    "events_markov_transitions",
     "embedding_random_projection",
     # dedup battery
     "dedup_exact",

@@ -196,6 +196,9 @@ NORTH_STAR_SURFACE = [
     "embedding_random_projection",
     "bigram_lift_topk",
     "skyline_docs",
+    "quality_readability",
+    "events_markov_transitions",
+    "incremental_agg_maintain",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -843,3 +843,51 @@ def skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ymax") > F.col("prev_max"))
         .select(F.col("x").alias("n_tokens"), F.col("ymax").alias("n_uniq_tokens"), "n_docs")
     )
+
+
+def incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the per-status
+    order count + revenue aggregate is MAINTAINED from the base aggregate
+    plus the CDC changefeed (D: −old, I: +new, U: −old +new, across
+    status-group moves) instead of rescanning the snapshot — the
+    incremental-view-maintenance contract that makes a 100 TB nightly
+    refresh touch only the delta. The DuckDB oracle computes the same
+    aggregate DIRECTLY from the new snapshot — equality of the two
+    formulations is the IVM correctness statement.
+
+    Exactness: money is summed as half-up integer cents (BIGINT), so the
+    incremental sum (base + deltas, arbitrary order) and the direct sum
+    are the same integer — a double sum would differ in ulps between the
+    two formulations. Delta volume ∝ changes; the only corpus-sized scan
+    is the memoized snapshot build shared with cdc_changes."""
+    cents = "CAST(floor(price * 100 + 0.5) AS BIGINT)"
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 7).select(
+        F.col("o_orderstatus").alias("status"),
+        F.expr(cents.replace("price", "o_totalprice")).alias("c"),
+    )
+    base = old.groupBy("status").agg(
+        F.count(F.lit(1)).alias("dn"), F.sum("c").alias("dc")
+    )
+    ch = cdc_changes(spark, sf_dir)
+    minus = ch.filter(F.col("change_type").isin("D", "U")).select(
+        F.col("old_status").alias("status"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.expr(cents.replace("price", "old_price"))).alias("dc"),
+    )
+    plus = ch.filter(F.col("change_type").isin("I", "U")).select(
+        F.col("new_status").alias("status"),
+        F.lit(1).cast("long").alias("dn"),
+        F.expr(cents.replace("price", "new_price")).alias("dc"),
+    )
+    return (
+        base.unionAll(minus).unionAll(plus)
+        .groupBy("status")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("dc").alias("sum_cents"))
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "status",
+            "n_orders",
+            (F.col("sum_cents").cast("double") / 100.0).alias("sum_price"),
+        )
+    )

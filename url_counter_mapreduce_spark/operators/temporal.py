@@ -395,3 +395,145 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xv",
         F.expr(stable_round("ewma_raw", 6)).alias("ewma"),
     )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    session stream: counts and row-normalized probabilities of
+    type→next-type transitions in time order — the sequence-model
+    statistic behind next-action prediction and bot detection. NULL types
+    coalesce to 'unknown' (degenerate-corpus battery).
+
+    One window pass (lead over the user_id shuffle) + one
+    partial-aggregated groupBy on the (from, to) domain; the row
+    normalizer is a window over the aggregated |types|² rows, bounded by
+    the type vocabulary, not the corpus. Probability is a single rational
+    of two exact counts → stable_round."""
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.coalesce("event_type", F.lit("unknown")).alias("et"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_et", F.lead("et").over(w))
+        .filter(F.col("next_et").isNotNull())
+        .groupBy(F.col("et").alias("from_type"), F.col("next_et").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        trans.withColumn("sum_from", F.sum("n_trans").over(wt))
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.expr(
+                stable_round("CAST(n_trans AS DOUBLE) / CAST(sum_from AS DOUBLE)", 6)
+            ).alias("prob"),
+        )
+    )
+
+
+PATH_LEN = 8
+PATH_TOP = 20
+
+
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PATH_TOP user journeys: each user's first PATH_LEN event types
+    in time order, concatenated 'a>b>c', counted across users — the
+    sequence-mining view behind funnel discovery and bot-pattern triage
+    (the full-path complement of events_markov_transitions' one-step
+    matrix). NULL types coalesce to 'unknown'.
+
+    One window pass (row_number over the user shuffle, head-truncated
+    BEFORE the aggregate so only PATH_LEN rows per user survive), then a
+    per-user ordered reassembly via array_sort(collect_list(struct(rn,
+    et))) — collect_list order is plan-dependent, the struct sort makes it
+    deterministic — and a path-count aggregate bounded by |users|, not
+    events. Top-K via TakeOrderedAndProject with the path string as
+    tiebreak."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.coalesce("event_type", F.lit("unknown")).alias("et"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "concat_ws('>', transform(array_sort(collect_list(struct(rn, et))),"
+                " s -> s.et))"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(PATH_TOP)
+    )
+
+
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type over a deterministic 50/50
+    user-level A/B assignment (md5 of user_id — the reproducible-split
+    idiom of train_test_split): conversion = user emitted the type at
+    least once; z = (pA - pB) / sqrt(p_pool (1 - p_pool) (1/nA + 1/nB)).
+    This is the experiment-readout query every event pipeline ends in.
+
+    Exactness: all inputs to the formula are exact integer counts from
+    two hash aggregates (per-arm users; per-(type, arm) converters); the
+    z arithmetic is the identical double expression tree in both engines
+    (sqrt and / are IEEE correctly-rounded) -> stable_round(6). Shuffles
+    are keyed on user then type; arm totals attach via the 2-row
+    broadcast (scalar_join category)."""
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.coalesce("event_type", F.lit("unknown")).alias("et")
+    )
+    arm = F.expr(
+        "IF(pmod(CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT), 2) = 0, 'A', 'B')"
+    )
+    users = ev.select("user_id").distinct().withColumn("arm", arm)
+    arm_sizes = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n_arm"))
+    conv = (
+        ev.select("user_id", "et")
+        .distinct()
+        .withColumn("arm", arm)
+        .groupBy("et", "arm")
+        .agg(F.count(F.lit(1)).alias("n_conv"))
+    )
+    wide = (
+        conv.join(F.broadcast(arm_sizes), "arm")
+        .groupBy("et")
+        .agg(
+            F.sum(F.expr("IF(arm = 'A', n_conv, 0)")).alias("conv_a"),
+            F.sum(F.expr("IF(arm = 'B', n_conv, 0)")).alias("conv_b"),
+            F.sum(F.expr("IF(arm = 'A', n_arm, 0)")).alias("n_a"),
+            F.sum(F.expr("IF(arm = 'B', n_arm, 0)")).alias("n_b"),
+        )
+    )
+    z = (
+        "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)"
+        " / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        " * (1.0D - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        " * (1.0D / n_a + 1.0D / n_b))"
+    )
+    return wide.select(
+        F.col("et").alias("event_type"),
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr(stable_round(z, 6)).alias("z_score"),
+    )

@@ -1121,3 +1121,36 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(LIFT_TOP_K)
         .drop("lift_micro")
     )
+
+
+def quality_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948, the published
+    readability formula every text-quality stack carries): 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with sentences =
+    runs of [.!?] and syllables = vowel-group runs per word — the standard
+    heuristic approximations. Pure map: regex counts + one rational per
+    row, no shuffle, whole-stage codegen. Degenerate docs (no words / no
+    sentences) yield NULL scores via nullif (ANSI-safe)."""
+    from ..functions.vector import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.expr(_TOKS_SAFE).alias("toks"),
+        F.expr(
+            "CAST(size(regexp_extract_all(coalesce(text, ''), '[.!?]+', 0)) AS BIGINT)"
+        ).alias("n_sentences"),
+    ).select(
+        "doc_id",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_words"),
+        "n_sentences",
+        F.expr(
+            "aggregate(toks, 0L, (acc, t) ->"
+            " acc + size(regexp_extract_all(lower(t), '[aeiouy]+', 0)))"
+        ).alias("n_syllables"),
+    )
+    flesch = (
+        "206.835D - 1.015D * (CAST(n_words AS DOUBLE) / nullif(n_sentences, 0))"
+        " - 84.6D * (CAST(n_syllables AS DOUBLE) / nullif(n_words, 0))"
+    )
+    return base.withColumn("flesch", F.expr(stable_round(flesch, 4)))

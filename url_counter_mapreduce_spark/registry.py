@@ -3516,6 +3516,66 @@ _register(
     """,
 )
 
+_register(
+    "quality_readability",
+    text.quality_readability,
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS_SAFE_SQL} AS toks,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')) AS BIGINT) AS n_sentences
+        FROM documents
+    ), counted AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               n_sentences,
+               CAST(coalesce(list_sum(list_transform(toks,
+                   t -> len(regexp_extract_all(lower(t), '[aeiouy]+')))), 0) AS BIGINT) AS n_syllables
+        FROM base
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / nullif(n_sentences, 0))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE) / nullif(n_words, 0))) * 1e4 + 0.5) / 1e4 AS flesch
+    FROM counted
+    """,
+)
+
+_register(
+    "events_markov_transitions",
+    temporal.events_markov_transitions,
+    """
+    WITH e AS (
+        SELECT user_id, ts, event_id, coalesce(event_type, 'unknown') AS et FROM events
+    ), pairs AS (
+        SELECT et AS from_type,
+               lead(et) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM e
+    ), trans AS (
+        SELECT from_type, to_type, COUNT(*) AS n_trans
+        FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_trans,
+           floor(CAST(n_trans AS DOUBLE)
+                 / CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS prob
+    FROM trans
+    """,
+)
+
+_register(
+    "incremental_agg_maintain",
+    advanced.incremental_agg_maintain,
+    """
+    WITH new AS (
+        SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 13 <> 3
+    )
+    SELECT status, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+    FROM new GROUP BY status
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
