@@ -41,6 +41,9 @@ NULLISH_QUERIES = [
     "skyline_docs",
     "quality_readability",
     "events_markov_transitions",
+    "events_path_topk",
+    "ab_test_zscore",
+    "dedup_containment",
     "embedding_random_projection",
     # dedup battery
     "dedup_exact",

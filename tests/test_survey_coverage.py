@@ -199,6 +199,13 @@ NORTH_STAR_SURFACE = [
     "quality_readability",
     "events_markov_transitions",
     "incremental_agg_maintain",
+    "window_rank_suite",
+    "events_path_topk",
+    "ab_test_zscore",
+    "host_similar_jaccard",
+    "dedup_containment",
+    "layout_encoding_stats",
+    "revenue_mom_yoy",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

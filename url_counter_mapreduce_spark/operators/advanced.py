@@ -891,3 +891,83 @@ def incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_cents").cast("double") / 100.0).alias("sum_price"),
         )
     )
+
+
+def layout_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding planner statistics: per column, the run count,
+    distinct count, mean run length and dictionary ratio that decide
+    whether RLE or dictionary encoding wins for a given sort layout — the
+    measurement behind layout_zorder-style table-layout tuning (at 100 TB
+    the difference between RLE-friendly and shuffled layouts is the
+    storage bill). Run boundaries RESET at each l_orderkey (the row-group
+    analog: parquet runs never span groups), so the window shuffles on
+    orderkey — never a single global sort.
+
+    One window pass computes all three columns' null-safe run-start flags
+    (lag IS DISTINCT FROM value); a zero-shuffle stack() melts them long;
+    one 3-group aggregate finishes. All outputs are exact integers or
+    rationals of integers -> stable_round.
+
+    Determinism: (l_orderkey, l_linenumber) is NOT unique in the fixture,
+    so the sort extends to the measured columns themselves — rows still
+    tied are identical in every lagged column, making the run flags
+    invariant under their permutation (NULLS FIRST pinned on both
+    engines)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import stable_round
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+        F.expr("CAST(CAST(l_quantity AS BIGINT) AS STRING)").alias("quantity"),
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.asc_nulls_first("l_linenumber"),
+        F.asc_nulls_first("returnflag"),
+        F.asc_nulls_first("linestatus"),
+        F.asc_nulls_first("quantity"),
+    )
+    flagged = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[
+            x
+            for c in ("returnflag", "linestatus", "quantity")
+            for x in (
+                F.col(c),
+                (~F.lag(c).over(w).eqNullSafe(F.col(c)))
+                .cast("long")
+                .alias(f"start_{c}"),
+            )
+        ],
+    )
+    long = flagged.select(
+        F.expr(
+            "stack(3, 'returnflag', returnflag, start_returnflag,"
+            " 'linestatus', linestatus, start_linestatus,"
+            " 'quantity', quantity, start_quantity)"
+        ).alias("col_name", "val", "run_start")
+    )
+    return (
+        long.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("run_start").alias("n_runs"),
+            F.countDistinct("val").alias("n_distinct"),
+        )
+        .select(
+            "col_name",
+            "n_values",
+            "n_runs",
+            "n_distinct",
+            F.expr(
+                stable_round("CAST(n_values AS DOUBLE) / nullif(n_runs, 0)", 6)
+            ).alias("avg_run_len"),
+            F.expr(
+                stable_round("CAST(n_distinct AS DOUBLE) / nullif(n_values, 0)", 6)
+            ).alias("dict_ratio"),
+        )
+    )

@@ -995,3 +995,64 @@ def dedup_minhash_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard", F.expr(f"CAST(n_collisions AS DOUBLE) / {MINHASH_K}")
         )
     )
+
+
+CONTAIN_DF_CAP = 64
+CONTAIN_MIN = 0.8
+CONTAIN_TOP = 200
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT C(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| (Broder 1997's second
+    resemblance measure): catches a short doc quoted/wrapped inside a long
+    one, where Jaccard stays far below any dedup threshold because the
+    union is dominated by the long doc. Directional top-CONTAIN_TOP pairs
+    with C >= CONTAIN_MIN.
+
+    Candidate generation is an inverted-index equi-join on the shingle,
+    with shingles appearing in > CONTAIN_DF_CAP docs dropped BY
+    SPECIFICATION before pair generation (boilerplate shingles assert
+    nothing about containment and cost df² pairs each; the denominator
+    |A| stays uncapped). The oracle replays the identical cap, so the
+    gate is exact. Pair volume is bounded by df_cap × shared shingles —
+    never all-pairs."""
+    from ..functions.vector import stable_round
+
+    sh = _shingles(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "shingles"
+    ).localCheckpoint(eager=False)  # fans into sizes + exploded index
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    rare = (
+        ex.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("s")
+    )
+    kept = ex.join(rare, "s")
+    shared = (
+        kept.alias("a")
+        .join(kept.alias("b"), "s")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sizes = sh.select("doc_id", F.expr("CAST(size(shingles) AS BIGINT)").alias("n_sh"))
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumn(
+            "containment", F.expr(stable_round("CAST(n_shared AS DOUBLE) / n_sh", 6))
+        )
+        .filter(F.col("containment") >= CONTAIN_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.col("n_sh").alias("n_shingles_a"),
+            "containment",
+        )
+        .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
+        .limit(CONTAIN_TOP)
+    )

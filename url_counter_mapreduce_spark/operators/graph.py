@@ -579,3 +579,59 @@ def host_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited.select("host", F.col("hops").cast("int").alias("hops"))
+
+
+JACCARD_HUB_CAP = 256  # wedge centers above this degree are skipped (see doc)
+JACCARD_MIN = 0.2
+JACCARD_TOP = 100
+
+
+def host_similar_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-pair neighborhood similarity: Jaccard of the undirected
+    adjacency sets, for pairs sharing at least one neighbor — the
+    co-citation mirror/alias detector of web-graph curation (two hosts
+    linked from the same pages are usually mirrors, CDNs, or the same
+    site under two names). Top-JACCARD_TOP pairs with J >= JACCARD_MIN.
+
+    Scale shape: common-neighbor pairs come from the wedge self-join on
+    the center vertex, whose cost is sum(deg(n)^2). Centers with deg >
+    JACCARD_HUB_CAP are excluded from wedge generation BY SPECIFICATION
+    (a directory hub linking everything asserts no similarity between its
+    10^6 spokes; keeping it costs 10^12 wedges) — degrees in the Jaccard
+    denominator stay uncapped. The oracle replays the identical cap, so
+    the gate is exact. Everything else is equi-joins keyed on host; the
+    shared checkpointed edge build (_host_undirected_edges) is reused."""
+    from ..functions.vector import stable_round
+
+    und = _host_undirected_edges(spark, sf_dir)
+    sym = und.select(F.col("a").alias("h"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("h"), F.col("a").alias("n"))
+    )
+    deg = sym.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    centers = deg.filter(F.col("deg") <= JACCARD_HUB_CAP).select(F.col("h").alias("n"))
+    symc = sym.join(centers, "n")
+    e2 = symc.select(F.col("h").alias("h2"), F.col("n").alias("n"))
+    inter = (
+        symc.join(e2, "n")
+        .filter(F.col("h") < F.col("h2"))
+        .groupBy(F.col("h").alias("x"), F.col("h2").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    withdeg = inter.join(
+        deg.select(F.col("h").alias("x"), F.col("deg").alias("dx")), "x"
+    ).join(deg.select(F.col("h").alias("y"), F.col("deg").alias("dy")), "y")
+    jac = "CAST(n_common AS DOUBLE) / (dx + dy - n_common)"
+    return (
+        withdeg.withColumn("jaccard", F.expr(stable_round(jac, 6)))
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .select(
+            F.col("x").alias("host_a"),
+            F.col("y").alias("host_b"),
+            "n_common",
+            F.col("dx").alias("deg_a"),
+            F.col("dy").alias("deg_b"),
+            "jaccard",
+        )
+        .orderBy(F.col("jaccard").desc(), "host_a", "host_b")
+        .limit(JACCARD_TOP)
+    )

@@ -234,3 +234,40 @@ def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("amount"), 4).alias("sum_amount"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining SQL:2003 rank-family window functions in one pass:
+    ntile(4) quartile, percent_rank, cume_dist, and the lag() balance gap,
+    per customer within nation, ordered by (acctbal DESC, custkey) — the
+    unique tiebreak makes every rank value deterministic (peers never
+    exist, so rank-family peer semantics can't diverge cross-engine).
+    One shuffle on nationkey; all four functions share the single sorted
+    window pass. percent_rank/cume_dist are rationals of exact integer
+    ranks -> stable_round.
+
+    Reference parity: the reference sorts once globally (doSort in
+    src/main/master_splitmerge.go); rank analytics are the declarative
+    upgrade of that sorted pass."""
+    from ..functions.vector import stable_round
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select("c_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank_raw", F.percent_rank().over(w))
+        .withColumn("cume_raw", F.cume_dist().over(w))
+        .withColumn("bal_gap_raw", F.lag("c_acctbal").over(w) - F.col("c_acctbal"))
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            "quartile",
+            F.expr(stable_round("pct_rank_raw", 6)).alias("pct_rank"),
+            F.expr(stable_round("cume_raw", 6)).alias("cume"),
+            F.expr(stable_round("bal_gap_raw", 4)).alias("bal_gap"),
+        )
+    )

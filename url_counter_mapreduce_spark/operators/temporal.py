@@ -523,11 +523,14 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("IF(arm = 'B', n_arm, 0)")).alias("n_b"),
         )
     )
+    # nullif everywhere a divisor can be 0 (ANSI doubles error on x/0):
+    # p_pool = 1 (zero variance) and an empty arm (degenerate corpus) both
+    # make z undefined -> NULL in both engines
     z = (
-        "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)"
-        " / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
-        " * (1.0D - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
-        " * (1.0D / n_a + 1.0D / n_b))"
+        "(CAST(conv_a AS DOUBLE) / nullif(n_a, 0) - CAST(conv_b AS DOUBLE) / nullif(n_b, 0))"
+        " / nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / nullif(n_a + n_b, 0))"
+        " * (1.0D - CAST(conv_a + conv_b AS DOUBLE) / nullif(n_a + n_b, 0))"
+        " * (1.0D / nullif(n_a, 0) + 1.0D / nullif(n_b, 0))), 0.0D)"
     )
     return wide.select(
         F.col("et").alias("event_type"),
@@ -536,4 +539,51 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_a",
         "conv_b",
         F.expr(stable_round(z, 6)).alias("z_score"),
+    )
+
+
+def revenue_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year growth —
+    the seasonality readout of any revenue/volume monitoring stack.
+    Formulated WITHOUT a global window: the corpus aggregates to the
+    month domain first (partial-aggregated groupBy on ~|months| keys),
+    then MoM/YoY attach by equi-JOIN on add_months(month, -1/-12) — the
+    lag-as-join idiom that keeps the plan free of single-partition
+    Exchanges at any scale.
+
+    Exactness: revenue sums as half-up integer cents (order-independent);
+    growth is a rational of two exact integers -> stable_round(6); the
+    month key is an ISO yyyy-MM string in both engines."""
+    from ..functions.vector import stable_round
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month_ts"))
+        .agg(
+            F.expr(
+                "SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+            ).alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .localCheckpoint(eager=False)  # fans into self-joins below
+    )
+    prev = m.select(
+        F.expr("add_months(month_ts, 1)").cast("timestamp").alias("month_ts"),
+        F.col("rev_cents").alias("prev_cents"),
+    )
+    yoy = m.select(
+        F.expr("add_months(month_ts, 12)").cast("timestamp").alias("month_ts"),
+        F.col("rev_cents").alias("yoy_cents"),
+    )
+    growth = "CAST(rev_cents - {p} AS DOUBLE) / {p}"
+    return (
+        m.join(prev, "month_ts", "left")
+        .join(yoy, "month_ts", "left")
+        .select(
+            F.date_format("month_ts", "yyyy-MM").alias("month"),
+            "n_orders",
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+            F.expr(stable_round(growth.format(p="prev_cents"), 6)).alias("mom_pct"),
+            F.expr(stable_round(growth.format(p="yoy_cents"), 6)).alias("yoy_pct"),
+        )
     )
