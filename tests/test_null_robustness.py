@@ -44,6 +44,9 @@ NULLISH_QUERIES = [
     "events_path_topk",
     "ab_test_zscore",
     "dedup_containment",
+    "text_keyphrase_rake",
+    "events_autocorr",
+    "drift_ks_value",
     "embedding_random_projection",
     # dedup battery
     "dedup_exact",

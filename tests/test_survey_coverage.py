@@ -206,6 +206,9 @@ NORTH_STAR_SURFACE = [
     "dedup_containment",
     "layout_encoding_stats",
     "revenue_mom_yoy",
+    "text_keyphrase_rake",
+    "events_autocorr",
+    "drift_ks_value",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1473,3 +1473,62 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         *proj_cols,
         F.expr(stable_round(norm2, 6)).alias("orig_norm2"),
     )
+
+
+def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the event-value
+    distributions of a deterministic 50/50 md5 user split — the
+    continuous-distribution drift monitor that pairs with
+    vocab_drift_chi2's categorical χ² (an A/A reading here baselines the
+    pipeline; point it at train-vs-serve feeds in production). Values
+    quantize to exact cents BY SPECIFICATION (the binned KS — the ECDF
+    difference is evaluated at bin edges; both engines replay the same
+    grid), NULL/NaN values are excluded, NULL users land in arm B.
+
+    Scale shape: the corpus aggregates to the bin domain first; both
+    cumulative counts come from the two-phase bucketed prefix scan
+    (_with_prefix_cumsum, cents packed order-preservingly into the scan
+    hash) — no single-partition window anywhere; the max picks via
+    TakeOrderedAndProject with the bin as tiebreak."""
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    arm = F.expr(
+        "IF(pmod(CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT), 2) = 0, 'A', 'B')"
+    )
+    binned = (
+        ev.select(arm.alias("arm"), F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.expr("CAST(arm = 'A' AS LONG)")).alias("cnt_a"),
+            F.sum(F.expr("CAST(arm = 'B' AS LONG)")).alias("cnt_b"),
+        )
+        # order-preserving hash for the bucketed scan; doc_id is the
+        # helper's required unique tiebreak (= bin, unique post-groupBy)
+        .withColumn("h", F.expr("bin * 65536"))
+        .withColumn("doc_id", F.col("bin"))
+        .localCheckpoint(eager=False)  # two scan passes below share it
+    )
+    tot_a: list = []
+    tot_b: list = []
+    c1 = _with_prefix_cumsum(binned, [], "cnt_a", "cum_a", grand_total=tot_a)
+    c2 = _with_prefix_cumsum(c1, [], "cnt_b", "cum_b", grand_total=tot_b)
+    n_a, n_b = int(tot_a[0]), int(tot_b[0])
+    diff = (
+        f"abs(CAST(cum_a AS DOUBLE) / nullif({n_a}, 0)"
+        f" - CAST(cum_b AS DOUBLE) / nullif({n_b}, 0))"
+    )
+    return (
+        c2.withColumn("diff_raw", F.expr(diff))
+        .orderBy(F.col("diff_raw").desc(), F.col("bin").asc())
+        .limit(1)
+        .select(
+            F.lit(n_a).cast("long").alias("n_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
+            F.expr("CAST(bin AS DOUBLE) / 100.0").alias("at_value"),
+            F.expr(stable_round("diff_raw", 6)).alias("ks_d"),
+        )
+    )

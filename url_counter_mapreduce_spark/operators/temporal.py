@@ -587,3 +587,78 @@ def revenue_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(stable_round(growth.format(p="yoy_cents"), 6)).alias("yoy_pct"),
         )
     )
+
+
+AC_LAGS = (1, 24)
+
+
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1 h and 24 h) of the zero-filled hourly
+    event-count series per type — the seasonality detector that justifies
+    (or kills) the daily-cycle assumption behind anomaly fences and
+    capacity plans. Gaps are materialized as zeros first (a missing hour
+    is a real 0, not an absent row — events_gap_fill's contract), so
+    lag-k always means k hours.
+
+    Exactness: the series is integer counts, so all five sufficient
+    statistics accumulate as DECIMAL(38,0) (order-independent — the
+    corr_pricing discipline) and only the closed-form Pearson division is
+    floating point; zero-variance series yield NULL via nullif. The
+    lag is an equi-join on (type, bucket + k hours) over the aggregated
+    hourly domain — never a corpus-sized window."""
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.coalesce("event_type", F.lit("unknown")).alias("et"), "ts"
+    )
+    hourly = ev.groupBy("et", F.date_trunc("hour", "ts").alias("b")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        hourly.groupBy("et")
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+        .select("et", F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("b"))
+    )
+    filled = (
+        spine.join(hourly, ["et", "b"], "left")
+        .select("et", "b", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # fans into one pair join per lag
+    )
+    lagged = None
+    for k in AC_LAGS:
+        shifted = filled.select(
+            "et",
+            F.expr(f"b + INTERVAL {k} HOURS").alias("b"),
+            F.col("n").alias("y"),
+        )
+        pairs = (
+            filled.join(shifted, ["et", "b"])
+            .select(
+                "et",
+                F.lit(k).cast("long").alias("lag_hours"),
+                F.col("n").cast("decimal(38,0)").alias("x"),
+                F.col("y").cast("decimal(38,0)").alias("y"),
+            )
+        )
+        lagged = pairs if lagged is None else lagged.unionAll(pairs)
+    s = lagged.groupBy("et", "lag_hours").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("et").alias("event_type"),
+        "lag_hours",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            stable_round(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 0.0D)"
+                " / nullif(sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0D)",
+                6,
+            )
+        ).alias("autocorr"),
+    )

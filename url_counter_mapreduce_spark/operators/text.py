@@ -1154,3 +1154,83 @@ def quality_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - 84.6D * (CAST(n_syllables AS DOUBLE) / nullif(n_words, 0))"
     )
     return base.withColumn("flesch", F.expr(stable_round(flesch, 4)))
+
+
+RAKE_TOP = 25
+# language-agnostic break set: the union of all per-language stopword lists
+RAKE_STOPS = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+
+
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; word score = degree/freq where
+    degree sums the lengths of phrases containing the word; phrase score
+    sums its member word scores. Top-RAKE_TOP corpus-wide phrases — the
+    unsupervised keyword surface of a curation stack.
+
+    Shapes: phrase segmentation is one window pass on doc_id (phrase_id =
+    running stopword count); word stats are a partial-aggregated groupBy
+    on the word; scores attach back by equi-join. Phrase score is an
+    IN-ORDER left fold over the phrase's word scores (array_sort by word
+    position, then aggregate) — 0.0+a+b+... associates identically in
+    both engines, where an unordered SUM over doubles would not."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import stable_round
+
+    stops = ", ".join(f"'{w}'" for w in RAKE_STOPS)
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.posexplode(F.expr(_TOKS_SAFE)).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        F.lower("tok").alias("tok"),
+        F.expr(f"CAST(lower(tok) IN ({stops}) AS INT)").alias("is_stop"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seg = tk.withColumn("phrase_id", F.sum("is_stop").over(w)).filter(
+        F.col("is_stop") == 0
+    )
+    phrases = seg.groupBy("doc_id", "phrase_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))),"
+            " s -> s.tok))"
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    wordstats = (
+        phrases.select(F.explode(F.split("phrase", " ")).alias("word"), "plen")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+        .withColumn("wscore", F.expr("CAST(degree AS DOUBLE) / freq"))
+    )
+    occ = phrases.groupBy("phrase").agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    pw = occ.select(
+        "phrase",
+        "n_occurrences",
+        F.posexplode(F.split("phrase", " ")).alias("wpos", "word"),
+    )
+    scored = (
+        pw.join(wordstats.select("word", "wscore"), "word")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(wpos, wscore))),"
+                " s -> s.wscore), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("score_raw")
+        )
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.expr("CAST(size(split(phrase, ' ')) AS BIGINT)").alias("n_words"),
+            "n_occurrences",
+            F.expr(stable_round("score_raw", 6)).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
+        .limit(RAKE_TOP)
+    )

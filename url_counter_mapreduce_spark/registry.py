@@ -3758,6 +3758,117 @@ _register(
     """,
 )
 
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in text.RAKE_STOPS)
+
+_register(
+    "text_keyphrase_rake",
+    text.text_keyphrase_rake,
+    f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks
+        FROM documents
+    ), tk AS (
+        SELECT doc_id, i AS pos, lower(toks[i]) AS tok,
+               CASE WHEN lower(toks[i]) IN ({_RAKE_STOPS_SQL}) THEN 1 ELSE 0 END AS is_stop
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
+    ), seg AS (
+        SELECT doc_id, pos, tok, is_stop,
+               SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        FROM tk
+    ), phrases AS (
+        SELECT doc_id, phrase_id, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS plen
+        FROM seg WHERE is_stop = 0 GROUP BY doc_id, phrase_id
+    ), wordstats AS (
+        SELECT word, CAST(SUM(plen) AS DOUBLE) / COUNT(*) AS wscore
+        FROM (SELECT unnest(string_split(phrase, ' ')) AS word, plen FROM phrases)
+        GROUP BY word
+    ), occ AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM phrases GROUP BY phrase
+    ), pw AS (
+        SELECT phrase, n_occurrences, i AS wpos, ws[i] AS word
+        FROM (SELECT phrase, n_occurrences, string_split(phrase, ' ') AS ws,
+                     unnest(range(1, len(string_split(phrase, ' ')) + 1)) AS i FROM occ)
+    ), scored AS (
+        SELECT phrase, n_occurrences,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(wscore ORDER BY wpos)),
+                           (acc, x) -> acc + x) AS score_raw
+        FROM pw JOIN wordstats USING (word) GROUP BY phrase, n_occurrences
+    )
+    SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words, n_occurrences,
+           floor(score_raw * 1e6 + 0.5) / 1e6 AS rake_score
+    FROM scored ORDER BY rake_score DESC, phrase LIMIT {text.RAKE_TOP}
+    """,
+)
+
+_register(
+    "events_autocorr",
+    temporal.events_autocorr,
+    """
+    WITH e AS (
+        SELECT coalesce(event_type, 'unknown') AS et, ts FROM events
+    ), hourly AS (
+        SELECT et, date_trunc('hour', ts) AS b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY et, date_trunc('hour', ts)
+    ), spine AS (
+        SELECT et, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+        FROM (SELECT et, min(b) AS mn, max(b) AS mx FROM hourly GROUP BY et)
+    ), filled AS (
+        SELECT s.et, s.b, COALESCE(h.n, 0) AS n
+        FROM spine s LEFT JOIN hourly h ON h.et = s.et AND h.b = s.b
+    ), pairs AS (
+        SELECT f.et, CAST(1 AS BIGINT) AS lag_hours,
+               CAST(f.n AS HUGEINT) AS x, CAST(g.n AS HUGEINT) AS y
+        FROM filled f JOIN filled g ON g.et = f.et AND g.b + INTERVAL 1 HOUR = f.b
+        UNION ALL
+        SELECT f.et, CAST(24 AS BIGINT) AS lag_hours,
+               CAST(f.n AS HUGEINT) AS x, CAST(g.n AS HUGEINT) AS y
+        FROM filled f JOIN filled g ON g.et = f.et AND g.b + INTERVAL 24 HOUR = f.b
+    ), s AS (
+        SELECT et, lag_hours, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+               SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM pairs GROUP BY et, lag_hours
+    )
+    SELECT et AS event_type, lag_hours, CAST(n AS BIGINT) AS n_pairs,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 0.0)
+                 / nullif(sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) * 1e6 + 0.5) / 1e6 AS autocorr
+    FROM s
+    """,
+)
+
+_register(
+    "drift_ks_value",
+    _pipeline.drift_ks_value,
+    """
+    WITH e AS (
+        SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS bin
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ), b AS (
+        SELECT bin, CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        FROM e GROUP BY bin
+    ), c AS (
+        SELECT bin, SUM(cnt_a) OVER (ORDER BY bin) AS cum_a,
+               SUM(cnt_b) OVER (ORDER BY bin) AS cum_b
+        FROM b
+    ), t AS (
+        SELECT CAST(COALESCE(SUM(cnt_a), 0) AS BIGINT) AS n_a,
+               CAST(COALESCE(SUM(cnt_b), 0) AS BIGINT) AS n_b
+        FROM b
+    )
+    SELECT t.n_a, t.n_b, CAST(bin AS DOUBLE) / 100.0 AS at_value,
+           floor(abs(CAST(cum_a AS DOUBLE) / nullif(t.n_a, 0)
+                     - CAST(cum_b AS DOUBLE) / nullif(t.n_b, 0)) * 1e6 + 0.5) / 1e6 AS ks_d
+    FROM c, t
+    ORDER BY abs(CAST(cum_a AS DOUBLE) / nullif(t.n_a, 0)
+                 - CAST(cum_b AS DOUBLE) / nullif(t.n_b, 0)) DESC, bin LIMIT 1
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
