@@ -47,6 +47,9 @@ NULLISH_QUERIES = [
     "text_keyphrase_rake",
     "events_autocorr",
     "drift_ks_value",
+    "dedup_minhash_bbit",
+    "events_heatmap_dow_hour",
+    "user_rfm_scores",
     "embedding_random_projection",
     # dedup battery
     "dedup_exact",

@@ -209,6 +209,10 @@ NORTH_STAR_SURFACE = [
     "text_keyphrase_rake",
     "events_autocorr",
     "drift_ks_value",
+    "dedup_minhash_bbit",
+    "host_assortativity",
+    "events_heatmap_dow_hour",
+    "user_rfm_scores",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1056,3 +1056,51 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("containment").desc(), "doc_a", "doc_b")
         .limit(CONTAIN_TOP)
     )
+
+
+BBIT_MIN_EST = 0.25
+
+
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (Li & König 2010, b = 1): keep only the LOWEST BIT of
+    each of the K minhashes, estimate Jaccard from the 1-bit match rate as
+    Ĵ = 2·(matches/K) − 1 (E[1-bit collision] = (1+J)/2 for uniform
+    hashes). The 64×-compression variant of dedup_minhash_collision: at
+    100 TB the signature table that shuffles through the band join drops
+    from K×64 bits to K bits per doc — the published storage/accuracy
+    trade for web-scale dedup. Same md5 hash family in both engines →
+    exact oracle on the estimates (which may be coarse: K = 8 gives a
+    1/4-granular estimator; negative estimates are clamped at 0).
+
+    Candidates still come from the full-width 8×1 banding (the b-bit
+    trade affects the similarity ESTIMATE, not candidate recall)."""
+    from ..functions.vector import stable_round
+
+    mh = [f"mh{j}" for j in range(MINHASH_K)]
+    sigs = _signatures_for(spark, sf_dir).select("doc_id", *mh)
+    bits = sigs.select(
+        "doc_id",
+        *mh,
+        *[
+            F.expr(
+                f"CAST(CAST(conv(substring(mh{j}, 16, 1), 16, 10) AS INT) % 2 AS INT)"
+            ).alias(f"bit{j}")
+            for j in range(MINHASH_K)
+        ],
+    )
+    bands = _band_keys_8x1(bits, carry=[f"bit{j}" for j in range(MINHASH_K)])
+    a, b = bands.alias("a"), bands.alias("b")
+    n_match = " + ".join(f"IF(a.bit{j} = b.bit{j}, 1, 0)" for j in range(MINHASH_K))
+    est = f"greatest(2.0D * match_bits / {MINHASH_K} - 1.0D, 0.0D)"
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(f"CAST({n_match} AS INT)").alias("match_bits"),
+        )
+        .distinct()
+        .withColumn("est_jaccard_b1", F.expr(stable_round(est, 6)))
+        .filter(F.col("est_jaccard_b1") >= BBIT_MIN_EST)
+    )

@@ -635,3 +635,56 @@ def host_similar_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "host_a", "host_b")
         .limit(JACCARD_TOP)
     )
+
+
+def host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the host graph (Newman 2002): the Pearson
+    correlation of endpoint degrees over all edges — negative for
+    hub-and-spoke webs (big sites link small ones), positive for
+    peer-meshes; the one-number structural fingerprint that decides
+    whether hub-aware mitigations (degree-ordered orientation, wedge
+    caps) are load-bearing on a given corpus. One summary row.
+
+    Each undirected edge contributes both orientations (the standard
+    symmetric formulation). All sufficient statistics accumulate as
+    DECIMAL(38,0) integers over the edge set (corr_pricing discipline);
+    only the final closed form is floating point. Reuses the shared
+    checkpointed edge build + one degree aggregate; the degree attach is
+    two equi-joins keyed on host."""
+    from ..functions.vector import stable_round
+
+    und = _host_undirected_edges(spark, sf_dir)
+    sym = und.select(F.col("a").alias("h"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("h"), F.col("a").alias("n"))
+    )
+    deg = sym.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    pairs = (
+        sym.join(deg.select(F.col("h"), F.col("deg").alias("dx")), "h")
+        .join(
+            deg.select(F.col("h").alias("n"), F.col("deg").alias("dy")),
+            "n",
+        )
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("x"),
+            F.col("dy").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_edge_ends"),
+        F.expr(
+            stable_round(
+                "CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 0.0D)"
+                " / nullif(sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0D)",
+                6,
+            )
+        ).alias("assortativity"),
+    )

@@ -662,3 +662,78 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("autocorr"),
     )
+
+
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap per event type — the
+    weekly-seasonality matrix behind capacity planning and the
+    events_autocorr 24 h reading. Pure map projection + one
+    partial-aggregated groupBy on a (7 × 24 × |types|)-bounded domain.
+    dow follows Spark's dayofweek() convention (1 = Sunday … 7 =
+    Saturday; the oracle shifts DuckDB's 0-based value to match)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.coalesce("event_type", F.lit("unknown")).alias("event_type"),
+            F.expr("CAST(dayofweek(ts) AS INT)").alias("dow"),
+            F.expr("CAST(hour(ts) AS INT)").alias("hour"),
+            "value",
+        )
+        .groupBy("event_type", "dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def user_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile scoring per user —
+    the standard audience-segmentation statistic: each user's last-event
+    time, event count, and value sum are ranked against exact corpus
+    quintile boundaries (the value_bucketing discipline: one tiny
+    boundary aggregate broadcast back, assignment by comparison —
+    map-side at any scale). 5 = top quintile on each axis; the composite
+    segment is the 3-digit concatenation.
+
+    Exactness: all three metrics are exact integers (micros / counts /
+    half-up cents; NaN values contribute 0 cents BY SPEC so the sum
+    stays exact); both engines interpolate percentiles over the same
+    integers with the same formula (quantiles_value precedent)."""
+    from ..tables import scalar_join
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr("unix_micros(max(ts))").alias("r_metric"),
+        F.count(F.lit(1)).alias("f_metric"),
+        F.sum(
+            F.expr(
+                "CASE WHEN value IS NULL OR isnan(value) THEN 0"
+                " ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END"
+            )
+        ).alias("m_metric"),
+    ).localCheckpoint(eager=False)  # boundary agg + assignment share it
+    bounds = u.agg(
+        *[
+            F.expr(f"percentile({m}_metric, {q})").alias(f"{m}q{int(q * 100)}")
+            for m in ("r", "f", "m")
+            for q in RFM_QS
+        ]
+    )
+    score = lambda m: (  # noqa: E731
+        f"CAST(1 + CAST({m}_metric > {m}q20 AS INT) + CAST({m}_metric > {m}q40 AS INT)"
+        f" + CAST({m}_metric > {m}q60 AS INT) + CAST({m}_metric > {m}q80 AS INT) AS INT)"
+    )
+    return scalar_join(u, bounds).select(
+        "user_id",
+        F.expr(score("r")).alias("r_score"),
+        F.expr(score("f")).alias("f_score"),
+        F.expr(score("m")).alias("m_score"),
+        F.expr(
+            f"concat(CAST({score('r')} AS STRING), CAST({score('f')} AS STRING),"
+            f" CAST({score('m')} AS STRING))"
+        ).alias("rfm_segment"),
+    )

@@ -3869,6 +3869,102 @@ _register(
     """,
 )
 
+_BBIT_MATCH_SQL = """CASE WHEN CAST('0x' || substr(sa.mh0, 16, 1) AS INT) % 2 = CAST('0x' || substr(sb.mh0, 16, 1) AS INT) % 2 THEN 1 ELSE 0 END + CASE WHEN CAST('0x' || substr(sa.mh1, 16, 1) AS INT) % 2 = CAST('0x' || substr(sb.mh1, 16, 1) AS INT) % 2 THEN 1 ELSE 0 END + CASE WHEN CAST('0x' || substr(sa.mh2, 16, 1) AS INT) % 2 = CAST('0x' || substr(sb.mh2, 16, 1) AS INT) % 2 THEN 1 ELSE 0 END + CASE WHEN CAST('0x' || substr(sa.mh3, 16, 1) AS INT) % 2 = CAST('0x' || substr(sb.mh3, 16, 1) AS INT) % 2 THEN 1 ELSE 0 END + CASE WHEN CAST('0x' || substr(sa.mh4, 16, 1) AS INT) % 2 = CAST('0x' || substr(sb.mh4, 16, 1) AS INT) % 2 THEN 1 ELSE 0 END + CASE WHEN CAST('0x' || substr(sa.mh5, 16, 1) AS INT) % 2 = CAST('0x' || substr(sb.mh5, 16, 1) AS INT) % 2 THEN 1 ELSE 0 END + CASE WHEN CAST('0x' || substr(sa.mh6, 16, 1) AS INT) % 2 = CAST('0x' || substr(sb.mh6, 16, 1) AS INT) % 2 THEN 1 ELSE 0 END + CASE WHEN CAST('0x' || substr(sa.mh7, 16, 1) AS INT) % 2 = CAST('0x' || substr(sb.mh7, 16, 1) AS INT) % 2 THEN 1 ELSE 0 END"""
+
+_register(
+    "dedup_minhash_bbit",
+    dedup.dedup_minhash_bbit,
+    _SIGS_CTE
+    + f", bands AS ({_BANDS_8X1_SQL})"
+    + f"""
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT doc_a, doc_b, CAST({_BBIT_MATCH_SQL} AS INT) AS match_bits,
+               floor(greatest(2.0 * ({_BBIT_MATCH_SQL}) / {dedup.MINHASH_K} - 1.0, 0.0) * 1e6 + 0.5) / 1e6 AS est_jaccard_b1
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b
+    )
+    SELECT * FROM scored WHERE est_jaccard_b1 >= {dedup.BBIT_MIN_EST}
+    """,
+)
+
+_register(
+    "host_assortativity",
+    _graph.host_assortativity,
+    f"""
+    WITH t AS (
+        SELECT list_transform({{toks}},
+                   tk -> COALESCE(nullif(regexp_extract(lower(tk), '{{host_re}}', 1), ''),
+                                  lower(tk))) AS hosts
+        FROM documents
+    ), pairs AS (
+        SELECT least(hosts[i], hosts[i + 1]) AS a, greatest(hosts[i], hosts[i + 1]) AS b
+        FROM (SELECT hosts, unnest(range(1, len(hosts))) AS i FROM t WHERE len(hosts) >= 2)
+        WHERE hosts[i] <> hosts[i + 1]
+    ), und AS (
+        SELECT DISTINCT a, b FROM pairs
+    ), sym AS (
+        SELECT a AS h, b AS n FROM und UNION ALL SELECT b AS h, a AS n FROM und
+    ), deg AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY h
+    ), p AS (
+        SELECT CAST(dx.deg AS HUGEINT) AS x, CAST(dy.deg AS HUGEINT) AS y
+        FROM sym JOIN deg dx ON dx.h = sym.h JOIN deg dy ON dy.h = sym.n
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS n_edge_ends,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 0.0)
+                 / nullif(sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) * 1e6 + 0.5) / 1e6 AS assortativity
+    FROM s
+    """.replace("{toks}", _TOKS_SAFE_SQL).replace("{host_re}", text.URL_HOST_RE),
+)
+
+_register(
+    "events_heatmap_dow_hour",
+    temporal.events_heatmap_dow_hour,
+    """
+    SELECT coalesce(event_type, 'unknown') AS event_type,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY coalesce(event_type, 'unknown'), dayofweek(ts) + 1, hour(ts)
+    """,
+)
+
+_register(
+    "user_rfm_scores",
+    temporal.user_rfm_scores,
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS r_metric,
+               CAST(COUNT(*) AS BIGINT) AS f_metric,
+               CAST(SUM(CASE WHEN value IS NULL OR isnan(value) THEN 0
+                             ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS m_metric
+        FROM events GROUP BY user_id
+    ), b AS (
+        SELECT quantile_cont(r_metric, 0.2) AS rq20, quantile_cont(r_metric, 0.4) AS rq40, quantile_cont(r_metric, 0.6) AS rq60, quantile_cont(r_metric, 0.8) AS rq80, quantile_cont(f_metric, 0.2) AS fq20, quantile_cont(f_metric, 0.4) AS fq40, quantile_cont(f_metric, 0.6) AS fq60, quantile_cont(f_metric, 0.8) AS fq80, quantile_cont(m_metric, 0.2) AS mq20, quantile_cont(m_metric, 0.4) AS mq40, quantile_cont(m_metric, 0.6) AS mq60, quantile_cont(m_metric, 0.8) AS mq80
+        FROM u
+    ), scored AS (
+        SELECT user_id,
+               CAST(1 + CAST(r_metric > rq20 AS INT) + CAST(r_metric > rq40 AS INT) + CAST(r_metric > rq60 AS INT) + CAST(r_metric > rq80 AS INT) AS INT) AS r_score, CAST(1 + CAST(f_metric > fq20 AS INT) + CAST(f_metric > fq40 AS INT) + CAST(f_metric > fq60 AS INT) + CAST(f_metric > fq80 AS INT) AS INT) AS f_score, CAST(1 + CAST(m_metric > mq20 AS INT) + CAST(m_metric > mq40 AS INT) + CAST(m_metric > mq60 AS INT) + CAST(m_metric > mq80 AS INT) AS INT) AS m_score
+        FROM u, b
+    )
+    SELECT user_id, r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm_segment
+    FROM scored
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
