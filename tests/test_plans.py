@@ -131,6 +131,7 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "layout_zorder": 1,
         "dedup_minhash_recall": 1,
         "user_rfm_scores": 1,
+        "chi2_independence": 1,
     }
     streaming = {n for n in QUERIES if n.startswith("stream_")}
     for name in QUERIES:

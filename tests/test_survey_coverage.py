@@ -213,6 +213,7 @@ NORTH_STAR_SURFACE = [
     "host_assortativity",
     "events_heatmap_dow_hour",
     "user_rfm_scores",
+    "chi2_independence",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -213,3 +213,54 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "med", "mad", "n_outliers")
     )
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence cells for (o_orderpriority ×
+    o_orderstatus): observed count, expected count under independence
+    (row·col/n), and the per-cell χ² contribution — the categorical
+    association readout (is order priority independent of status?) that
+    complements vocab_drift_chi2's token drift and drift_ks_value's
+    continuous KS. Per-cell rows rather than the summed statistic: the
+    sum over cells would be order-dependent double addition, the cells
+    are each a single rational of exact integers -> stable_round. The
+    reader (or a one-line follow-up) folds the bounded |priorities|×
+    |statuses| cells.
+
+    Shapes: one corpus aggregate to the cell domain, then row/col totals
+    re-aggregate the CELLS (not the corpus), attach by equi-join on the
+    tiny margins + the 1-row grand total via broadcast scalar_join."""
+    from ..functions.vector import stable_round
+    from ..tables import scalar_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.groupBy(
+            F.coalesce("o_orderpriority", F.lit("unknown")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("unknown")).alias("status"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .localCheckpoint(eager=False)  # margins + grand total re-read it
+    )
+    rowt = cells.groupBy("priority").agg(F.sum("observed").alias("row_total"))
+    colt = cells.groupBy("status").agg(F.sum("observed").alias("col_total"))
+    grand = cells.agg(F.sum("observed").alias("n_total"))
+    expected = "CAST(row_total AS DOUBLE) * col_total / n_total"
+    return (
+        scalar_join(
+            cells.join(F.broadcast(rowt), "priority").join(F.broadcast(colt), "status"),
+            grand,
+        )
+        .select(
+            "priority",
+            "status",
+            "observed",
+            F.expr(stable_round(expected, 6)).alias("expected"),
+            F.expr(
+                stable_round(
+                    f"(observed - ({expected})) * (observed - ({expected})) / ({expected})",
+                    6,
+                )
+            ).alias("chi2_contrib"),
+        )
+    )

@@ -3965,6 +3965,31 @@ _register(
     """,
 )
 
+_register(
+    "chi2_independence",
+    analytic.chi2_independence,
+    """
+    WITH cells AS (
+        SELECT coalesce(o_orderpriority, 'unknown') AS priority,
+               coalesce(o_orderstatus, 'unknown') AS status,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM orders GROUP BY 1, 2
+    ), rowt AS (
+        SELECT priority, CAST(SUM(observed) AS BIGINT) AS row_total FROM cells GROUP BY priority
+    ), colt AS (
+        SELECT status, CAST(SUM(observed) AS BIGINT) AS col_total FROM cells GROUP BY status
+    ), grand AS (
+        SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM cells
+    )
+    SELECT priority, status, observed,
+           floor(CAST(row_total AS DOUBLE) * col_total / n_total * 1e6 + 0.5) / 1e6 AS expected,
+           floor((observed - (CAST(row_total AS DOUBLE) * col_total / n_total))
+                 * (observed - (CAST(row_total AS DOUBLE) * col_total / n_total))
+                 / (CAST(row_total AS DOUBLE) * col_total / n_total) * 1e6 + 0.5) / 1e6 AS chi2_contrib
+    FROM cells JOIN rowt USING (priority) JOIN colt USING (status), grand
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
