@@ -49,6 +49,7 @@ NULLISH_QUERIES = [
     "drift_ks_value",
     "dedup_minhash_bbit",
     "events_heatmap_dow_hour",
+    "events_changepoint",
     "user_rfm_scores",
     "embedding_random_projection",
     # dedup battery

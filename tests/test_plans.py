@@ -132,6 +132,7 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "dedup_minhash_recall": 1,
         "user_rfm_scores": 1,
         "chi2_independence": 1,
+        "host_reciprocity": 1,
     }
     streaming = {n for n in QUERIES if n.startswith("stream_")}
     for name in QUERIES:

@@ -214,6 +214,8 @@ NORTH_STAR_SURFACE = [
     "events_heatmap_dow_hour",
     "user_rfm_scores",
     "chi2_independence",
+    "events_changepoint",
+    "host_reciprocity",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -688,3 +688,55 @@ def host_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+def host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the DIRECTED host adjacency graph: the fraction of
+    distinct directed edges whose reverse edge also exists — the
+    link-exchange / mutual-citation fingerprint (spam rings reciprocate;
+    organic authority links mostly don't). One summary row.
+
+    The directed edge set is the consecutive-host pair stream distincted
+    (the host_pagerank edge domain without weights); the reverse check is
+    one self-equi-join on the swapped key. Both aggregates are then 1-row
+    frames combined by the broadcast scalar_join; the fraction is a
+    rational of two exact counts."""
+    from ..functions.vector import stable_round
+    from ..tables import scalar_join
+    from .text import URL_HOST_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.expr(
+            "transform(filter(split(coalesce(text, ''), ' '), x -> x != ''),"
+            f" t -> coalesce(nullif(regexp_extract(lower(t), '{URL_HOST_RE}', 1), ''),"
+            " lower(t)))"
+        ).alias("hosts")
+    )
+    e = (
+        hosts.filter(F.expr("size(hosts) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(hosts) - 2),"
+                    " i -> named_struct('src', hosts[i], 'dst', hosts[i + 1]))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # total count + reverse join share it
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return scalar_join(
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")),
+        recip.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocated")),
+    ).select(
+        "n_edges",
+        "n_reciprocated",
+        F.expr(
+            stable_round("CAST(n_reciprocated AS DOUBLE) / nullif(n_edges, 0)", 6)
+        ).alias("reciprocity"),
+    )

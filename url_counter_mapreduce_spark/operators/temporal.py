@@ -737,3 +737,58 @@ def user_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" CAST({score('m')} AS STRING))"
         ).alias("rfm_segment"),
     )
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the hour where the
+    cumulative deviation from the series mean peaks — the standard
+    level-shift locator (Page 1954) behind "when did traffic change?".
+
+    Formulated ENTIRELY in integers: with prefix_t = Σ_{i<=t} x_i and
+    totals (n, S), the scaled CUSUM n·prefix_t − t·S equals n²·Σ(x_i −
+    S/n) — same argmax, zero floating point, so both engines agree bit
+    for bit with no rounding convention at all. The series is the
+    zero-filled hourly count (events_gap_fill contract); all windows run
+    over the bounded hourly domain per type, never the corpus."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.coalesce("event_type", F.lit("unknown")).alias("et"), "ts"
+    )
+    hourly = ev.groupBy("et", F.date_trunc("hour", "ts").alias("b")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        hourly.groupBy("et")
+        .agg(F.min("b").alias("mn"), F.max("b").alias("mx"))
+        .select("et", F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("b"))
+    )
+    filled = spine.join(hourly, ["et", "b"], "left").select(
+        "et", "b", F.coalesce("n", F.lit(0)).cast("long").alias("x")
+    )
+    w = Window.partitionBy("et").orderBy("b")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scanned = filled.select(
+        "et",
+        "b",
+        F.row_number().over(w).alias("t"),
+        F.sum("x").over(wcum).alias("prefix"),
+    )
+    tot = filled.groupBy("et").agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("x").alias("s_total")
+    )
+    scored = scanned.join(tot, "et").select(
+        "et",
+        "b",
+        "n_hours",
+        F.expr("abs(n_hours * prefix - t * s_total)").alias("cusum_abs"),
+    )
+    pick = Window.partitionBy("et").orderBy(F.col("cusum_abs").desc(), F.col("b").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("et").alias("event_type"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("changepoint_hour"),
+            "n_hours",
+            F.col("cusum_abs").alias("cusum_peak"),
+        )
+    )

@@ -3990,6 +3990,68 @@ _register(
     """,
 )
 
+_register(
+    "events_changepoint",
+    temporal.events_changepoint,
+    """
+    WITH e AS (
+        SELECT coalesce(event_type, 'unknown') AS et, ts FROM events
+    ), hourly AS (
+        SELECT et, date_trunc('hour', ts) AS b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY et, date_trunc('hour', ts)
+    ), spine AS (
+        SELECT et, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS b
+        FROM (SELECT et, min(b) AS mn, max(b) AS mx FROM hourly GROUP BY et)
+    ), filled AS (
+        SELECT s.et, s.b, COALESCE(h.n, 0) AS x
+        FROM spine s LEFT JOIN hourly h ON h.et = s.et AND h.b = s.b
+    ), scanned AS (
+        SELECT et, b,
+               row_number() OVER (PARTITION BY et ORDER BY b) AS t,
+               SUM(x) OVER (PARTITION BY et ORDER BY b) AS prefix
+        FROM filled
+    ), tot AS (
+        SELECT et, CAST(COUNT(*) AS BIGINT) AS n_hours, CAST(SUM(x) AS BIGINT) AS s_total
+        FROM filled GROUP BY et
+    ), scored AS (
+        SELECT scanned.et, b, n_hours, abs(n_hours * prefix - t * s_total) AS cusum_abs
+        FROM scanned JOIN tot ON tot.et = scanned.et
+    ), pick AS (
+        SELECT et, b, n_hours, cusum_abs,
+               row_number() OVER (PARTITION BY et ORDER BY cusum_abs DESC, b ASC) AS rn
+        FROM scored
+    )
+    SELECT et AS event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS changepoint_hour,
+           n_hours, CAST(cusum_abs AS BIGINT) AS cusum_peak
+    FROM pick WHERE rn = 1
+    """,
+)
+
+_register(
+    "host_reciprocity",
+    _graph.host_reciprocity,
+    f"""
+    WITH t AS (
+        SELECT list_transform({{toks}},
+                   tk -> COALESCE(nullif(regexp_extract(lower(tk), '{{host_re}}', 1), ''),
+                                  lower(tk))) AS hosts
+        FROM documents
+    ), e AS (
+        SELECT DISTINCT hosts[i] AS src, hosts[i + 1] AS dst
+        FROM (SELECT hosts, unnest(range(1, len(hosts))) AS i FROM t WHERE len(hosts) >= 2)
+        WHERE hosts[i] <> hosts[i + 1]
+    ), r AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocated
+        FROM e WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e
+    )
+    SELECT n_edges, n_reciprocated,
+           floor(CAST(n_reciprocated AS DOUBLE) / nullif(n_edges, 0) * 1e6 + 0.5) / 1e6 AS reciprocity
+    FROM n, r
+    """.replace("{toks}", _TOKS_SAFE_SQL).replace("{host_re}", text.URL_HOST_RE),
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
