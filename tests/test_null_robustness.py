@@ -50,6 +50,7 @@ NULLISH_QUERIES = [
     "dedup_minhash_bbit",
     "events_heatmap_dow_hour",
     "events_changepoint",
+    "events_survival_km",
     "user_rfm_scores",
     "embedding_random_projection",
     # dedup battery

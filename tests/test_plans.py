@@ -133,6 +133,7 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
         "user_rfm_scores": 1,
         "chi2_independence": 1,
         "host_reciprocity": 1,
+        "events_survival_km": 1,
     }
     streaming = {n for n in QUERIES if n.startswith("stream_")}
     for name in QUERIES:

@@ -216,6 +216,7 @@ NORTH_STAR_SURFACE = [
     "chi2_independence",
     "events_changepoint",
     "host_reciprocity",
+    "events_survival_km",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

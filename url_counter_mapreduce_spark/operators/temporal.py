@@ -792,3 +792,64 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cusum_abs").alias("cusum_peak"),
         )
     )
+
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier ingredients for time-to-second-event: per duration
+    hour t, the risk set (users still 'alive' at t) and the event count —
+    the survival-analysis readout behind retention/engagement ("how long
+    until a user comes back?"), with single-event users right-CENSORED at
+    the corpus horizon, which naive averages silently drop. Per-step
+    hazard rows rather than the KM product: each row is one rational of
+    exact integers (the product over steps would be order-dependent
+    double multiplication).
+
+    Durations are integer hours ((second−first) micros DIV 3.6e9 — exact
+    integer division in both engines). The suffix risk-set sum runs over
+    the duration DOMAIN (span-bounded — hours between corpus min and max,
+    thousands at any corpus scale), so the unpartitioned sort is the
+    rolling_daily_avg no-hazard; per-user work is one (user) window pass
+    truncated to 2 rows."""
+    from ..functions.vector import stable_round
+    from ..tables import scalar_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max(F.when(F.col("rn") == 2, F.col("ts"))).alias("second_ts"),
+        )
+        .filter(F.col("first_ts").isNotNull())
+    )
+    horizon = ev.agg(F.max("ts").alias("h_ts"))
+    durs = scalar_join(per_user, horizon).select(
+        F.expr(
+            "IF(second_ts IS NOT NULL,"
+            " (unix_micros(second_ts) - unix_micros(first_ts)) DIV 3600000000,"
+            " (unix_micros(h_ts) - unix_micros(first_ts)) DIV 3600000000)"
+        ).alias("t_hours"),
+        F.expr("CAST(second_ts IS NOT NULL AS LONG)").alias("is_event"),
+    )
+    steps = durs.groupBy("t_hours").agg(
+        F.sum("is_event").alias("d_events"),
+        F.sum(F.expr("1 - is_event")).alias("c_censored"),
+    )
+    ws = Window.orderBy(F.col("t_hours").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        steps.withColumn("n_at_risk", F.sum(F.expr("d_events + c_censored")).over(ws))
+        .filter(F.col("d_events") > 0)
+        .select(
+            "t_hours",
+            "n_at_risk",
+            "d_events",
+            F.expr(
+                stable_round("CAST(d_events AS DOUBLE) / n_at_risk", 6)
+            ).alias("hazard"),
+        )
+    )

@@ -4052,6 +4052,43 @@ _register(
     """.replace("{toks}", _TOKS_SAFE_SQL).replace("{host_re}", text.URL_HOST_RE),
 )
 
+_register(
+    "events_survival_km",
+    temporal.events_survival_km,
+    """
+    WITH r AS (
+        SELECT user_id, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), per_user AS (
+        SELECT user_id, min(ts) AS first_ts,
+               max(CASE WHEN rn = 2 THEN ts END) AS second_ts
+        FROM r WHERE rn <= 2 GROUP BY user_id
+        HAVING min(ts) IS NOT NULL
+    ), h AS (
+        SELECT max(ts) AS h_ts FROM events
+    ), durs AS (
+        SELECT CASE WHEN second_ts IS NOT NULL
+                    THEN (epoch_us(second_ts) - epoch_us(first_ts)) // 3600000000
+                    ELSE (epoch_us(h_ts) - epoch_us(first_ts)) // 3600000000
+               END AS t_hours,
+               CASE WHEN second_ts IS NOT NULL THEN 1 ELSE 0 END AS is_event
+        FROM per_user, h
+    ), steps AS (
+        SELECT t_hours, CAST(SUM(is_event) AS BIGINT) AS d_events,
+               CAST(SUM(1 - is_event) AS BIGINT) AS c_censored
+        FROM durs GROUP BY t_hours
+    ), risk AS (
+        SELECT t_hours, d_events,
+               CAST(SUM(d_events + c_censored) OVER (ORDER BY t_hours DESC) AS BIGINT) AS n_at_risk
+        FROM steps
+    )
+    SELECT t_hours, n_at_risk, d_events,
+           floor(CAST(d_events AS DOUBLE) / n_at_risk * 1e6 + 0.5) / 1e6 AS hazard
+    FROM risk WHERE d_events > 0
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
