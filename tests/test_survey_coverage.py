@@ -217,6 +217,7 @@ NORTH_STAR_SURFACE = [
     "events_changepoint",
     "host_reciprocity",
     "events_survival_km",
+    "sql_pipe_surface",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -971,3 +971,28 @@ def layout_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dict_ratio"),
         )
     )
+
+
+def sql_pipe_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 SQL pipe syntax (|> — SPARK-49555, the GoogleSQL
+    'pipe query' form) end-to-end: the sql_surface Q3 shape rewritten as
+    a linear FROM |> JOIN |> WHERE |> AGGREGATE |> ORDER BY pipeline.
+    Pipe stages compile to the identical Catalyst plan as the nested
+    form — this query proves the surface exists and plans the same
+    (broadcast joins, partial agg, TakeOrderedAndProject), while the
+    oracle runs the classic formulation in DuckDB: syntax parity without
+    semantics drift."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM customer c
+        |> JOIN orders o ON c.c_custkey = o.o_custkey
+        |> JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |> WHERE c.c_mktsegment = 'AUTOMOBILE'
+        |> AGGREGATE ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+                     COUNT(1) AS n_items
+           GROUP BY o.o_orderkey
+        |> ORDER BY revenue DESC, o_orderkey ASC
+        |> LIMIT 20
+        """
+    )

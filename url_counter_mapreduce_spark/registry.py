@@ -4089,6 +4089,23 @@ _register(
     """,
 )
 
+_register(
+    "sql_pipe_surface",
+    advanced.sql_pipe_surface,
+    """
+    SELECT o.o_orderkey,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(COUNT(1) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
