@@ -33,6 +33,7 @@ NULLISH_QUERIES = [
     "batch_padding_efficiency",
     "doc_fingerprint",
     "doc_chunks",
+    "sql_udf_surface",
     "context_pack",
     "pii_scrub",
     "lang_id_heuristic",

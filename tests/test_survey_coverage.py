@@ -5,6 +5,8 @@ before it breaks the driver gate."""
 
 from __future__ import annotations
 
+import os
+
 from url_counter_mapreduce_spark import ORACLES, QUERIES
 
 # §2.1 reference surface (O1–O12 query names)
@@ -318,6 +320,45 @@ def test_query_table_generator_in_sync():
         "tools/gen_query_table.py SECTION2_OP drifted from the canonical "
         f"window: only-in-map={sorted(set(gen.SECTION2_OP) - first_50)} "
         f"only-in-window={sorted(first_50 - set(gen.SECTION2_OP))}"
+    )
+
+
+def test_query_table_file_matches_regen():
+    """The COMMITTED docs/QUERIES.md must be byte-identical to a fresh
+    regeneration — the r5 and r6 drifts (a registration without a table
+    regen) were the same bug class twice; this kills the class."""
+    import importlib
+
+    gen = importlib.import_module("tools.gen_query_table")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "QUERIES.md")
+    with open(path) as f:
+        committed = f.read()
+    assert committed == gen.render(), (
+        "docs/QUERIES.md is stale — run `python tools/gen_query_table.py` "
+        "after registering/reordering queries"
+    )
+
+
+def test_readme_surface_counts_match_registry():
+    """README's headline 'N registered queries — M verified' must track the
+    registry (r6 shipped with both numbers one behind)."""
+    from url_counter_mapreduce_spark import ORACLES
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "README.md")
+    with open(path) as f:
+        readme = f.read()
+    n_total = len(QUERIES)
+    n_exact = sum(1 for q in QUERIES if ORACLES[q] is not None)
+    expect = f"{n_total} registered queries — {n_exact} verified"
+    assert expect in readme, (
+        f"README surface paragraph must contain {expect!r}; update the "
+        "counts after registering queries"
+    )
+    n_rows_only = n_total - n_exact
+    assert f"{n_rows_only} rows-only by design" in readme, (
+        f"README rows-only count must be {n_rows_only}"
     )
 
 

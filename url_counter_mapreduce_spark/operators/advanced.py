@@ -637,8 +637,12 @@ def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN CASE WHEN n < 150 THEN 'short' WHEN n < 350 THEN 'mid' ELSE 'long' END"
     )
     spark.sql(
+        # greatest(.., 1) + coalesce: a NULL/zero-length doc yields exactly
+        # one (empty) chunk, so the TVF is total — the inner comma-LATERAL
+        # below never drops a doc, and sequence() never sees an end < start
+        # (Spark's sequence(1, 0) would return the DESCENDING [1, 0]).
         "CREATE OR REPLACE TEMPORARY FUNCTION doc_chunk_ids(n BIGINT) RETURNS TABLE(chunk_i INT) "
-        "RETURN SELECT explode(sequence(1, CAST(ceil(n / 100.0) AS INT)))"
+        "RETURN SELECT explode(sequence(1, greatest(CAST(ceil(coalesce(n, 0) / 100.0) AS INT), 1)))"
     )
     return spark.sql(
         """

@@ -383,7 +383,12 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", F.coalesce(F.col("value"), F.lit(0.0)).alias("xv")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        # NULLS LAST pinned: Spark default is ASC NULLS FIRST, DuckDB
+        # oracle ORDER BY defaults NULLS LAST — NULL-ts rows would get
+        # divergent row_number/lag/lead assignments (ADVICE r06)
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     terms = [
         F.coalesce(F.lag("xv", j).over(w), F.lit(0.0)) / F.lit(float(2 ** (j + 1)))
         for j in range(EWMA_TERMS)
@@ -417,7 +422,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.coalesce("event_type", F.lit("unknown")).alias("et"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        # NULLS LAST pinned: Spark default is ASC NULLS FIRST, DuckDB
+        # oracle ORDER BY defaults NULLS LAST — NULL-ts rows would get
+        # divergent row_number/lag/lead assignments (ADVICE r06)
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     trans = (
         ev.withColumn("next_et", F.lead("et").over(w))
         .filter(F.col("next_et").isNotNull())
@@ -462,7 +472,12 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.coalesce("event_type", F.lit("unknown")).alias("et"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        # NULLS LAST pinned: Spark default is ASC NULLS FIRST, DuckDB
+        # oracle ORDER BY defaults NULLS LAST — NULL-ts rows would get
+        # divergent row_number/lag/lead assignments (ADVICE r06)
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     paths = (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= PATH_LEN)
@@ -814,7 +829,12 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import scalar_join
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        # NULLS LAST pinned: Spark default is ASC NULLS FIRST, DuckDB
+        # oracle ORDER BY defaults NULLS LAST — NULL-ts rows would get
+        # divergent row_number/lag/lead assignments (ADVICE r06)
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     per_user = (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2)

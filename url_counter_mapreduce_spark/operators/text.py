@@ -1101,12 +1101,19 @@ def bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ca, "a")
         .join(cb, "b")
         .withColumn(
-            "lift_micro",
-            F.expr(
-                f"CAST(floor((CAST(c_ab AS DECIMAL(38,0)) * 1000000 * {n_uni} * {n_uni})"
-                f" / (CAST({m_big} AS DECIMAL(38,0)) * c_a * c_b)) AS DECIMAL(38,0))"
-            ),
+            "_num", F.expr(f"CAST(c_ab AS DECIMAL(38,0)) * 1000000 * {n_uni} * {n_uni}")
         )
+        .withColumn("_den", F.expr(f"CAST({m_big} AS DECIMAL(38,0)) * c_a * c_b"))
+        .withColumn(
+            # exact floor division: subtract the remainder first so the
+            # decimal divide is exact — a plain DECIMAL/DECIMAL quotient
+            # rounds HALF_UP to scale 6 BEFORE floor(), which flips the
+            # floor for fractional parts >= 0.9999995 vs DuckDB's true
+            # integer `//` (ADVICE r06)
+            "lift_micro",
+            F.expr("CAST((_num - pmod(_num, _den)) / _den AS DECIMAL(38,0))"),
+        )
+        .drop("_num", "_den")
     )
     return (
         scored.select(

@@ -2977,8 +2977,21 @@ from .operators.text import ENTROPY_LOG_Q, _log2_table  # noqa: E402
 
 # the oracle embeds the SAME Python-computed quantized-log table as the
 # Spark side (text._log2_table) — no engine-side log2 anywhere, so the
-# entropy is integer-exact cross-engine; 8192 covers any fixture doc length
-_ENTROPY_LT = "[" + ", ".join(str(v) for v in _log2_table(8192)) + "]"
+# entropy is integer-exact cross-engine. The Spark side sizes its table to
+# the measured corpus max; the oracle is a static string, so its cap fails
+# LOUDLY (duckdb error()) instead of silently NULLing entropy past it.
+_ENTROPY_CAP = 8192
+_ENTROPY_LT = "[" + ", ".join(str(v) for v in _log2_table(_ENTROPY_CAP)) + "]"
+
+
+def _entropy_idx(expr: str) -> str:
+    """Guarded L[i] access: out-of-cap doc lengths raise in DuckDB rather
+    than returning NULL and hash-mismatching silently (ADVICE r06)."""
+    return (
+        f"L[CAST(CASE WHEN {expr} <= {_ENTROPY_CAP} THEN {expr}"
+        f" ELSE error('quality_char_entropy oracle: doc length exceeds"
+        f" log2-table cap {_ENTROPY_CAP}; regenerate _ENTROPY_LT') END AS INT)]"
+    )
 
 _register(
     "quality_char_entropy",
@@ -2997,12 +3010,12 @@ _register(
         SELECT doc_id,
                CAST(sum(cnt) AS BIGINT) AS n_chars_counted,
                CAST(count(*) AS BIGINT) AS n_distinct_chars,
-               CAST(sum(cnt * L[CAST(cnt AS INT)]) AS BIGINT) AS s
+               CAST(sum(cnt * {_entropy_idx('cnt')}) AS BIGINT) AS s
         FROM counts, lt GROUP BY doc_id, L
     )
     SELECT doc_id, n_chars_counted, n_distinct_chars,
            {_stable_round_sql(
-               'CAST(n_chars_counted * L[CAST(n_chars_counted AS INT)] - s AS DOUBLE)'
+               f'CAST(n_chars_counted * {_entropy_idx("n_chars_counted")} - s AS DOUBLE)'
                f' / (CAST(n_chars_counted AS DOUBLE) * {ENTROPY_LOG_Q})'
            )} AS entropy
     FROM agg, lt
@@ -3239,7 +3252,7 @@ _register(
         SELECT doc_id, n_chars,
                len(list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '')) AS toks,
                CASE WHEN n_chars < 150 THEN 'short' WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS bucket,
-               CAST(ceil(n_chars / 100.0) AS INT) AS n_chunk
+               greatest(CAST(ceil(coalesce(n_chars, 0) / 100.0) AS INT), 1) AS n_chunk
         FROM documents
     )
     SELECT bucket,
@@ -3623,8 +3636,14 @@ _register(
     ), sizes AS (
         SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm FROM u GROUP BY arm
     ), conv AS (
-        SELECT et, arm, CAST(COUNT(*) AS BIGINT) AS n_conv
-        FROM (SELECT DISTINCT e.user_id, e.et FROM e) d JOIN u USING (user_id)
+        -- arm recomputed inline (NOT a join on u): a JOIN ... USING
+        -- (user_id) silently drops NULL-user conversions (NULL never
+        -- equi-joins) while the Spark side's inline arm keeps them in B.
+        SELECT et,
+               CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n_conv
+        FROM (SELECT DISTINCT e.user_id, e.et FROM e) d
         GROUP BY et, arm
     ), wide AS (
         SELECT et,
