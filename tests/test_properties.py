@@ -254,6 +254,27 @@ def test_ivf_scores_match_bruteforce_on_real_data(spark, sf_dir):
     assert hits > 0, f"IVF found nothing from brute-force top-3 ({hits}/{total})"
 
 
+def test_integer_kmeans_is_partition_invariant(spark, sf_dir):
+    """The quantized trainer must produce BIT-IDENTICAL centroids at any
+    partitioning — the property that makes index builds reproducible on a
+    1000-executor cluster and the IVF/IVF-PQ DuckDB oracles possible
+    (float Lloyd differs in the last ulp per summation order)."""
+    from url_counter_mapreduce_spark.functions.vector import finite_norm_pred
+    from url_counter_mapreduce_spark.operators.similarity import (
+        _kmeans_centroids_q,
+        _xq_expr,
+    )
+    from url_counter_mapreduce_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    embq = emb.select("vec_id", F.expr(_xq_expr("embedding")).alias("xq"))
+    c1 = _kmeans_centroids_q(embq.repartition(1), 8, 3)
+    c2 = _kmeans_centroids_q(embq.repartition(13, "vec_id"), 8, 3)
+    assert c1 == c2
+
+
 def _clustered_embeddings(spark, n_clusters=5, per_cluster=40, dim=16):
     """Deterministic clustered vectors: unit-ish cluster axes + small noise
     from a seeded LCG — the data shape IVF is designed for."""

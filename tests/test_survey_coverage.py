@@ -225,8 +225,8 @@ NORTH_STAR_SURFACE = [
 # ops whose semantics are not SQL-expressible → rows-only by design
 ROWS_ONLY_BY_DESIGN = {
     "approx_distinct_users",  # HLL sketch values are engine-specific
-    "similarity_ivf",  # centroid-cell assignment feeds ranking
-    "similarity_ivf_pq",  # iterative codebook training (same contract as IVF)
+    # similarity_ivf / similarity_ivf_pq left this set in round 7: their
+    # integer-quantized trainers are exact-replayable (oracle_ivf.py)
     "stream_event_count",
     "stream_sessionize",
     "stream_user_stats",

@@ -800,7 +800,11 @@ _register(
 _register("url_count_salted", advanced.url_count_salted, ORACLES["url_count"])
 
 # IVF cell assignment feeds ranking — not compactly SQL-expressible → rows-only
-_register("similarity_ivf", similarity.similarity_ivf, None)
+from .oracle_ivf import ivf_oracle_sql, ivf_pq_oracle_sql  # noqa: E402
+
+# exact replay of the integer-quantized IVF trainer + probe + cosine
+# re-rank (see oracle_ivf.py); params mirror ivf_topk's defaults
+_register("similarity_ivf", similarity.similarity_ivf, ivf_oracle_sql())
 
 # hashing-trick featurizer (oracle: identical md5-derived bucket counts)
 _HASH_FEATURE_COLS = ",\n           ".join(
@@ -1616,7 +1620,9 @@ _register(
     """,
 )
 
-_register("similarity_ivf_pq", similarity.similarity_ivf_pq, None)
+# exact replay of the integer-quantized IVF-PQ trainer (coarse + M
+# sub-codebooks, unrolled Lloyd), ADC shortlist, exact re-rank
+_register("similarity_ivf_pq", similarity.similarity_ivf_pq, ivf_pq_oracle_sql())
 
 from .sources import compact as _compact  # noqa: E402
 from .streaming import quality_gate as _quality_gate  # noqa: E402
