@@ -94,3 +94,87 @@ def test_fresh_checkpoint_reprocesses_everything(spark):
         assert out.filter(F.col("id") < 40).count() == 40
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _write_docs(spark, path: str, rows: list) -> None:
+    """rows = [(doc_id, text)] — the columns first_seen_dedup needs."""
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def _run_dedup_incarnation(spark, src: str, sink_dir: str, chk: str,
+                           force_fallback: bool) -> list:
+    """One checkpointed incarnation of the stateful first-seen dedup over
+    the file-source directory; returns the (fp, keeper_id) rows THIS
+    incarnation emitted. Sink is foreachBatch → parquet append (the memory
+    sink refuses checkpoint recovery); sink_dir is per-incarnation so
+    emissions across restarts are observable separately."""
+    from url_counter_mapreduce_spark.streaming.stateful_v2 import first_seen_dedup
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    def _sink(batch_df, _batch_id):
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = (
+        first_seen_dedup(stream, force_fallback=force_fallback)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return [(r.fp, r.keeper_id) for r in spark.read.parquet(sink_dir).collect()]
+    except Exception:
+        return []  # incarnation emitted nothing → sink dir never created
+
+
+def _dedup_restart_scenario(spark, force_fallback: bool) -> None:
+    """Mid-stream kill + resume for the stateful dedup (reference
+    test_test.go:193-227's fault-injection spirit): incarnation 1 sees
+    fingerprints A and B and dies after committing; batch 2 carries
+    LOWER-doc_id duplicates of A/B plus a new fingerprint C; incarnation 2
+    must restore the seen-state from the checkpoint and emit ONLY C —
+    first-seen keepers are exactly-once across the restart boundary, and
+    a recovered key's keeper is never re-opened (the late lower id does
+    not re-emit A)."""
+    base = tempfile.mkdtemp(prefix="spark_graft_dedup_restart_")
+    src, chk = os.path.join(base, "src"), os.path.join(base, "chk")
+    os.makedirs(src)
+    try:
+        _write_docs(spark, src, [(10, "alpha text"), (11, "alpha text"), (20, "beta text")])
+        got1 = _run_dedup_incarnation(spark, src, os.path.join(base, "sink1"), chk, force_fallback)
+        # batch 1: A keeps min(10,11)=10, B keeps 20
+        assert sorted(k for _, k in got1) == [10, 20]
+
+        _write_docs(spark, src, [(5, "alpha text"), (6, "beta text"), (30, "gamma text")])
+        got2 = _run_dedup_incarnation(spark, src, os.path.join(base, "sink2"), chk, force_fallback)
+        # incarnation 2: state recovered — A and B are already-seen keys and
+        # must NOT re-emit (even though doc 5 < keeper 10); only C emits
+        assert sorted(k for _, k in got2) == [30]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateful_dedup_restart_fallback_path(spark):
+    """applyInPandasWithState path: exactly-once keepers across restart."""
+    _dedup_restart_scenario(spark, force_fallback=True)
+
+
+def test_stateful_dedup_restart_tws_path(spark):
+    """transformWithState path (protobuf-gated in this container)."""
+    import pytest
+
+    from url_counter_mapreduce_spark.streaming.stateful_v2 import (
+        _have_transform_with_state,
+    )
+
+    if not _have_transform_with_state():
+        pytest.skip("protobuf absent: transformWithState cannot run here")
+    _dedup_restart_scenario(spark, force_fallback=False)

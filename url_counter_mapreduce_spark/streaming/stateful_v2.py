@@ -46,11 +46,32 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(_stream_dir_for(sf_dir, "documents"))
     )
+    deduped = first_seen_dedup(src)
+    sink = "stream_dedup_stateful_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def first_seen_dedup(src: DataFrame, force_fallback: bool = False) -> DataFrame:
+    """The keyed first-seen-keeper transform over any streaming documents
+    frame (needs text + doc_id): one output row per fingerprint, emitted
+    the first time the key is seen across the LIFE of the stream —
+    including across checkpointed restarts (state recovery is asserted in
+    tests/test_streaming_recovery.py). ``force_fallback`` pins the
+    applyInPandasWithState formulation even where transformWithState is
+    available, so both code paths stay testable."""
     keyed = src.withColumn(
         "fp", F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     ).select("fp", "doc_id").groupBy("fp")
 
-    if _have_transform_with_state():
+    if _have_transform_with_state() and not force_fallback:
         from pyspark.sql.streaming.stateful_processor import (
             StatefulProcessor,
             StatefulProcessorHandle,
@@ -101,16 +122,7 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    sink = "stream_dedup_stateful_sink"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return deduped
 
 
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
