@@ -54,6 +54,10 @@ NULLISH_QUERIES = [
     "events_survival_km",
     "user_rfm_scores",
     "embedding_random_projection",
+    "token_gini",
+    "source_token_diversity",
+    "sample_priority_weighted",
+    "embedding_dim_stats",
     # dedup battery
     "dedup_exact",
     "dedup_minhash_pairs",

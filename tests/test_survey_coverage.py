@@ -220,6 +220,12 @@ NORTH_STAR_SURFACE = [
     "host_reciprocity",
     "events_survival_km",
     "sql_pipe_surface",
+    # round-7 additions
+    "values_benford",
+    "token_gini",
+    "source_token_diversity",
+    "sample_priority_weighted",
+    "embedding_dim_stats",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

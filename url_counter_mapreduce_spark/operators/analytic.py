@@ -264,3 +264,66 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_contrib"),
         )
     )
+
+
+import math as _math
+
+# Benford expected leading-digit shares, computed ONCE in Python and
+# embedded as identical literals in the Spark query and the DuckDB oracle
+# (no engine-side log10 at runtime)
+BENFORD_EXP = [_math.log10(1 + 1 / d) for d in range(1, 10)]
+
+
+def values_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law digit audit over lineitem extended prices — the
+    classic anomaly screen for value columns (naturally-occurring
+    multiplicative amounts follow P(d) = log10(1 + 1/d); fabricated or
+    truncated feeds don't — Benford 1938, Hill 1995). Emits per leading
+    digit the observed count/share, the Benford expectation, and the chi²
+    contribution; a drift monitor thresholds the chi² sum.
+
+    Cross-engine determinism: values are fixed to exact integer cents with
+    one per-value IEEE op, the leading digit comes from the BIGINT's
+    decimal string (identical in every engine — no log10 anywhere at
+    runtime; the expected shares are Python-computed literals), and the
+    chi² terms are per-row arithmetic on exact ints + those literals.
+
+    Plan shape at 100 TB: one projected scan + a 9-group partial-aggregated
+    count; the total-attach window runs on the 9-row digit frame (domain-
+    bounded, not corpus-bounded)."""
+    from ..functions.vector import stable_round
+
+    exp_lit = "array(" + ", ".join(
+        f"CAST({p!r} AS DOUBLE)" for p in BENFORD_EXP
+    ) + ")"
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    digits = (
+        li.select(
+            F.expr(
+                "CAST(substring(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " AS STRING), 1, 1) AS INT)"
+            ).alias("digit"),
+            F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+        )
+        .filter(F.col("cents") > 0)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    expected = f"CAST(n_total AS DOUBLE) * element_at({exp_lit}, digit)"
+    return (
+        digits.withColumn("n_total", F.sum("n").over(w_all))
+        .select(
+            "digit",
+            "n",
+            F.expr(stable_round("CAST(n AS DOUBLE) / n_total", 6)).alias("obs_p"),
+            F.expr(stable_round(f"element_at({exp_lit}, digit)", 6)).alias("exp_p"),
+            F.expr(
+                stable_round(
+                    f"(n - ({expected})) * (n - ({expected})) / ({expected})", 6
+                )
+            ).alias("chi2_term"),
+        )
+    )

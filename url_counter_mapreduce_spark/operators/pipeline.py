@@ -1532,3 +1532,93 @@ def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(stable_round("diff_raw", 6)).alias("ks_d"),
         )
     )
+
+
+PRIORITY_SAMPLE_K = 100
+
+
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement via priority sampling (Duffield,
+    Lund, Thorup, JACM 2007; a.k.a. sequential Poisson sampling, Ohlsson
+    1998): each item draws uniform u, gets priority u/w, and the k SMALLEST
+    priorities form the sample — inclusion probability ∝ weight, one pass,
+    no RNG state, mergeable across shards (take the k smallest of each
+    shard's k smallest). The corpus-curation use: sample documents
+    proportional to length/quality for inspection or eval-set building,
+    deterministically — sample_importance keeps each doc independently
+    (sample SIZE varies); this draws an EXACT-k weighted sample.
+
+    u comes from the doc's md5-hash fraction (the repo's standard
+    deterministic uniform); w = n_chars. The priority u/w is one IEEE
+    divide of a <2^32 exact integer by an exact integer — identical in
+    every engine — and rank ties break on doc_id, so the selected set is
+    bit-stable cross-engine (exact oracle).
+
+    Plan shape at 100 TB: one projected scan + TakeOrderedAndProject (the
+    k-smallest heap per partition, k rows to the driver exchange) — the
+    same plan as url_topk; no sort-by-random full shuffle."""
+    from ..functions.vector import stable_round
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = "CAST(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS DOUBLE)"
+    return (
+        docs.filter(F.coalesce("n_chars", F.lit(0)) > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("weight"),
+            F.expr(f"{h} / n_chars").alias("_prio"),
+        )
+        .orderBy(F.col("_prio").asc(), F.col("doc_id").asc())
+        .limit(PRIORITY_SAMPLE_K)
+        .select("doc_id", "weight", F.expr(stable_round("_prio", 6)).alias("priority"))
+    )
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health statistics of the embedding corpus — the
+    feature-monitoring table every vector pipeline keeps (a dimension
+    whose variance collapses or mean drifts signals an upstream encoder
+    bug; at 100 TB this runs as a daily profile): count, mean, population
+    variance, min, max per dimension.
+
+    Exactness: components quantize to integer micro-units (one per-value
+    IEEE op, similarity._xq_expr) so Σx and Σx² are exact integers at any
+    partitioning — mean and variance are then single divisions of exact
+    DECIMAL values (floor-micro rounded), bit-stable cross-engine. The
+    float-sum alternative differs in the last ulp per summation order and
+    could not carry an exact oracle.
+
+    Plan shape: one posexplode + one (pos)-keyed partial-aggregated
+    groupBy — dims groups total, domain-bounded output."""
+    from ..functions.vector import finite_norm_pred, stable_round
+    from ..tables import spread
+    from .similarity import _xq_expr
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    per_dim = (
+        emb.select(F.posexplode(F.expr(_xq_expr("embedding"))).alias("pos", "xq"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xq").alias("_s"),
+            F.sum(F.expr("CAST(xq AS DECIMAL(38,0)) * xq")).alias("_s2"),
+            F.min("xq").alias("_min_q"),
+            F.max("xq").alias("_max_q"),
+        )
+    )
+    # var = (Σx² − (Σx)²/n) / n in micro-unit² → /1e12 to value units;
+    # every input exact, the two divisions per-row deterministic
+    return per_dim.select(
+        F.col("pos").cast("int").alias("dim"),
+        "n",
+        F.expr(stable_round("CAST(_s AS DOUBLE) / n / 1e6", 6)).alias("mean"),
+        F.expr(
+            stable_round(
+                "(CAST(_s2 AS DOUBLE) - CAST(_s AS DOUBLE) * _s / n) / n / 1e12", 6
+            )
+        ).alias("variance"),
+        F.expr(stable_round("CAST(_min_q AS DOUBLE) / 1e6", 6)).alias("min_val"),
+        F.expr(stable_round("CAST(_max_q AS DOUBLE) / 1e6", 6)).alias("max_val"),
+    )

@@ -1241,3 +1241,107 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rake_score").desc(), F.col("phrase").asc())
         .limit(RAKE_TOP)
     )
+
+
+def token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution — the
+    standard inequality summary of a Zipfian vocabulary (how concentrated
+    the token mass is; a near-1 Gini says a handful of tokens dominate,
+    which feeds vocab min-count and stop-list decisions alongside
+    token_freq_histogram's count-of-counts view).
+
+    With frequencies sorted ascending, G = (2·Σ i·cᵢ − (n+1)·Σcᵢ) /
+    (n·Σcᵢ) — every term an exact BIGINT until the single final division
+    (floor-micro, stable both engines). Rank ties broken (count, token)
+    for determinism; the result is tie-permutation-invariant because equal
+    counts contribute the same Σ i·c over any ordering of their block.
+
+    Plan shape at 100 TB: token count is the flagship partial-aggregated
+    shuffle; the rank window is over the DISTINCT VOCABULARY (thousands of
+    rows at any corpus size — vocab-bound, not corpus-bound), so the
+    unpartitioned sort is domain-bounded like skyline_docs'."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import stable_round
+    from ..tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(F.expr(_TOKS_SAFE)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rw = Window.orderBy(F.col("c").asc(), F.col("w").asc())
+    return (
+        counts.withColumn("i", F.row_number().over(rw))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("total_count"),
+            F.sum(F.expr("CAST(i AS BIGINT) * c")).alias("_s"),
+        )
+        .select(
+            "n_tokens",
+            "total_count",
+            F.expr(
+                stable_round(
+                    "CAST(2 * _s - (n_tokens + 1) * total_count AS DOUBLE)"
+                    " / (CAST(n_tokens AS DOUBLE) * total_count)",
+                    6,
+                )
+            ).alias("gini"),
+        )
+    )
+
+
+def source_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token diversity via the Simpson index (Simpson, Nature
+    1949): D = 1 − Σpᵢ², with 1/Σpᵢ² the effective vocabulary size — the
+    corpus-mix health check (a source whose effective vocab collapses is
+    template spam) that, unlike Shannon entropy, needs NO logarithm:
+    Σcᵢ²/N² is exact integer arithmetic at any corpus size, so the metric
+    is bit-stable cross-engine with a single floor-micro division at the
+    end (the quantized-log-table trick quality_char_entropy uses caps at
+    its table size; this one never caps).
+
+    Plan shape at 100 TB: one (source, token) partial-aggregated count,
+    then a source-keyed aggregate — both shuffles on short keys; Σc² runs
+    in DECIMAL(38,0) so hot tokens cannot overflow."""
+    from ..functions.vector import stable_round
+    from ..tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            F.coalesce("source", F.lit("unknown")).alias("source"),
+            F.explode(F.expr(_TOKS_SAFE)).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("_s2"),
+        )
+        .select(
+            "source",
+            "n_distinct_tokens",
+            "n_tokens",
+            F.expr(
+                stable_round(
+                    "1.0D - CAST(_s2 AS DOUBLE)"
+                    " / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))",
+                    6,
+                )
+            ).alias("simpson"),
+            F.expr(
+                stable_round(
+                    "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+                    " / CAST(_s2 AS DOUBLE)",
+                    6,
+                )
+            ).alias("effective_vocab"),
+        )
+    )

@@ -4131,6 +4131,134 @@ _register(
     """,
 )
 
+from .operators.analytic import BENFORD_EXP  # noqa: E402
+
+# CASTs matter: a bare decimal literal parses as DECIMAL(18,17) in DuckDB
+# and the stable-round *1e6 then overflows; repr→DOUBLE round-trips exactly
+_BENFORD_LIT = "[" + ", ".join(f"CAST({p!r} AS DOUBLE)" for p in BENFORD_EXP) + "]"
+
+_register(
+    "values_benford",
+    analytic.values_benford,
+    f"""
+    WITH b AS (
+        SELECT cents, CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM lineitem)
+        WHERE cents > 0
+    ), d AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY digit
+    ), t AS (
+        SELECT d.*, CAST(sum(n) OVER () AS BIGINT) AS n_total,
+               CAST(n_total * ({_BENFORD_LIT})[digit] AS DOUBLE) AS e
+        FROM d
+    )
+    SELECT digit, n,
+           {_stable_round_sql('CAST(n AS DOUBLE) / n_total')} AS obs_p,
+           {_stable_round_sql(f'({_BENFORD_LIT})[digit]')} AS exp_p,
+           {_stable_round_sql('(n - e) * (n - e) / e')} AS chi2_term
+    FROM t
+    """,
+)
+
+_register(
+    "token_gini",
+    text.token_gini,
+    f"""
+    WITH c AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_TOKS_SAFE_SQL}) AS w FROM documents) GROUP BY w
+    ), r AS (
+        SELECT c.*, row_number() OVER (ORDER BY c ASC, w ASC) AS i FROM c
+    ), a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(c) AS BIGINT) AS total_count,
+               CAST(sum(CAST(i AS BIGINT) * c) AS BIGINT) AS s
+        FROM r
+    )
+    SELECT n_tokens, total_count,
+           {_stable_round_sql(
+               'CAST(2 * s - (n_tokens + 1) * total_count AS DOUBLE)'
+               ' / (CAST(n_tokens AS DOUBLE) * total_count)'
+           )} AS gini
+    FROM a
+    """,
+)
+
+_register(
+    "source_token_diversity",
+    text.source_token_diversity,
+    f"""
+    WITH c AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT coalesce(source, 'unknown') AS source,
+                     unnest({_TOKS_SAFE_SQL}) AS w
+              FROM documents)
+        GROUP BY source, w
+    ), a AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+        FROM c GROUP BY source
+    )
+    SELECT source, n_distinct_tokens, n_tokens,
+           {_stable_round_sql(
+               '1.0 - CAST(s2 AS DOUBLE)'
+               ' / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))'
+           )} AS simpson,
+           {_stable_round_sql(
+               '(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))'
+               ' / CAST(s2 AS DOUBLE)'
+           )} AS effective_vocab
+    FROM a
+    """,
+)
+
+from .operators.pipeline import PRIORITY_SAMPLE_K  # noqa: E402
+
+_register(
+    "sample_priority_weighted",
+    _pipeline.sample_priority_weighted,
+    f"""
+    WITH p AS (
+        SELECT doc_id, n_chars AS weight,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    AS DOUBLE) / n_chars AS prio
+        FROM documents WHERE coalesce(n_chars, 0) > 0
+    )
+    SELECT doc_id, weight, {_stable_round_sql('prio')} AS priority
+    FROM p ORDER BY prio ASC, doc_id ASC LIMIT {PRIORITY_SAMPLE_K}
+    """,
+)
+
+_register(
+    "embedding_dim_stats",
+    _pipeline.embedding_dim_stats,
+    f"""
+    WITH eq AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS xq
+        FROM embeddings WHERE {_FINITE_FULL}
+    ), x AS (
+        SELECT i - 1 AS pos, xq[i] AS v
+        FROM eq, (SELECT unnest(range(1, (SELECT max(len(xq)) FROM eq) + 1)) AS i) d
+        WHERE i <= len(xq)
+    ), a AS (
+        SELECT pos, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2,
+               min(v) AS mn, max(v) AS mx
+        FROM x GROUP BY pos
+    )
+    SELECT CAST(pos AS INT) AS dim, n,
+           {_stable_round_sql('CAST(s AS DOUBLE) / n / 1e6')} AS mean,
+           {_stable_round_sql('(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n / 1e12')} AS variance,
+           {_stable_round_sql('CAST(mn AS DOUBLE) / 1e6')} AS min_val,
+           {_stable_round_sql('CAST(mx AS DOUBLE) / 1e6')} AS max_val
+    FROM a
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
