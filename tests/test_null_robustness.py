@@ -80,6 +80,10 @@ NULLISH_QUERIES = [
     "similarity_matryoshka",
     "dedup_embedding_cosine",
     "dedup_semantic",
+    "dedup_semantic_trained",
+    "dedup_prefix_filter",
+    "decontaminate_semantic",
+    "join_null_safe",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

@@ -226,6 +226,11 @@ NORTH_STAR_SURFACE = [
     "source_token_diversity",
     "sample_priority_weighted",
     "embedding_dim_stats",
+    "dedup_semantic_trained",
+    "dedup_prefix_filter",
+    "decontaminate_semantic",
+    "agg_winsorized_pricing",
+    "join_null_safe",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

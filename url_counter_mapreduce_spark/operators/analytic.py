@@ -327,3 +327,61 @@ def values_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def agg_winsorized_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%) mean of extended price per return flag — the
+    robust-aggregation shape every metrics pipeline needs beside the raw
+    mean (one fat-finger order shifts an unwinsorized mean; clamping to
+    the empirical percentile bounds doesn't). Tukey's classic treatment,
+    computed EXACTLY: prices fix to integer cents (one per-value IEEE op),
+    the clamp bounds are the type-1 quantile values at ranks ⌈p·n⌉ of the
+    cents-sorted group (rank ties carry equal cents, so the boundary
+    VALUE is deterministic regardless of tie permutation), and both means
+    are exact-integer sums with one final division each.
+
+    Plan shape at 100 TB: one rank window per group key + two grouped
+    aggregates, all sharing the l_returnflag partitioning; no driver
+    collect, no approximate sketch (percentile_approx is the documented
+    swap when groups outgrow the sort — approx_quantiles_value covers
+    that path)."""
+    from ..functions.vector import stable_round
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.coalesce("l_returnflag", F.lit("?")).alias("flag"),
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("flag")
+    ranked = li.withColumn("r", F.row_number().over(w.orderBy(F.col("cents").asc()))).withColumn(
+        "n", F.count(F.lit(1)).over(w)
+    )
+    bounds = ranked.groupBy("flag").agg(
+        F.max(
+            F.when(F.expr(f"r = CAST(ceil({WINSOR_LO}D * n) AS BIGINT)"), F.col("cents"))
+        ).alias("lo_cents"),
+        F.max(
+            F.when(F.expr(f"r = CAST(ceil({WINSOR_HI}D * n) AS BIGINT)"), F.col("cents"))
+        ).alias("hi_cents"),
+    )
+    return (
+        ranked.join(bounds, "flag")
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo_cents").alias("_lo"),
+            F.min("hi_cents").alias("_hi"),
+            F.sum("cents").alias("_sum_raw"),
+            F.sum(F.expr("greatest(least(cents, hi_cents), lo_cents)")).alias("_sum_w"),
+        )
+        .select(
+            "flag",
+            "n",
+            F.expr(stable_round("CAST(_lo AS DOUBLE) / 100", 6)).alias("lo_bound"),
+            F.expr(stable_round("CAST(_hi AS DOUBLE) / 100", 6)).alias("hi_bound"),
+            F.expr(stable_round("CAST(_sum_raw AS DOUBLE) / n / 100", 6)).alias("raw_mean"),
+            F.expr(stable_round("CAST(_sum_w AS DOUBLE) / n / 100", 6)).alias("winsorized_mean"),
+        )
+    )

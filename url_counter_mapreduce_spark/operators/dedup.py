@@ -847,23 +847,9 @@ def semantic_dedup_frame(
     from .similarity import build_ivf_index
 
     _cents, assigned = build_ivf_index(emb, n_cells=n_cells, iters=iters, cache_key=cache_key)
-    a = assigned.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "cell")
-    b = assigned.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "cell")
-    dups = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        # threshold on the ROUNDED cosine: both engines round the same
-        # per-row-deterministic double, so the τ boundary cannot flip
-        .filter(F.expr(stable_round(cosine_expr("a_emb", "b_emb"), 6) + f" >= {tau}"))
-        .groupBy("b_id")
-        .agg(F.min("a_id").alias("dup_of"))
-        .withColumnRenamed("b_id", "vec_id")
-    )
-    return (
-        assigned.select("vec_id", F.col("cell").cast("long").alias("cell"))
-        .join(dups, "vec_id", "left")
-        .select("vec_id", "cell", "dup_of", F.expr("dup_of IS NULL").alias("keep"))
-    )
+    # threshold on the ROUNDED cosine (inside _semantic_prune): both engines
+    # round the same per-row-deterministic double, so the τ boundary cannot flip
+    return _semantic_prune(assigned, tau)
 
 
 def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1177,5 +1163,171 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "density"
             ),
             "fp_sig",
+        )
+    )
+
+
+SEMDEDUP_TRAIN_ITERS = 2
+
+
+def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a TRAINED coarse quantizer — the production posture
+    dedup_semantic's docstring could only describe: real Lloyd iterations
+    give tighter cells (fewer cross-cluster cell-mates → fewer wasted
+    pairwise cosines) at the cost that float training was never
+    cross-engine-replayable. The round-7 integer-quantized trainer
+    (similarity.build_ivf_index_q: exact L2² assignment + floor-mean
+    updates in micro-units) removes that cost — the 2-iteration training
+    is bit-reproducible and the DuckDB oracle replays it verbatim
+    (oracle_ivf.semantic_trained_oracle_sql), so THIS variant carries a
+    full exact-hash check too. Prune semantics identical to
+    dedup_semantic: within each cell drop every vector with a lower-id
+    cell-mate at cosine ≥ τ, keep min id."""
+    from ..functions.vector import finite_norm_pred
+    from .similarity import build_ivf_index_q
+
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")).filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    _cents, assigned = build_ivf_index_q(
+        emb,
+        n_cells=SEMDEDUP_CELLS,
+        iters=SEMDEDUP_TRAIN_ITERS,
+        cache_key=(spark.sparkContext.applicationId, sf_dir, "semdedup-q"),
+    )
+    return _semantic_prune(assigned)
+
+
+def _semantic_prune(assigned: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """The SemDeDup within-cell prune over any (vec_id, embedding, cell)
+    frame: self-equi-join ON CELL, rounded-cosine threshold, min lower-id
+    keeper — shared by the seed-quantizer and trained-quantizer variants."""
+    from ..functions.vector import cosine_expr, stable_round
+
+    a = assigned.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), "cell")
+    b = assigned.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), "cell")
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.expr(stable_round(cosine_expr("a_emb", "b_emb"), 6) + f" >= {tau}"))
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("dup_of"))
+        .withColumnRenamed("b_id", "vec_id")
+    )
+    return (
+        assigned.select("vec_id", F.col("cell").cast("long").alias("cell"))
+        .join(dups, "vec_id", "left")
+        .select("vec_id", "cell", "dup_of", F.expr("dup_of IS NULL").alias("keep"))
+    )
+
+
+PREFIX_JACCARD_T = 0.5
+
+
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity near-dup pairs via PREFIX FILTERING (Chaudhuri et al.
+    "A Primitive Operator for Similarity Joins", ICDE 2006; the PPJoin
+    family) — the exact-recall alternative to MinHash-LSH: order every
+    doc's shingle set by global rarity (df ASC, shingle ASC), keep only
+    the first |s| − ⌈t·|s|⌉ + 1 shingles as the PREFIX, and join on prefix
+    shingles only. Any two sets with Jaccard ≥ t MUST share a prefix
+    element under a common global order (pigeonhole on the ⌈t·|s|⌉
+    suffix), so unlike LSH banding recall at the threshold is exactly 1 —
+    no probabilistic miss — while the join touches only the rarest ~half
+    of each posting list. Candidates verify by exact shingle Jaccard.
+
+    Plan shape at 100 TB: one df aggregate on shingle keys, one per-doc
+    rank window (partitioned by doc_id — never global), an equi-join on
+    PREFIX shingles (rarity ordering is what keeps postings short: the
+    hot boilerplate shingles land in suffixes and never join), then the
+    1:1 verify rejoin. Complements dedup_minhash_pairs: deterministic
+    recall for compliance-grade dedup, at higher candidate cost on
+    corpora where LSH's probabilistic prune is acceptable."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).select("doc_id", "shingles").localCheckpoint(eager=False)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dfx = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    wd = Window.partitionBy("doc_id")
+    ranked = (
+        ex.join(dfx, "s")
+        .withColumn("sz", F.count(F.lit(1)).over(wd))
+        .withColumn(
+            "r", F.row_number().over(wd.orderBy(F.col("df").asc(), F.col("s").asc()))
+        )
+    )
+    prefix = ranked.filter(
+        F.expr(f"r <= sz - CAST(ceil({PREFIX_JACCARD_T}D * sz) AS INT) + 1")
+    ).select("doc_id", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select("doc_a", "doc_b", F.expr(_JACCARD_EXPR).alias("jaccard"))
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+    )
+
+
+SEM_DECON_TAU = 0.4
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/test decontamination — the semantic sibling of
+    decontaminate_ngrams (surface-form overlap misses paraphrases; eval
+    leakage audits also search by embedding similarity): split vectors
+    into train (md5 deciles 0–7) and held-out test (decile 9), and flag
+    every test vector with a TRAIN cell-mate at cosine ≥ τ. Blocking uses
+    the same trained integer-quantized cells as dedup_semantic_trained
+    (index shared via the session cache — one training pays for both), so
+    the join is cell-equi, never all-pairs, and the whole chain is
+    replayed exactly by the DuckDB oracle."""
+    from ..functions.vector import finite_norm_pred
+    from .similarity import build_ivf_index_q
+
+    emb = spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")).filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    _cents, assigned = build_ivf_index_q(
+        emb,
+        n_cells=SEMDEDUP_CELLS,
+        iters=SEMDEDUP_TRAIN_ITERS,
+        cache_key=(spark.sparkContext.applicationId, sf_dir, "semdedup-q"),
+    )
+    dec = "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10"
+    t = assigned.withColumn("decile", F.expr(dec))
+    train = t.filter(F.col("decile") < 8).select(
+        "cell", F.col("vec_id").alias("train_id"), F.col("embedding").alias("t_emb")
+    )
+    test = t.filter(F.col("decile") == 9).select("cell", "vec_id", "embedding")
+    from ..functions.vector import cosine_expr, stable_round
+
+    hits = (
+        test.join(train, "cell")
+        .filter(
+            F.expr(stable_round(cosine_expr("embedding", "t_emb"), 6) + f" >= {SEM_DECON_TAU}")
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_near"),
+            F.min("train_id").alias("min_train_id"),
+        )
+    )
+    return (
+        test.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_train_near", F.lit(0)).alias("n_train_near"),
+            "min_train_id",
+            F.expr("min_train_id IS NOT NULL").alias("flagged"),
         )
     )

@@ -271,3 +271,39 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(stable_round("bal_gap_raw", 4)).alias("bal_gap"),
         )
     )
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): per-user view
+    and purchase counts joined full-outer on the NULL-safe user key, so
+    the anonymous-traffic bucket (user_id NULL) matches ITSELF instead of
+    silently dropping — the exact defect class ADVICE r06 found in
+    ab_test_zscore's oracle, promoted to a first-class operator surface.
+    A plain equi-join loses every NULL-keyed row on both sides; `<=>`
+    treats NULL = NULL as true while remaining hash-partitionable
+    (NULL-safe equality is still an equality predicate — Catalyst plans a
+    regular shuffled hash/sort-merge join, no BNL).
+
+    Plan shape at 100 TB: two user-keyed partial aggregates + one
+    null-safe full-outer SMJ on the same key."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    joined = views.alias("v").join(
+        purch.alias("p"),
+        F.col("v.user_id").eqNullSafe(F.col("p.user_id")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("v.user_id"), F.col("p.user_id")).alias("user_id"),
+        F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )

@@ -217,3 +217,62 @@ def ivf_pq_oracle_sql(n_queries: int = 8, k: int = 3, n_cells: int = 8,
         FROM shortlist
     ) WHERE rank <= {k}
     """
+
+
+def semantic_trained_oracle_sql(n_cells: int, iters: int, tau: float) -> str:
+    """Exact replay of dedup_semantic_trained: the integer Lloyd chain for
+    cell assignment (same machinery as ivf_oracle_sql), then the SemDeDup
+    within-cell prune — rounded cosine ≥ τ against lower-id cell-mates,
+    min qualifying id as dup_of."""
+    km, cf = _km_ctes("", "eq", n_cells, iters)
+    return f"""
+    WITH eq AS (
+        SELECT vec_id, embedding, {_XQ} AS xq
+        FROM embeddings WHERE {_FINITE}
+    ),
+    dims AS (SELECT unnest(range(1, (SELECT max(len(xq)) FROM eq) + 1)) AS i),
+    {km},
+    {_assign_cte('af', 'eq', cf, 'vec_id, embedding')},
+    sem_dups AS (
+        SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_of
+        FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_sr(_cos('a.embedding', 'b.embedding'))} >= {tau}
+        GROUP BY b.vec_id
+    )
+    SELECT v.vec_id, CAST(v.cell AS BIGINT) AS cell, d.dup_of,
+           d.dup_of IS NULL AS keep
+    FROM af v LEFT JOIN sem_dups d ON d.vec_id = v.vec_id
+    """
+
+
+def semantic_decon_oracle_sql(n_cells: int, iters: int, tau: float) -> str:
+    """Exact replay of decontaminate_semantic: trained-cell assignment
+    (same integer Lloyd chain), md5-decile train/test split, cell-blocked
+    cosine flagging of test vectors."""
+    km, cf = _km_ctes("", "eq", n_cells, iters)
+    return f"""
+    WITH eq AS (
+        SELECT vec_id, embedding, {_XQ} AS xq
+        FROM embeddings WHERE {_FINITE}
+    ),
+    dims AS (SELECT unnest(range(1, (SELECT max(len(xq)) FROM eq) + 1)) AS i),
+    {km},
+    {_assign_cte('af', 'eq', cf, 'vec_id, embedding')},
+    t AS (
+        SELECT af.*, CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 10
+                   AS decile
+        FROM af
+    ),
+    train AS (SELECT cell, vec_id AS train_id, embedding AS t_emb FROM t WHERE decile < 8),
+    test AS (SELECT cell, vec_id, embedding FROM t WHERE decile = 9),
+    hits AS (
+        SELECT test.vec_id, CAST(count(*) AS BIGINT) AS n_train_near,
+               MIN(train_id) AS min_train_id
+        FROM test JOIN train USING (cell)
+        WHERE {_sr(_cos('test.embedding', 'train.t_emb'))} >= {tau}
+        GROUP BY test.vec_id
+    )
+    SELECT s.vec_id, COALESCE(h.n_train_near, 0) AS n_train_near, h.min_train_id,
+           h.min_train_id IS NOT NULL AS flagged
+    FROM test s LEFT JOIN hits h ON h.vec_id = s.vec_id
+    """

@@ -4131,6 +4131,115 @@ _register(
     """,
 )
 
+from .oracle_ivf import semantic_trained_oracle_sql  # noqa: E402
+from .operators.dedup import SEMDEDUP_TRAIN_ITERS  # noqa: E402
+
+_register(
+    "dedup_semantic_trained",
+    dedup.dedup_semantic_trained,
+    semantic_trained_oracle_sql(dedup.SEMDEDUP_CELLS, SEMDEDUP_TRAIN_ITERS, dedup.SEMDEDUP_TAU),
+)
+
+from .oracle_ivf import semantic_decon_oracle_sql  # noqa: E402
+
+_register(
+    "decontaminate_semantic",
+    dedup.decontaminate_semantic,
+    semantic_decon_oracle_sql(
+        dedup.SEMDEDUP_CELLS, SEMDEDUP_TRAIN_ITERS, dedup.SEM_DECON_TAU
+    ),
+)
+
+_JSQL = (
+    "floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+    " / len(list_distinct(sa.shingles || sb.shingles)) * 1e6 + 0.5) / 1e6"
+)
+
+_register(
+    "dedup_prefix_filter",
+    dedup.dedup_prefix_filter,
+    _SHINGLES_CTE
+    + f"""
+    , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    , dfx AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY s)
+    , ranked AS (
+        SELECT ex.doc_id, ex.s,
+               row_number() OVER (PARTITION BY ex.doc_id
+                   ORDER BY dfx.df ASC, ex.s ASC) AS r,
+               count(*) OVER (PARTITION BY ex.doc_id) AS sz
+        FROM ex JOIN dfx USING (s)
+    )
+    , pref AS (
+        SELECT doc_id, s FROM ranked
+        WHERE r <= sz - CAST(ceil(CAST({dedup.PREFIX_JACCARD_T} AS DOUBLE) * sz) AS INT) + 1
+    )
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, {{j}} AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE {{j}} >= {dedup.PREFIX_JACCARD_T}
+    """.replace("{j}", _JSQL),
+)
+
+from .operators.analytic import WINSOR_HI, WINSOR_LO  # noqa: E402
+
+_register(
+    "agg_winsorized_pricing",
+    analytic.agg_winsorized_pricing,
+    f"""
+    WITH li AS (
+        SELECT coalesce(l_returnflag, '?') AS flag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+    ), ranked AS (
+        SELECT flag, cents,
+               row_number() OVER (PARTITION BY flag ORDER BY cents ASC) AS r,
+               count(*) OVER (PARTITION BY flag) AS n
+        FROM li
+    ), bounds AS (
+        SELECT flag,
+               MAX(CASE WHEN r = CAST(ceil({WINSOR_LO} * n) AS BIGINT) THEN cents END) AS lo_cents,
+               MAX(CASE WHEN r = CAST(ceil({WINSOR_HI} * n) AS BIGINT) THEN cents END) AS hi_cents
+        FROM ranked GROUP BY flag
+    ), agg AS (
+        SELECT ranked.flag, CAST(count(*) AS BIGINT) AS n,
+               MIN(lo_cents) AS lo, MIN(hi_cents) AS hi,
+               CAST(sum(cents) AS BIGINT) AS sum_raw,
+               CAST(sum(greatest(least(cents, hi_cents), lo_cents)) AS BIGINT) AS sum_w
+        FROM ranked JOIN bounds ON bounds.flag = ranked.flag
+        GROUP BY ranked.flag
+    )
+    SELECT flag, n,
+           {_stable_round_sql('CAST(lo AS DOUBLE) / 100')} AS lo_bound,
+           {_stable_round_sql('CAST(hi AS DOUBLE) / 100')} AS hi_bound,
+           {_stable_round_sql('CAST(sum_raw AS DOUBLE) / n / 100')} AS raw_mean,
+           {_stable_round_sql('CAST(sum_w AS DOUBLE) / n / 100')} AS winsorized_mean
+    FROM agg
+    """,
+)
+
+_register(
+    "join_null_safe",
+    relational.join_null_safe,
+    """
+    WITH v AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_views
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           COALESCE(n_views, 0) AS n_views,
+           COALESCE(n_purchases, 0) AS n_purchases
+    FROM v FULL OUTER JOIN p ON v.user_id IS NOT DISTINCT FROM p.user_id
+    """,
+)
+
 from .operators.analytic import BENFORD_EXP  # noqa: E402
 
 # CASTs matter: a bare decimal literal parses as DECIMAL(18,17) in DuckDB
