@@ -84,6 +84,9 @@ NULLISH_QUERIES = [
     "dedup_prefix_filter",
     "decontaminate_semantic",
     "join_null_safe",
+    "bootstrap_mean_ci",
+    "events_cooccurrence_lift",
+    "dup_quality_report",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

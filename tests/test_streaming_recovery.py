@@ -178,3 +178,25 @@ def test_stateful_dedup_restart_tws_path(spark):
     if not _have_transform_with_state():
         pytest.skip("protobuf absent: transformWithState cannot run here")
     _dedup_restart_scenario(spark, force_fallback=False)
+
+
+def test_stateful_dedup_restart_rocksdb_provider(spark):
+    """Same kill+resume scenario under the RocksDB state store provider —
+    the production backend at 100 TB state sizes (HDFS-backed keeps every
+    key in executor heap; RocksDB spills to local SSD and checkpoints
+    changelogs). Asserting the scenario under both providers pins that
+    the operator's exactly-once contract doesn't depend on the default
+    in-memory provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _dedup_restart_scenario(spark, force_fallback=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

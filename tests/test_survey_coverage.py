@@ -231,6 +231,9 @@ NORTH_STAR_SURFACE = [
     "decontaminate_semantic",
     "agg_winsorized_pricing",
     "join_null_safe",
+    "bootstrap_mean_ci",
+    "events_cooccurrence_lift",
+    "dup_quality_report",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -385,3 +385,133 @@ def agg_winsorized_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(stable_round("CAST(_sum_w AS DOUBLE) / n / 100", 6)).alias("winsorized_mean"),
         )
     )
+
+
+BOOTSTRAP_B = 32
+
+
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value per
+    event type — the bootstrap variant that actually scales (Chamandy,
+    Muralidharan, Najmi, Naidu, "Estimating Uncertainty for Massive Data
+    Streams", Google 2012): instead of resampling N indices per replicate
+    (a B×N shuffle), each row draws an independent Poisson(1) weight per
+    replicate, so every replicate's weighted sum is one map-side partial
+    aggregate. B = 32 replicates; the CI is the min/max replicate mean
+    band (the ranks ⌈0.025·B⌉ and B at this B — a production run raises B
+    and reads interior ranks, same plan).
+
+    Cross-engine exactness: the Poisson draw inverts a shared
+    Python-literal CDF table on the row's md5-hash uniform (deterministic
+    per (replicate, event)); values fix to integer micro-units; every
+    replicate sum is exact integer arithmetic; the only FP is one final
+    division per replicate (floor-micro rounded).
+
+    Plan shape at 100 TB: one 32× map-side explode feeding a partial-
+    aggregated (event_type, b) groupBy — shuffle carries 32·|types| rows
+    per partition, NOT 32× the corpus; then a |types|-sized reduce."""
+    import math
+
+    from ..functions.vector import stable_round
+
+    # inverse-CDF thresholds for Poisson(1), scaled to the 32-bit hash
+    # space: weight = #{thresholds <= u32} (cap at 8 — P(X>8) < 1e-6)
+    cdf, acc = [], 0.0
+    for k in range(9):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(min(int(acc * 4294967296.0), 4294967295))
+    thr = "array(" + ", ".join(f"{v}L" for v in cdf) + ")"
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.coalesce("event_type", F.lit("unknown")).alias("et"),
+        "event_id",
+        F.expr("CAST(floor(coalesce(value, 0.0) * 1e6 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    weighted = ev.select(
+        "et",
+        "event_id",
+        "vq",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOTSTRAP_B))).alias("b"),
+    ).select(
+        "et",
+        "vq",
+        "b",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(b AS STRING), ':', "
+            "CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("u"),
+    ).select(
+        "et",
+        "vq",
+        "b",
+        F.expr(f"size(filter({thr}, t -> t <= u))").alias("w"),
+    )
+    reps = (
+        weighted.groupBy("et", "b")
+        .agg(F.sum(F.expr("CAST(w AS BIGINT) * vq")).alias("s"), F.sum("w").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "et",
+            "b",
+            F.expr("CAST((s - pmod(s, n)) div n AS BIGINT)").alias("mean_q"),
+        )
+    )
+    return reps.groupBy("et").agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.expr(stable_round("CAST(min(mean_q) AS DOUBLE) / 1e6", 6)).alias("ci_lo"),
+        F.expr(stable_round("CAST(max(mean_q) AS DOUBLE) / 1e6", 6)).alias("ci_hi"),
+        F.expr(
+            stable_round("CAST(CAST(avg(mean_q) AS BIGINT) AS DOUBLE) / 1e6", 6)
+        ).alias("boot_mean"),
+    )
+
+
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event TYPES over user behavior sets:
+    lift(A,B) = P(user does both) / (P(A)·P(B)) — the co-occurrence
+    complement of events_markov_transitions' ADJACENCY view (lift sees
+    that viewers also purchase regardless of order or distance). Exact
+    scaled-rational scoring: lift_micro = ⌊n_ab·N·10⁶ / (n_a·n_b)⌋ over
+    BIGINTs, same bit-equal-ranking recipe as bigram_lift_topk.
+
+    Plan shape: one distinct (user, type) projection, a self-equi-join ON
+    USER (bounded: ≤|types|² pairs per user), then a |types|²-sized
+    aggregate; N (distinct users) is a scalar broadcast join."""
+    from ..functions.vector import stable_round
+    from ..tables import scalar_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.coalesce("event_type", F.lit("unknown")).alias("et")
+    ).filter(F.col("user_id").isNotNull()).distinct()
+    n_users = ev.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n_total"))
+    per_type = ev.groupBy("et").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ev.select("user_id", F.col("et").alias("et_a"))
+    b = ev.select("user_id", F.col("et").alias("et_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    na = per_type.select(F.col("et").alias("et_a"), F.col("n_t").alias("n_a"))
+    nb = per_type.select(F.col("et").alias("et_b"), F.col("n_t").alias("n_b"))
+    return (
+        scalar_join(both.join(F.broadcast(na), "et_a").join(F.broadcast(nb), "et_b"), n_users)
+        .select(
+            "et_a",
+            "et_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            # DECIMAL(38,0) accumulators: n_ab·N·1e6 overflows BIGINT once
+            # user counts reach ~1e9 (the bigram_lift_topk lesson)
+            F.expr(
+                "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_total * 1000000)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .withColumn(
+            "lift", F.expr(stable_round("CAST(lift_micro AS DOUBLE) / 1e6", 6))
+        )
+        .drop("lift_micro")
+    )

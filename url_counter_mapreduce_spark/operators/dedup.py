@@ -1245,25 +1245,42 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora where LSH's probabilistic prune is acceptable."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).select("doc_id", "shingles").localCheckpoint(eager=False)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    # the per-(session, corpus) signature index already carries the shingle
+    # arrays persisted — sharing it saves the dominant shingling pass every
+    # other dedup consumer also needs
+    sh = _signatures_for(spark, sf_dir).select("doc_id", "shingles")
+    # sz from the array length at explode time — shingles are distinct per
+    # doc, so this equals the per-doc row count without a second window
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+    )
     dfx = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    wd = Window.partitionBy("doc_id")
-    ranked = (
-        ex.join(dfx, "s")
-        .withColumn("sz", F.count(F.lit(1)).over(wd))
-        .withColumn(
-            "r", F.row_number().over(wd.orderBy(F.col("df").asc(), F.col("s").asc()))
-        )
+    ranked = ex.join(dfx, "s").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+        ),
     )
     prefix = ranked.filter(
         F.expr(f"r <= sz - CAST(ceil({PREFIX_JACCARD_T}D * sz) AS INT) + 1")
-    ).select("doc_id", "s")
+        # df = 1 shingles can never form a pair — under rarity ordering
+        # they dominate the prefixes, so pruning them shrinks the
+        # self-join input with zero recall change
+        & (F.col("df") >= 2)
+    ).select("doc_id", "s", "sz")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, "s")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # PPJoin LENGTH filter: J(a,b) ≥ t forces t·|b| ≤ |a| (and vice
+        # versa) — incompatible sizes prune at candidate time, before the
+        # distinct and the verify rejoin ever see the pair
+        .filter(
+            F.expr(
+                f"a.sz >= ceil({PREFIX_JACCARD_T}D * b.sz)"
+                f" AND b.sz >= ceil({PREFIX_JACCARD_T}D * a.sz)"
+            )
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )

@@ -1345,3 +1345,49 @@ def source_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("effective_vocab"),
         )
     )
+
+
+def dup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do duplicates skew low-quality? The curation sanity check that
+    joins the exact-dup labeling against the quality scorer and compares
+    the two populations — if boilerplate dups score HIGH the quality
+    gate is mis-tuned (the interaction every dedup-then-filter pipeline
+    should monitor, cf. the dedup/quality ordering discussions in the
+    RefinedWeb/FineWeb pipeline reports).
+
+    Output: one row per is_dup bucket with doc count and mean quality.
+    The mean is exact: quality is already a floor-micro-rounded double,
+    so ⌊q·10⁶+0.5⌋ recovers an exact integer; bucket means are integer
+    floor divisions (one final /1e6 to value units). NULL-quality docs
+    (token-less) are counted but excluded from the mean.
+
+    Plan shape: fingerprint groupBy (flagship shape) + doc_id equi-join
+    against the scorer's map-side projection + a 2-group aggregate."""
+    from ..functions.vector import stable_round
+
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", F.md5(F.regexp_replace(F.lower(F.coalesce("text", F.lit(""))), r"\s+", " "))
+    )
+    sizes = docs.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp"))
+    labeled = (
+        docs.select("doc_id", "fp")
+        .join(sizes, "fp")
+        .select("doc_id", F.expr("n_fp > 1").alias("is_dup"))
+    )
+    return (
+        labeled.join(q, "doc_id")
+        .withColumn("qm", F.expr("CAST(floor(quality * 1e6 + 0.5) AS BIGINT)"))
+        .groupBy("is_dup")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("qm").alias("n_scored"),
+            F.expr(
+                stable_round(
+                    "CAST((sum(qm) - pmod(sum(qm), count(qm))) div count(qm) AS DOUBLE)"
+                    " / 1e6",
+                    6,
+                )
+            ).alias("mean_quality"),
+        )
+    )

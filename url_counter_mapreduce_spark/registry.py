@@ -4240,6 +4240,99 @@ _register(
     """,
 )
 
+from .operators.analytic import BOOTSTRAP_B  # noqa: E402
+
+# Poisson(1) inverse-CDF thresholds — MUST equal analytic.bootstrap_mean_ci's
+# Python-computed table (same math.exp/factorial arithmetic)
+_POIS_THR = "[1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291, 4294609777, 4294923276, 4294962463]"
+
+_register(
+    "bootstrap_mean_ci",
+    analytic.bootstrap_mean_ci,
+    f"""
+    WITH ev AS (
+        SELECT coalesce(event_type, 'unknown') AS et, event_id,
+               CAST(floor(coalesce(value, 0.0) * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM events
+    ), wt AS (
+        SELECT et, vq, b,
+               len(list_filter({_POIS_THR}, t -> t <=
+                   CAST('0x' || substr(md5(CAST(b AS VARCHAR) || ':' ||
+                        CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT))) AS w
+        FROM ev, (SELECT unnest(range(1, {BOOTSTRAP_B} + 1)) AS b) bb
+    ), reps AS (
+        SELECT et, b, CAST(sum(CAST(w AS BIGINT) * vq) AS BIGINT) AS s,
+               CAST(sum(w) AS BIGINT) AS n
+        FROM wt GROUP BY et, b
+    ), m AS (
+        SELECT et, b, (s - ((s % n) + n) % n) // n AS mean_q
+        FROM reps WHERE n > 0
+    )
+    SELECT et, CAST(count(*) AS BIGINT) AS n_replicates,
+           {_stable_round_sql('CAST(min(mean_q) AS DOUBLE) / 1e6')} AS ci_lo,
+           {_stable_round_sql('CAST(max(mean_q) AS DOUBLE) / 1e6')} AS ci_hi,
+           {_stable_round_sql(
+               'CAST((sum(mean_q) - ((sum(mean_q) % count(*)) + count(*)) % count(*))'
+               ' // count(*) AS DOUBLE) / 1e6'
+           )} AS boot_mean
+    FROM m GROUP BY et
+    """,
+)
+
+_register(
+    "events_cooccurrence_lift",
+    analytic.events_cooccurrence_lift,
+    f"""
+    WITH ev AS (
+        SELECT DISTINCT user_id, coalesce(event_type, 'unknown') AS et
+        FROM events WHERE user_id IS NOT NULL
+    ), nt AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_total FROM ev
+    ), pt AS (
+        SELECT et, CAST(count(*) AS BIGINT) AS n_t FROM ev GROUP BY et
+    ), bt AS (
+        SELECT a.et AS et_a, b.et AS et_b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.et < b.et
+        GROUP BY a.et, b.et
+    )
+    SELECT et_a, et_b, n_ab, na.n_t AS n_a, nb.n_t AS n_b,
+           {_stable_round_sql(
+               'CAST(CAST(CAST(n_ab AS HUGEINT) * n_total * 1000000'
+               ' // (CAST(na.n_t AS HUGEINT) * nb.n_t) AS BIGINT) AS DOUBLE) / 1e6'
+           )} AS lift
+    FROM bt JOIN pt na ON na.et = bt.et_a JOIN pt nb ON nb.et = bt.et_b, nt
+    """,
+)
+
+_register(
+    "dup_quality_report",
+    text.dup_quality_report,
+    rf"""
+    WITH q AS (
+        SELECT doc_id, quality FROM ({ORACLES["quality_score"]}) qs
+    ), fps AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    ), sizes AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY fp
+    ), labeled AS (
+        SELECT fps.doc_id, sizes.n_fp > 1 AS is_dup
+        FROM fps JOIN sizes USING (fp)
+    ), joined AS (
+        SELECT is_dup, CAST(floor(quality * 1e6 + 0.5) AS BIGINT) AS qm
+        FROM labeled JOIN q USING (doc_id)
+    )
+    SELECT is_dup, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(qm) AS BIGINT) AS n_scored,
+           {_stable_round_sql(
+               'CAST((sum(qm) - ((sum(qm) % count(qm)) + count(qm)) % count(qm))'
+               ' // count(qm) AS DOUBLE) / 1e6'
+           )} AS mean_quality
+    FROM joined GROUP BY is_dup
+    """,
+)
+
 from .operators.analytic import BENFORD_EXP  # noqa: E402
 
 # CASTs matter: a bare decimal literal parses as DECIMAL(18,17) in DuckDB
