@@ -87,6 +87,7 @@ NULLISH_QUERIES = [
     "bootstrap_mean_ci",
     "events_cooccurrence_lift",
     "dup_quality_report",
+    "events_seasonal_decompose",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

@@ -113,28 +113,11 @@ def test_no_accidental_cartesian_products(spark, sf_dir):
     # removed its BNL entirely. the recall harnesses embed the brute-force
     # side as ground truth, so their plans legitimately contain that same
     # single BNL.
-    bnl_allowed = {"similarity_topk": 1, "ann_recall": 1, "ann_recall_multiprobe": 1}
-    # matryoshka: stage-1 prefix scoring broadcasts the query set against
-    # the corpus — the same deliberate brute-force shape as similarity_topk;
-    # its recall harness embeds BOTH that funnel and the exact baseline.
-    bnl_allowed |= {"similarity_matryoshka": 1, "matryoshka_recall": 2}
-    # second category: tables.scalar_join attaches a ONE-ROW aggregate
-    # (bounds/totals) to every row — the data movement of a scalar
-    # subquery. Catalyst constant-folds any constant-key equi-join to a
-    # BNL anyway, so these plans are BNL-with-1-row-build by construction,
-    # shuffle-free and safe at any scale. The allowance is a COUNT, not a
-    # blanket exemption: a future edit that sneaks an extra (corpus-sized)
-    # BNL into one of these plans still fails here.
-    bnl_allowed |= {
-        "host_triangles": 2,
-        "funnel_conversion": 1,
-        "layout_zorder": 1,
-        "dedup_minhash_recall": 1,
-        "user_rfm_scores": 1,
-        "chi2_independence": 1,
-        "host_reciprocity": 1,
-        "events_survival_km": 1,
-    }
+    from url_counter_mapreduce_spark.plans.bnl_allowance import BNL_ALLOWANCE
+
+    # single source of truth shared with tools/plan_audit.py — see that
+    # module's docstring for the two legitimate BNL categories
+    bnl_allowed = BNL_ALLOWANCE
     streaming = {n for n in QUERIES if n.startswith("stream_")}
     for name in QUERIES:
         if name in streaming:

@@ -234,6 +234,7 @@ NORTH_STAR_SURFACE = [
     "bootstrap_mean_ci",
     "events_cooccurrence_lift",
     "dup_quality_report",
+    "events_seasonal_decompose",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -873,3 +873,69 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hazard"),
         )
     )
+
+
+SEASONAL_HALF_WINDOW = 12  # ±12 h → centered 25-hour trend MA
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event-value
+    series: y = trend + seasonal + residual, with trend = centered 25-hour
+    moving average, seasonal = hour-of-day mean of the detrended series,
+    residual the remainder — the moving-average decomposition (the first
+    stage of STL, Cleveland et al. 1990) every metrics/drift stack runs
+    before alerting on "anomalous" values that are really rush-hour.
+
+    Exactness: hourly means, the trend MA, and the seasonal means are all
+    integer floor-divisions of exact micro-unit sums (values quantize
+    once per row); subtraction stays integer; only the final /1e6 display
+    conversions are FP. Boundary hours use the partial window (count over
+    the same frame) — deterministic on both engines.
+
+    Plan shape at 100 TB: one (hour)-keyed partial-aggregated reduction
+    of the corpus, then ALL further work — the MA window, the 24-group
+    seasonal aggregate, the re-join — runs on the hour-domain series
+    (time-span-bounded, thousands of rows at any corpus size; the
+    unpartitioned ordered window is the rolling_daily_avg precedent)."""
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.expr("CAST(floor(coalesce(value, 0.0) * 1e6 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    fd = "CAST(({s} - pmod({s}, {n})) div {n} AS BIGINT)"
+    hourly = ev.groupBy("hr").agg(
+        F.expr(fd.format(s="sum(vq)", n="count(1)")).alias("y_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wma = Window.orderBy(F.asc_nulls_last("hr")).rowsBetween(
+        -SEASONAL_HALF_WINDOW, SEASONAL_HALF_WINDOW
+    )
+    trended = hourly.withColumn(
+        "trend_q",
+        F.expr(
+            fd.format(
+                s=f"sum(y_q) OVER (ORDER BY hr ASC NULLS LAST ROWS BETWEEN "
+                f"{SEASONAL_HALF_WINDOW} PRECEDING AND {SEASONAL_HALF_WINDOW} FOLLOWING)",
+                n=f"count(1) OVER (ORDER BY hr ASC NULLS LAST ROWS BETWEEN "
+                f"{SEASONAL_HALF_WINDOW} PRECEDING AND {SEASONAL_HALF_WINDOW} FOLLOWING)",
+            )
+        ),
+    ).withColumn("det_q", F.col("y_q") - F.col("trend_q"))
+    seasonal = trended.groupBy(F.hour("hr").alias("hod")).agg(
+        F.expr(fd.format(s="sum(det_q)", n="count(1)")).alias("seasonal_q")
+    )
+    return (
+        trended.withColumn("hod", F.hour("hr"))
+        .join(F.broadcast(seasonal), "hod")
+        .select(
+            F.date_format("hr", TS_FMT).alias("hour_ts"),
+            "n_events",
+            F.expr(stable_round("CAST(y_q AS DOUBLE) / 1e6", 6)).alias("y"),
+            F.expr(stable_round("CAST(trend_q AS DOUBLE) / 1e6", 6)).alias("trend"),
+            F.expr(stable_round("CAST(seasonal_q AS DOUBLE) / 1e6", 6)).alias("seasonal"),
+            F.expr(
+                stable_round("CAST(det_q - seasonal_q AS DOUBLE) / 1e6", 6)
+            ).alias("residual"),
+        )
+    )

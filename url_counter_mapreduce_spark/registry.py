@@ -4333,6 +4333,36 @@ _register(
     """,
 )
 
+from .operators.temporal import SEASONAL_HALF_WINDOW  # noqa: E402
+
+_register(
+    "events_seasonal_decompose",
+    temporal.events_seasonal_decompose,
+    f"""
+    WITH ev AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(floor(coalesce(value, 0.0) * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM events
+    ), hourly AS (
+        SELECT hr, CAST((sum(vq) - ((sum(vq) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS y_q, CAST(count(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY hr
+    ), tr AS (
+        SELECT hourly.*, CAST((sum(y_q) OVER (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) - ((sum(y_q) OVER (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) % count(*) OVER (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)) + count(*) OVER (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)) % count(*) OVER (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)) // count(*) OVER (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS trend_q FROM hourly
+    ), det AS (
+        SELECT tr.*, y_q - trend_q AS det_q FROM tr
+    ), seas AS (
+        SELECT hour(hr) AS hod, CAST((sum(det_q) - ((sum(det_q) % count(*)) + count(*)) % count(*)) // count(*) AS BIGINT) AS seasonal_q
+        FROM det GROUP BY hour(hr)
+    )
+    SELECT strftime(d.hr, '%Y-%m-%d %H:%M:%S.%f') AS hour_ts, d.n_events,
+           {_stable_round_sql('CAST(y_q AS DOUBLE) / 1e6')} AS y,
+           {_stable_round_sql('CAST(trend_q AS DOUBLE) / 1e6')} AS trend,
+           {_stable_round_sql('CAST(seasonal_q AS DOUBLE) / 1e6')} AS seasonal,
+           {_stable_round_sql('CAST(det_q - seasonal_q AS DOUBLE) / 1e6')} AS residual
+    FROM det d JOIN seas s ON s.hod = hour(d.hr)
+    """,
+)
+
 from .operators.analytic import BENFORD_EXP  # noqa: E402
 
 # CASTs matter: a bare decimal literal parses as DECIMAL(18,17) in DuckDB
