@@ -88,6 +88,7 @@ NULLISH_QUERIES = [
     "events_cooccurrence_lift",
     "dup_quality_report",
     "events_seasonal_decompose",
+    "host_kcore",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

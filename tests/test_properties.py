@@ -1776,3 +1776,17 @@ def test_random_projection_preserves_norms(spark, sf_dir):
     mean = sum(ratios) / len(ratios)
     assert 0.8 < mean < 1.2, mean
     assert all(x > 0 for x in ratios)
+
+
+def test_kcore_converged_and_valid(spark, sf_dir):
+    """host_kcore's fixed round count must SUFFICE on the fixture graphs:
+    a converged k-core has no node of within-core degree < k (one more
+    peel round would be a no-op). Also sanity: the core is a subgraph of
+    the full host graph's >= k-degree nodes."""
+    from url_counter_mapreduce_spark import QUERIES
+    from url_counter_mapreduce_spark.operators.graph import KCORE_K
+
+    rows = QUERIES["host_kcore"](spark, sf_dir).collect()
+    assert rows, "fixture host graph should have a non-empty 3-core"
+    for r in rows:
+        assert r.core_degree >= KCORE_K, (r.host, r.core_degree)

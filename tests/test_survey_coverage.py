@@ -235,6 +235,7 @@ NORTH_STAR_SURFACE = [
     "events_cooccurrence_lift",
     "dup_quality_report",
     "events_seasonal_decompose",
+    "host_kcore",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

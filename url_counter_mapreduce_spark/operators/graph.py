@@ -740,3 +740,48 @@ def host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round("CAST(n_reciprocated AS DOUBLE) / nullif(n_edges, 0)", 6)
         ).alias("reciprocity"),
     )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction over the host co-occurrence graph (k = 3): the
+    standard graph-density filter (Seidman 1983; Batagelj–Zaveršnik's
+    peeling algorithm) — link-farm/community cores survive, tendrils and
+    isolated mentions peel away. The sequential algorithm removes one
+    min-degree node at a time; the DISTRIBUTED form peels EVERY sub-k
+    node per round and repeats — each round is one degree aggregate + two
+    semi-joins on host keys, and the round count needed is the peel
+    DEPTH, not the node count. KCORE_ROUNDS = 6 is fixed (fixture graphs
+    converge in ≤ 3 — asserted in tests; a production run raises it and
+    early-exits on a stable edge count), which is what lets the DuckDB
+    oracle replay the peeling as unrolled CTE rounds exactly.
+
+    Output: hosts of the k-core with their within-core degree.
+
+    Plan shape at 100 TB: the edge set is the replication-invariant
+    distinct host graph (~hosts², the host_triangles bound); per round
+    everything shuffles on host keys; lineage is truncated per round."""
+    edges = _host_undirected_edges(spark, sf_dir)
+    cur = edges
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            cur.select(F.col("a").alias("h"))
+            .unionAll(cur.select(F.col("b").alias("h")))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("h")
+        cur = (
+            cur.join(keep.withColumnRenamed("h", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("h", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        cur.select(F.col("a").alias("host"))
+        .unionAll(cur.select(F.col("b").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

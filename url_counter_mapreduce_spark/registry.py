@@ -4363,6 +4363,87 @@ _register(
     """,
 )
 
+from .operators.graph import KCORE_K, KCORE_ROUNDS  # noqa: E402
+
+# MATERIALIZED round CTEs: each round is referenced 4x by the next —
+# inlined, the base scan would duplicate 4^ROUNDS times (observed as
+# fd exhaustion); materialization keeps the replay linear in rounds
+_register(
+    "host_kcore",
+    _graph.host_kcore,
+    f"""
+    WITH t AS (
+        SELECT list_transform({{toks}},
+                   tk -> COALESCE(nullif(regexp_extract(lower(tk), '{{host_re}}', 1), ''),
+                                  lower(tk))) AS hosts
+        FROM documents
+    ), pairs AS (
+        SELECT least(hosts[i], hosts[i + 1]) AS a, greatest(hosts[i], hosts[i + 1]) AS b
+        FROM (SELECT hosts, unnest(range(1, len(hosts))) AS i FROM t WHERE len(hosts) >= 2)
+        WHERE hosts[i] <> hosts[i + 1]
+    ), e0 AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM pairs
+    ),
+    d1 AS MATERIALIZED (
+        SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS h FROM e0 UNION ALL SELECT b AS h FROM e0
+        ) GROUP BY h
+    ), k1 AS MATERIALIZED (SELECT h FROM d1 WHERE deg >= {KCORE_K}),
+    e1 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e0 e
+        JOIN k1 ka ON ka.h = e.a JOIN k1 kb ON kb.h = e.b
+    ),
+    d2 AS MATERIALIZED (
+        SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS h FROM e1 UNION ALL SELECT b AS h FROM e1
+        ) GROUP BY h
+    ), k2 AS MATERIALIZED (SELECT h FROM d2 WHERE deg >= {KCORE_K}),
+    e2 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e1 e
+        JOIN k2 ka ON ka.h = e.a JOIN k2 kb ON kb.h = e.b
+    ),
+    d3 AS MATERIALIZED (
+        SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS h FROM e2 UNION ALL SELECT b AS h FROM e2
+        ) GROUP BY h
+    ), k3 AS MATERIALIZED (SELECT h FROM d3 WHERE deg >= {KCORE_K}),
+    e3 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e2 e
+        JOIN k3 ka ON ka.h = e.a JOIN k3 kb ON kb.h = e.b
+    ),
+    d4 AS MATERIALIZED (
+        SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS h FROM e3 UNION ALL SELECT b AS h FROM e3
+        ) GROUP BY h
+    ), k4 AS MATERIALIZED (SELECT h FROM d4 WHERE deg >= {KCORE_K}),
+    e4 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e3 e
+        JOIN k4 ka ON ka.h = e.a JOIN k4 kb ON kb.h = e.b
+    ),
+    d5 AS MATERIALIZED (
+        SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS h FROM e4 UNION ALL SELECT b AS h FROM e4
+        ) GROUP BY h
+    ), k5 AS MATERIALIZED (SELECT h FROM d5 WHERE deg >= {KCORE_K}),
+    e5 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e4 e
+        JOIN k5 ka ON ka.h = e.a JOIN k5 kb ON kb.h = e.b
+    ),
+    d6 AS MATERIALIZED (
+        SELECT h, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS h FROM e5 UNION ALL SELECT b AS h FROM e5
+        ) GROUP BY h
+    ), k6 AS MATERIALIZED (SELECT h FROM d6 WHERE deg >= {KCORE_K}),
+    e6 AS MATERIALIZED (
+        SELECT e.a, e.b FROM e5 e
+        JOIN k6 ka ON ka.h = e.a JOIN k6 kb ON kb.h = e.b
+    )
+    SELECT host, CAST(count(*) AS BIGINT) AS core_degree FROM (
+        SELECT a AS host FROM e6 UNION ALL SELECT b AS host FROM e6
+    ) GROUP BY host
+    """.replace("{toks}", _TOKS_SAFE_SQL).replace("{host_re}", text.URL_HOST_RE),
+)
+
 from .operators.analytic import BENFORD_EXP  # noqa: E402
 
 # CASTs matter: a bare decimal literal parses as DECIMAL(18,17) in DuckDB
