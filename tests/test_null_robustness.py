@@ -68,6 +68,7 @@ NULLISH_QUERIES = [
     "multimodal_meta",
     "multimodal_dedup",
     "multimodal_framesample",
+    "multimodal_jpeg_meta",
     # sources that materialize the corpus as files (NULL text must write)
     "source_python_datasource",
     "source_warc_scan",

@@ -236,6 +236,7 @@ NORTH_STAR_SURFACE = [
     "dup_quality_report",
     "events_seasonal_decompose",
     "host_kcore",
+    "multimodal_jpeg_meta",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -454,3 +454,114 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return synth_gif_payloads(spark, sf_dir).mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+def synth_jpeg_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRUCTURALLY-VALID JPEG marker streams keyed on
+    doc_id (JPEG/JFIF public spec, ITU T.81): SOI, APP0/JFIF, DQT, a
+    frame header — baseline SOF0 normally, progressive SOF2 when
+    doc_id % 3 = 0 — DHT, SOS with a minimal entropy segment, EOI.
+    Formula contract (what the parser must recover from the MARKERS):
+    width 16 + id % 1000, height 16 + 3·id % 1000, components
+    1 + 2·(id % 2) (grayscale or YCbCr), progressive iff id % 3 = 0."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _st
+
+        def seg(marker: int, data: bytes) -> bytes:
+            return _st.pack(">BBH", 0xFF, marker, len(data) + 2) + data
+
+        def jpeg(doc_id: int) -> bytes:
+            w = 16 + doc_id % 1000
+            h = 16 + (doc_id * 3) % 1000
+            ncomp = 1 + 2 * (doc_id % 2)
+            sof_marker = 0xC2 if doc_id % 3 == 0 else 0xC0
+            app0 = b"JFIF\x00" + _st.pack(">BBBHHBB", 1, 2, 0, 72, 72, 0, 0)
+            dqt = b"\x00" + bytes(64)
+            comps = b"".join(
+                _st.pack(">BBB", i + 1, 0x11, 0) for i in range(ncomp)
+            )
+            sof = _st.pack(">BHHB", 8, h, w, ncomp) + comps
+            dht = b"\x00" + bytes(16) + b""
+            sos = _st.pack(">B", ncomp) + b"".join(
+                _st.pack(">BB", i + 1, 0) for i in range(ncomp)
+            ) + _st.pack(">BBB", 0, 63, 0)
+            return (
+                b"\xff\xd8"  # SOI
+                + seg(0xE0, app0)
+                + seg(0xDB, dqt)
+                + seg(sof_marker, sof)
+                + seg(0xC4, dht)
+                + seg(0xDA, sos)
+                + b"\x00"  # minimal entropy byte
+                + b"\xff\xd9"  # EOI
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(lambda i: jpeg(int(i)))}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def parse_jpeg(blob: bytes):
+    """(width, height, n_components, progressive, n_segments) from a JPEG
+    marker walk — reads segment lengths and the SOF0/SOF2 frame header,
+    no entropy decoding. None if the bytes are not a JPEG."""
+    import struct as _st
+
+    if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+        return None
+    i, n_seg = 2, 0
+    width = height = ncomp = None
+    progressive = False
+    while i + 4 <= len(blob):
+        if blob[i] != 0xFF:
+            break
+        marker = blob[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = _st.unpack(">H", blob[i + 2 : i + 4])
+        n_seg += 1
+        if marker in (0xC0, 0xC2) and i + 4 + 6 <= len(blob):
+            _prec, height, width, ncomp = _st.unpack(">BHHB", blob[i + 4 : i + 10])
+            progressive = marker == 0xC2
+        if marker == 0xDA:
+            break  # entropy data follows; fixture streams end at EOI
+        i += 2 + length
+    if width is None:
+        return None
+    return width, height, ncomp, progressive, n_seg
+
+
+def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG frame-header extraction over synthesized structurally-valid
+    marker streams (see synth_jpeg_payloads) — the third real container
+    walk beside PNG/IHDR+GIF and RIFF/WAVE: segment-length hopping to
+    SOF0/SOF2, dimensions + component count + progressive flag from the
+    frame header. Arrow-batched mapInPandas (the per-blob Python shape);
+    exact DuckDB oracle = the generator formulas on doc_id."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_jpeg(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [p[0] if p else None for p in parsed],
+                    "height": [p[1] if p else None for p in parsed],
+                    "n_components": [p[2] if p else None for p in parsed],
+                    "progressive": [p[3] if p else None for p in parsed],
+                    "n_segments": [p[4] if p else None for p in parsed],
+                }
+            )
+
+    return synth_jpeg_payloads(spark, sf_dir).mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, width int, height int, n_components int,"
+            " progressive boolean, n_segments int"
+        ),
+    )

@@ -4444,6 +4444,20 @@ _register(
     """.replace("{toks}", _TOKS_SAFE_SQL).replace("{host_re}", text.URL_HOST_RE),
 )
 
+_register(
+    "multimodal_jpeg_meta",
+    multimodal.multimodal_jpeg_meta,
+    """
+    SELECT doc_id,
+           CAST(16 + doc_id % 1000 AS INT) AS width,
+           CAST(16 + (doc_id * 3) % 1000 AS INT) AS height,
+           CAST(1 + 2 * (doc_id % 2) AS INT) AS n_components,
+           doc_id % 3 = 0 AS progressive,
+           CAST(5 AS INT) AS n_segments
+    FROM documents
+    """,
+)
+
 from .operators.analytic import BENFORD_EXP  # noqa: E402
 
 # CASTs matter: a bare decimal literal parses as DECIMAL(18,17) in DuckDB
