@@ -90,6 +90,8 @@ NULLISH_QUERIES = [
     "dup_quality_report",
     "events_seasonal_decompose",
     "host_kcore",
+    "vocab_oov_rate",
+    "funnel_latency_quantiles",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

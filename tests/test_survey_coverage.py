@@ -237,6 +237,8 @@ NORTH_STAR_SURFACE = [
     "events_seasonal_decompose",
     "host_kcore",
     "multimodal_jpeg_meta",
+    "vocab_oov_rate",
+    "funnel_latency_quantiles",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

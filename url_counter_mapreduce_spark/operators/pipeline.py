@@ -1622,3 +1622,69 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(stable_round("CAST(_min_q AS DOUBLE) / 1e6", 6)).alias("min_val"),
         F.expr(stable_round("CAST(_max_q AS DOUBLE) / 1e6", 6)).alias("max_val"),
     )
+
+
+VOCAB_OOV_MIN_COUNT = 2
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of the held-out split against a train-split
+    vocabulary (min corpus count 2) — the tokenizer-health metric read
+    before committing a vocab build (a rising OOV rate on fresh data
+    means the vocabulary is stale or the min-count too aggressive; BPE
+    exists precisely to drive this to ~0, which vocab_build_bpe's subword
+    path demonstrates). Split by the standard md5-decile rule (train
+    deciles 0–7, test 9 — the same contract decontaminate_ngrams pins).
+
+    Output: one row — token- and type-level totals, OOV counts, and
+    floor-micro rates. All counts exact; the two rates are single
+    divisions.
+
+    Plan shape at 100 TB: two token aggregates (train counts, test
+    counts) + one anti-join on the token key — vocab-sized tables after
+    partial aggregation, never corpus-row joins."""
+    from ..functions.vector import stable_round
+    from ..tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 10"
+        ).alias("decile"),
+        F.explode(F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")).alias("w"),
+    )
+    vocab = (
+        docs.filter(F.col("decile") < 8)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= VOCAB_OOV_MIN_COUNT)
+        .select("w")
+    )
+    test = docs.filter(F.col("decile") == 9).groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    flagged = test.join(vocab, "w", "left_anti")
+    return (
+        test.agg(
+            F.sum("n_occ").alias("n_test_tokens"),
+            F.count(F.lit(1)).alias("n_test_types"),
+        )
+        .crossJoin(
+            flagged.agg(
+                F.coalesce(F.sum("n_occ"), F.lit(0)).alias("n_oov_tokens"),
+                F.count(F.lit(1)).alias("n_oov_types"),
+            )
+        )
+        .select(
+            "n_test_tokens",
+            "n_test_types",
+            "n_oov_tokens",
+            "n_oov_types",
+            F.expr(
+                stable_round("CAST(n_oov_tokens AS DOUBLE) / nullif(n_test_tokens, 0)", 6)
+            ).alias("oov_token_rate"),
+            F.expr(
+                stable_round("CAST(n_oov_types AS DOUBLE) / nullif(n_test_types, 0)", 6)
+            ).alias("oov_type_rate"),
+        )
+    )

@@ -4458,6 +4458,77 @@ _register(
     """,
 )
 
+from .operators.pipeline import VOCAB_OOV_MIN_COUNT  # noqa: E402
+
+_register(
+    "vocab_oov_rate",
+    _pipeline.vocab_oov_rate,
+    f"""
+    WITH toks AS (
+        SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 AS decile,
+               unnest(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS c FROM toks WHERE decile < 8 GROUP BY w
+        ) WHERE c >= {VOCAB_OOV_MIN_COUNT}
+    ), test AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n_occ FROM toks WHERE decile = 9 GROUP BY w
+    ), flagged AS (
+        SELECT t.w, t.n_occ FROM test t WHERE NOT EXISTS (SELECT 1 FROM vocab v WHERE v.w = t.w)
+    ), a AS (
+        SELECT CAST(sum(n_occ) AS BIGINT) AS n_test_tokens,
+               CAST(count(*) AS BIGINT) AS n_test_types FROM test
+    ), b AS (
+        SELECT CAST(coalesce(sum(n_occ), 0) AS BIGINT) AS n_oov_tokens,
+               CAST(count(*) AS BIGINT) AS n_oov_types FROM flagged
+    )
+    SELECT n_test_tokens, n_test_types, n_oov_tokens, n_oov_types,
+           {_stable_round_sql('CAST(n_oov_tokens AS DOUBLE) / nullif(n_test_tokens, 0)')} AS oov_token_rate,
+           {_stable_round_sql('CAST(n_oov_types AS DOUBLE) / nullif(n_test_types, 0)')} AS oov_type_rate
+    FROM a, b
+    """,
+)
+
+from .operators.temporal import FUNNEL_LATENCY_PS  # noqa: E402
+
+_register(
+    "funnel_latency_quantiles",
+    temporal.funnel_latency_quantiles,
+    f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ), t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2, min(t1.t1) AS t1
+        FROM ev e JOIN t1 ON t1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3, min(t2.t1) AS t1
+        FROM ev e JOIN t2 ON t2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+    ), delays AS (
+        SELECT CAST(floor(epoch_us(t3) - epoch_us(t1)) AS BIGINT) // 60000000 AS delay_min
+        FROM t3
+    ), bins AS (
+        SELECT delay_min, CAST(count(*) AS BIGINT) AS n_bin FROM delays GROUP BY delay_min
+    ), cum AS (
+        SELECT delay_min, n_bin,
+               CAST(sum(n_bin) OVER (ORDER BY delay_min ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM bins
+    ), total AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM delays),
+    ps AS (SELECT unnest({list(FUNNEL_LATENCY_PS)}) AS p)
+    SELECT {_stable_round_sql('p')} AS quantile, n_users,
+           CAST(min(delay_min) AS BIGINT) AS delay_minutes
+    FROM cum, total, ps
+    WHERE cum >= CAST(ceil(p * n_users) AS BIGINT)
+    GROUP BY p, n_users
+    """,
+)
+
 from .operators.analytic import BENFORD_EXP  # noqa: E402
 
 # CASTs matter: a bare decimal literal parses as DECIMAL(18,17) in DuckDB
