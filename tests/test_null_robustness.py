@@ -34,6 +34,7 @@ NULLISH_QUERIES = [
     "doc_fingerprint",
     "doc_chunks",
     "sql_udf_surface",
+    "sql_scripting_surface",
     "context_pack",
     "pii_scrub",
     "lang_id_heuristic",

@@ -239,6 +239,7 @@ NORTH_STAR_SURFACE = [
     "multimodal_jpeg_meta",
     "vocab_oov_rate",
     "funnel_latency_quantiles",
+    "sql_scripting_surface",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

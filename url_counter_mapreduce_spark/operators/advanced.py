@@ -1000,3 +1000,59 @@ def sql_pipe_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> LIMIT 20
         """
     )
+
+
+SCRIPT_VOCAB_TARGET = 20
+SCRIPT_MAX_MIN_COUNT = 8
+
+
+def sql_scripting_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 / SQL:2023 PSM: BEGIN…END, DECLARE, WHILE,
+    IF, LEAVE) — the procedural control-flow surface, exercised on a real
+    tuning task: find the smallest vocabulary min-count whose vocab size
+    fits a budget (the vocab_build knob), by iterating min-count 1..8 and
+    stopping at the first that satisfies it. Each loop iteration runs a
+    full declarative aggregate — the script is ORCHESTRATION (what a
+    driver-side Python loop would do), not row-at-a-time logic, so every
+    per-iteration query still plans/executes as ordinary Catalyst jobs.
+
+    Output: one row (min_count chosen, vocab_size at it, n_iterations).
+    Exact oracle: the DuckDB twin evaluates all candidate min-counts
+    set-based and picks the same first-satisfying one — same answer, two
+    execution strategies."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_script_docs")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            f"""
+            BEGIN
+              DECLARE m INT DEFAULT 0;
+              DECLARE vs BIGINT DEFAULT -1;
+              DECLARE iters INT DEFAULT 0;
+              loop_label: WHILE m < {SCRIPT_MAX_MIN_COUNT} DO
+                SET m = m + 1;
+                SET iters = iters + 1;
+                SET vs = (
+                  SELECT count(*) FROM (
+                    SELECT w FROM (
+                      SELECT explode(filter(split(coalesce(text, ''), ' '),
+                                            x -> x != '')) AS w
+                      FROM _script_docs
+                    ) GROUP BY w HAVING count(*) >= m
+                  )
+                );
+                IF vs <= {SCRIPT_VOCAB_TARGET} THEN
+                  LEAVE loop_label;
+                END IF;
+              END WHILE;
+              SELECT CAST(m AS INT) AS min_count, vs AS vocab_size,
+                     CAST(iters AS INT) AS n_iterations;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

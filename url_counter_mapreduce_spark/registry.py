@@ -4529,6 +4529,35 @@ _register(
     """,
 )
 
+from .operators.advanced import SCRIPT_MAX_MIN_COUNT, SCRIPT_VOCAB_TARGET  # noqa: E402
+
+_register(
+    "sql_scripting_surface",
+    advanced.sql_scripting_surface,
+    f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS w
+        FROM documents
+    ), counts AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ), sizes AS (
+        -- count(w), not count(*): with no satisfying token the LEFT JOIN
+        -- yields one all-NULL row and count(*) would report 1, not 0
+        SELECT m, CAST(count(w) AS BIGINT) AS vs
+        FROM (SELECT unnest(range(1, {SCRIPT_MAX_MIN_COUNT} + 1)) AS m) ms
+        LEFT JOIN counts ON c >= m
+        GROUP BY m
+    ), pick AS (
+        -- the script's first-satisfying min-count, or the max if none fits
+        SELECT coalesce(min(m), {SCRIPT_MAX_MIN_COUNT}) AS m
+        FROM sizes WHERE vs <= {SCRIPT_VOCAB_TARGET}
+    )
+    SELECT CAST(pick.m AS INT) AS min_count, sizes.vs AS vocab_size,
+           CAST(pick.m AS INT) AS n_iterations
+    FROM pick JOIN sizes ON sizes.m = pick.m
+    """,
+)
+
 from .operators.analytic import BENFORD_EXP  # noqa: E402
 
 # CASTs matter: a bare decimal literal parses as DECIMAL(18,17) in DuckDB
