@@ -1641,8 +1641,12 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions.
 
     Plan shape at 100 TB: two token aggregates (train counts, test
-    counts) + one anti-join on the token key — vocab-sized tables after
-    partial aggregation, never corpus-row joins."""
+    counts) + one left join on the token key tagging membership, then a
+    single conditional aggregate — vocab-sized tables after partial
+    aggregation, never corpus-row joins, and no scalar cross join (a
+    crossJoin of two 1-row aggregates would plan a
+    BroadcastNestedLoopJoin; the flag + conditional-sum shape keeps the
+    whole reduction in one HashAggregate)."""
     from ..functions.vector import stable_round
     from ..tables import spread
 
@@ -1658,22 +1662,20 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= VOCAB_OOV_MIN_COUNT)
-        .select("w")
+        .select("w", F.lit(1).alias("_in_vocab"))
     )
     test = docs.filter(F.col("decile") == 9).groupBy("w").agg(
         F.count(F.lit(1)).alias("n_occ")
     )
-    flagged = test.join(vocab, "w", "left_anti")
     return (
-        test.agg(
+        test.join(vocab, "w", "left")
+        .agg(
             F.sum("n_occ").alias("n_test_tokens"),
             F.count(F.lit(1)).alias("n_test_types"),
-        )
-        .crossJoin(
-            flagged.agg(
-                F.coalesce(F.sum("n_occ"), F.lit(0)).alias("n_oov_tokens"),
-                F.count(F.lit(1)).alias("n_oov_types"),
-            )
+            F.coalesce(
+                F.sum(F.when(F.col("_in_vocab").isNull(), F.col("n_occ"))), F.lit(0)
+            ).alias("n_oov_tokens"),
+            F.count(F.when(F.col("_in_vocab").isNull(), F.lit(1))).alias("n_oov_types"),
         )
         .select(
             "n_test_tokens",

@@ -956,10 +956,12 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the algorithm).
 
     Plan shape at 100 TB: the funnel_conversion aggregate chain (all
-    user-keyed), one (bin) reduction, a prefix sum over the time-span-
-    bounded bin domain, and a 4-literal quantile probe join."""
+    user-keyed), one (bin) reduction, then prefix sum + grand total as
+    TWO frames of the SAME single-partition window over the time-span-
+    bounded bin domain (no scalar join), and the 4 quantile probes as an
+    exploded array literal (a Generate — no BroadcastNestedLoopJoin
+    anywhere in the plan)."""
     from ..functions.vector import stable_round
-    from ..tables import scalar_join
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isin(*FUNNEL_STAGES))
     t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
@@ -984,14 +986,16 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcum = Window.orderBy(F.asc("delay_min")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = bins.withColumn("cum", F.sum("n_bin").over(wcum))
-    total = delays.agg(F.count(F.lit(1)).alias("n_users"))
-    ps = spark.createDataFrame(
-        [(p,) for p in FUNNEL_LATENCY_PS], "p double"
+    wall = Window.orderBy(F.asc("delay_min")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.withColumn("cum", F.sum("n_bin").over(wcum)).withColumn(
+        "n_users", F.sum("n_bin").over(wall)
     )
     return (
-        scalar_join(cum, total)
-        .crossJoin(F.broadcast(ps))
+        cum.withColumn(
+            "p", F.explode(F.array(*[F.lit(float(p)) for p in FUNNEL_LATENCY_PS]))
+        )
         .filter(F.expr("cum >= CAST(ceil(p * n_users) AS BIGINT)"))
         .groupBy("p")
         .agg(
