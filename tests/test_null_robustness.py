@@ -93,6 +93,12 @@ NULLISH_QUERIES = [
     "host_kcore",
     "vocab_oov_rate",
     "funnel_latency_quantiles",
+    "mix_temperature",
+    "tokenizer_fertility",
+    "events_burstiness",
+    "host_communities_lpa",
+    "multimodal_mp4_meta",
+    "embedding_pca_power",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

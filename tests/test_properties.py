@@ -1790,3 +1790,94 @@ def test_kcore_converged_and_valid(spark, sf_dir):
     assert rows, "fixture host graph should have a non-empty 3-core"
     for r in rows:
         assert r.core_degree >= KCORE_K, (r.host, r.core_degree)
+
+
+def test_mp4_synth_roundtrip_and_rejects_garbage():
+    """parse_mp4 must recover exactly the fields mp4_bytes wrote (the
+    box-walk is a real parser, not a formula echo), and reject non-BMFF
+    bytes rather than crash."""
+    from url_counter_mapreduce_spark.operators.multimodal import mp4_bytes, parse_mp4
+
+    for ts, dur, nt, brand in [(600, 1, 1, "isom"), (1200, 89999, 3, "mp42"), (750, 42, 2, "isom")]:
+        got = parse_mp4(mp4_bytes(ts, dur, nt, brand))
+        assert got == (brand, ts, dur, nt, 3), got
+    assert parse_mp4(b"") is None
+    assert parse_mp4(b"\x00" * 32) is None
+    assert parse_mp4(b"\x00\x00\x00\x08ftyp") is None  # truncated ftyp
+
+
+def test_burstiness_bounds_and_closed_form(spark, sf_dir):
+    """B is bounded in [−1, 1] by construction; a recomputation of one
+    user's statistic from the raw events (pandas, arbitrary-precision
+    ints) must agree with the distributed value."""
+    import math
+
+    from url_counter_mapreduce_spark import QUERIES
+    from url_counter_mapreduce_spark.tables import load_table
+
+    rows = QUERIES["events_burstiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.burstiness <= 1.0, r
+        assert r.mean_gap_s >= 0.0
+    probe = rows[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(f"user_id = {probe.user_id} AND ts IS NOT NULL")
+        .select("ts", "event_id")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    us = [int(t.value // 1000) for t in ev["ts"]]  # ns → µs
+    gaps = [b - a for a, b in zip(us, us[1:])]
+    n, s, q = len(gaps), sum(gaps), sum(g * g for g in gaps)
+    rad = math.sqrt(float(n * q - s * s))
+    want = math.floor((rad - s) / (rad + s) * 1e6 + 0.5) / 1e6
+    assert probe.n_gaps == n
+    assert abs(probe.burstiness - want) < 1e-9, (probe.burstiness, want)
+
+
+def test_lpa_communities_partition_the_host_graph(spark, sf_dir):
+    """Every node of the host graph gets exactly one community; labels are
+    themselves hosts of the graph; community sizes are consistent with
+    the per-host rows."""
+    from collections import Counter
+
+    from url_counter_mapreduce_spark import QUERIES
+
+    rows = QUERIES["host_communities_lpa"](spark, sf_dir).collect()
+    assert rows
+    hosts = {r.host for r in rows}
+    assert len(hosts) == len(rows), "one row per host"
+    sizes = Counter(r.community for r in rows)
+    for r in rows:
+        assert r.community in hosts, r.community
+        assert r.community_size == sizes[r.community], r
+
+
+def test_pca_power_beats_start_rayleigh(spark, sf_dir):
+    """Power iteration is Rayleigh-monotone: the returned eigenvalue
+    estimate must be >= the Rayleigh quotient of the all-ones start
+    vector (recomputed from the raw embeddings), and the loadings are
+    L-infinity normalized (max |loading| = 1)."""
+    from pyspark.sql import functions as F
+
+    from url_counter_mapreduce_spark import QUERIES
+    from url_counter_mapreduce_spark.functions.vector import finite_norm_pred
+    from url_counter_mapreduce_spark.tables import load_table
+
+    out = QUERIES["embedding_pca_power"](spark, sf_dir).collect()
+    assert len(out) == 64
+    eig = out[0].eigval
+    assert all(abs(r.eigval - eig) < 1e-12 for r in out)
+    assert max(abs(r.loading) for r in out) == 1.0
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    r0 = emb.select(
+        F.expr(
+            "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("sx")
+    ).agg(F.sum(F.expr("sx * sx")).alias("ss")).collect()[0]
+    rayleigh0 = float(r0.ss) / 64.0
+    assert eig >= rayleigh0 * 0.999, (eig, rayleigh0)

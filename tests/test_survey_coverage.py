@@ -240,6 +240,12 @@ NORTH_STAR_SURFACE = [
     "vocab_oov_rate",
     "funnel_latency_quantiles",
     "sql_scripting_surface",
+    "mix_temperature",
+    "tokenizer_fertility",
+    "events_burstiness",
+    "host_communities_lpa",
+    "multimodal_mp4_meta",
+    "embedding_pca_power",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

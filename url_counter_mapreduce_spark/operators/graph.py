@@ -785,3 +785,60 @@ def host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+LPA_ROUNDS = 4
+
+
+def host_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the host co-occurrence graph by SYNCHRONOUS
+    label propagation (Raghavan–Albert–Kumara 2007), the near-linear-time
+    community algorithm every graph stack ships: labels start as the host
+    name itself; each round every node adopts the most frequent label among
+    its neighbors, ties broken by smallest label. The asynchronous original
+    is order-dependent (update order changes results — useless for an
+    oracle and irreproducible across cluster runs); the synchronous
+    fixed-round variant here is fully deterministic, so the DuckDB oracle
+    replays the identical LPA_ROUNDS rounds as unrolled CTEs and must match
+    bit-for-bit (the host_kcore discipline; a production run raises the
+    round count and early-exits when the label table stops changing).
+
+    The per-round argmax is one partial-aggregated groupBy(h, lbl) count
+    followed by min(struct(−count, label)) per node — struct ordering IS
+    (count DESC, label ASC), so no window/rank shuffle is needed; both
+    stages plus the adjacency join shuffle on host keys only. Lineage is
+    truncated per round. Output: (host, community, community_size).
+
+    Plan shape at 100 TB: state per round is one (host, label) row per
+    node + the static symmetric adjacency — each round two shuffles on
+    hosts (join, count), nothing proportional to round number."""
+    und = _host_undirected_edges(spark, sf_dir)
+    sym = (
+        und.select(F.col("a").alias("h"), F.col("b").alias("n"))
+        .unionAll(und.select(F.col("b").alias("h"), F.col("a").alias("n")))
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select("h").distinct().withColumn("lbl", F.col("h"))
+    for _ in range(LPA_ROUNDS):
+        nb = sym.join(
+            labels.select(F.col("h").alias("n"), "lbl"), "n"
+        )  # neighbor labels per node
+        counts = nb.groupBy("h", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("h")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+                ).alias("m")
+            )
+            .select("h", F.col("m.l").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
+        F.col("h").alias("host"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )

@@ -565,3 +565,132 @@ def multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             " progressive boolean, n_segments int"
         ),
     )
+
+
+# --- MP4 / ISO-BMFF (ISO/IEC 14496-12, the public MPEG-4 container
+# spec): the VIDEO leg of the multimodal battery, beside PNG/GIF/JPEG
+# (image) and RIFF/WAVE (audio). Generator formula contract on doc_id:
+MP4_TIMESCALE = "600 + (doc_id % 5) * 150"  # movie timescale, 600..1200
+MP4_DURATION = "1 + (doc_id * 37) % 90000"  # duration in timescale ticks
+MP4_NEXT_TRACK = "1 + doc_id % 3"
+MP4_BRAND = "CASE WHEN doc_id % 4 = 0 THEN 'mp42' ELSE 'isom' END"
+
+
+def mp4_bytes(timescale: int, duration: int, next_track: int, brand: str) -> bytes:
+    """Minimal structurally-valid ISO-BMFF stream: ftyp (major brand +
+    two compatible brands), a free box, and moov containing a version-0
+    mvhd with the movie timescale/duration/next-track-id fields."""
+    import struct as _st
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return _st.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", brand.encode() + _st.pack(">I", 0) + b"isomiso2")
+    free = box(b"free", b"\x00" * 6)
+    mvhd = box(
+        b"mvhd",
+        _st.pack(">B3x", 0)  # version 0, flags 0
+        + _st.pack(">II", 0, 0)  # creation/modification time
+        + _st.pack(">II", timescale, duration)
+        + _st.pack(">i", 0x00010000)  # rate 1.0
+        + _st.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + _st.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + _st.pack(">I", next_track),
+    )
+    return ftyp + free + box(b"moov", mvhd)
+
+
+def parse_mp4(blob: bytes):
+    """(major_brand, timescale, duration, next_track_id, n_boxes) from a
+    top-level box walk + moov/mvhd descent — size/type hopping only, no
+    sample decoding. None if the stream is not ISO-BMFF."""
+    import struct as _st
+
+    if len(blob) < 16 or blob[4:8] != b"ftyp":
+        return None
+    i, n_boxes = 0, 0
+    brand = None
+    timescale = duration = next_track = None
+    while i + 8 <= len(blob):
+        (size,) = _st.unpack(">I", blob[i : i + 4])
+        btype = blob[i + 4 : i + 8]
+        if size < 8 or i + size > len(blob):
+            return None
+        n_boxes += 1
+        if btype == b"ftyp":
+            brand = blob[i + 8 : i + 12].decode("ascii", "replace")
+        elif btype == b"moov":
+            j = i + 8
+            while j + 8 <= i + size:
+                (csize,) = _st.unpack(">I", blob[j : j + 4])
+                if csize < 8:
+                    break
+                if blob[j + 4 : j + 8] == b"mvhd" and blob[j + 8] == 0:
+                    timescale, duration = _st.unpack(">II", blob[j + 20 : j + 28])
+                    (next_track,) = _st.unpack(">I", blob[j + 104 : j + 108])
+                j += csize
+        i += size
+    if brand is None or timescale is None:
+        return None
+    return brand, timescale, duration, next_track, n_boxes
+
+
+def synth_mp4_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ISO-BMFF payloads keyed on doc_id per the
+    MP4_* formula contract — Arrow-batched synthesis (mapInPandas), the
+    same shape a real pipeline uses to fetch blob columns."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def gen(doc_id: int) -> bytes:
+            ts = 600 + (doc_id % 5) * 150
+            dur = 1 + (doc_id * 37) % 90000
+            nt = 1 + doc_id % 3
+            brand = "mp42" if doc_id % 4 == 0 else "isom"
+            return mp4_bytes(ts, dur, nt, brand)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(lambda i: gen(int(i)))}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 movie-header extraction over synthesized structurally-valid
+    ISO-BMFF streams — the video leg completing the image/audio/video
+    container battery: top-level size/type box hopping, moov descent,
+    mvhd timescale/duration/next-track fields, plus the derived
+    duration_ms = (duration·1000) div timescale (exact integer floor —
+    both operands non-negative, so Spark div and DuckDB // agree).
+    Arrow-batched mapInPandas; exact DuckDB oracle = the MP4_* generator
+    formulas on doc_id."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_mp4(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "major_brand": [p[0] if p else None for p in parsed],
+                    "timescale": [p[1] if p else None for p in parsed],
+                    "duration_ticks": [p[2] if p else None for p in parsed],
+                    "next_track_id": [p[3] if p else None for p in parsed],
+                    "n_boxes": [p[4] if p else None for p in parsed],
+                }
+            )
+
+    meta = synth_mp4_payloads(spark, sf_dir).mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, major_brand string, timescale int,"
+            " duration_ticks int, next_track_id int, n_boxes int"
+        ),
+    )
+    return meta.withColumn(
+        "duration_ms",
+        F.expr("(CAST(duration_ticks AS BIGINT) * 1000) div timescale"),
+    )

@@ -1690,3 +1690,238 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_type_rate"),
         )
     )
+
+
+# Temperature exponent for mixture reweighting: p_l ∝ (n_l)^α — α = 0.3 is
+# the published multilingual sampling temperature (Conneau & Lample, XLM,
+# NeurIPS 2019 §3.1; XLM-R uses the same rule), flattening the source
+# distribution so low-resource sources are upsampled without letting any
+# single head dominate. Here applied to SOURCE strata (the web-corpus
+# analogue of languages).
+TEMP_MIX_ALPHA = 0.3
+
+
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing weights: per source, its raw token
+    share, the α-temperature sampling weight p_l = n_l^α / Σ n_k^α, and the
+    implied upsample factor p_l / share_l — the recipe card a data-mixing
+    run reads before sampling (mix_sources applies a FIXED target vector;
+    this derives the vector itself from corpus statistics the way the
+    multilingual pretraining pipelines do).
+
+    Determinism: pow() is evaluated per source then QUANTIZED to integer
+    micro-units before the cross-source sum, so the normalizing constant is
+    an exact BIGINT in both engines (a float sum's value would depend on
+    accumulation order — unacceptable for an oracle-checked weight).
+
+    Plan shape at 100 TB: one corpus aggregate to (source, n_tokens) —
+    map-side partial, |sources| rows out — then window totals over that
+    bounded table. Zero joins, zero scalar broadcasts."""
+    toks_safe = "filter(split(coalesce(text, ''), ' '), x -> x != '')"
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.coalesce("source", F.lit("unknown")).alias("source"),
+            F.expr(f"CAST(size({toks_safe}) AS BIGINT)").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+        .withColumn(
+            "powq",
+            F.expr(
+                f"CAST(floor(pow(CAST(n_tokens AS DOUBLE), {TEMP_MIX_ALPHA}) * 1e6 + 0.5) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.orderBy(F.asc("source")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per.withColumn("total", F.sum("n_tokens").over(w))
+        .withColumn("sum_powq", F.sum("powq").over(w))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr(stable_round("CAST(n_tokens AS DOUBLE) / total", 6)).alias("raw_share"),
+            F.expr(stable_round("CAST(powq AS DOUBLE) / sum_powq", 6)).alias("temp_weight"),
+            F.expr(
+                stable_round(
+                    "CAST(powq AS DOUBLE) * CAST(total AS DOUBLE)"
+                    " / (CAST(sum_powq AS DOUBLE) * CAST(n_tokens AS DOUBLE))",
+                    6,
+                )
+            ).alias("upsample_factor"),
+        )
+    )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility of the trained BPE tokenizer:
+    subwords emitted per whitespace word and characters per subword — the
+    health metric that decides whether a tokenizer suits a corpus slice
+    (fertility rising on one source means its text fragments into char-level
+    pieces: vocabulary mismatch). Complements vocab_oov_rate (word-level
+    OOV) with the subword-level reading.
+
+    Mechanics: train the BPE_MERGES merge table (vocab_build_bpe's exact
+    loop), encode the DISTINCT word table once via the chained-replace
+    symbolization, count symbols per word, then join those per-word subword
+    counts to per-(source, word) occurrence counts — the join keys are
+    post-aggregation words (vocab-sized), never corpus rows. Ratios are
+    exact integer micro-division (no float), so the oracle — which
+    re-trains the merges via the unrolled CTE chain and re-derives the
+    same counts — must agree bit-for-bit.
+
+    Plan shape at 100 TB: two corpus aggregates (global word counts,
+    per-source word counts) + one vocab-sized equi-join + |sources|-row
+    final aggregate. The merge table is a bounded driver artifact
+    (BPE_MERGES rows) applied as literal projections."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _token_counts(docs).localCheckpoint(eager=False)
+    merges = sorted(
+        (int(r["merge_rank"]), r["lhs"], r["rhs"]) for r in bpe_merge_table(words).collect()
+    )
+    enc = words.select(
+        "token",
+        F.expr(
+            "array_join(transform(sequence(1, length(token)),"
+            " i -> concat(char(1), substring(token, i, 1), char(2))), '')"
+        ).alias("symstr"),
+    )
+    for _rank, l, r in merges:
+        enc = enc.withColumn(
+            "symstr",
+            F.replace(
+                F.col("symstr"),
+                F.lit(_B1 + l + _B2 + _B1 + r + _B2),
+                F.lit(_B1 + l + r + _B2),
+            ),
+        )
+    nsub = enc.select(
+        "token",
+        F.expr(
+            "CAST(size(split(substring(symstr, 2, length(symstr) - 2),"
+            " concat(char(2), char(1)))) AS BIGINT)"
+        ).alias("n_sub"),
+    )
+    per_src = (
+        docs.select(
+            F.coalesce("source", F.lit("unknown")).alias("source"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_src.join(nsub, "token")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_subwords"),
+            F.sum(F.col("cnt") * F.length("token")).alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_subwords",
+            F.expr("CAST((n_subwords * 1000000) div n_words AS DOUBLE) / 1e6").alias(
+                "subwords_per_word"
+            ),
+            F.expr("CAST((n_chars * 1000000) div n_subwords AS DOUBLE) / 1e6").alias(
+                "chars_per_subword"
+            ),
+        )
+    )
+
+
+PCA_POWER_ITERS = 3  # matvec passes; fixture spectrum separates by then
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by POWER
+    ITERATION on the uncentered second-moment matrix A = Σ x·xᵀ (von
+    Mises–Pollaczek-Geiringer iteration — the matrix-free method every
+    distributed PCA ultimately rests on): v ← A·v, renormalize, repeat.
+    Each matvec is expressed as two corpus passes that never materialize
+    A: per row the scalar dot = ⟨xq, v⟩ (a literal projection — v rides
+    in the plan as 64 integer constants, no join), then per dimension
+    Σ_rows xq[d]·dot (posexplode + partial-aggregated groupBy over 64
+    keys). Between iterations the 64-row result is collected (bounded by
+    the dimension constant, the _kmeans_centroids_q discipline) and
+    renormalized driver-side.
+
+    Determinism/exactness (why an independent engine can replay this
+    bit-for-bit): components are quantized once to integer micro-units
+    (similarity._xq_expr); dots are exact BIGINT sums of 64 products;
+    the per-dimension accumulators are DECIMAL(38,0) (xq[d]·dot reaches
+    ~2·10¹⁹ — past BIGINT); renormalization is integer floor division to
+    L∞ micro-units ((num − pmod(num, m)) div m — exactly divisible, so
+    truncating and flooring division agree). The final pass stays
+    IN-ENGINE: loadings are the floor-normalized components of the last
+    matvec, and the eigenvalue estimate is the Rayleigh quotient
+    Σ dot² / (|v|²·Q²) — exact integers until one per-row-deterministic
+    double division. DuckDB replays the identical iteration as unrolled
+    HUGEINT CTEs (oracle_ivf.pca_oracle_sql).
+
+    Plan shape at 100 TB: PCA_POWER_ITERS passes over the cached
+    quantized frame, each map-only + one 64-key aggregate; driver state
+    is O(64) integers per round. Output: 64 rows (dim, loading, eigval).
+    Production raises the iteration count and early-exits on a stable
+    micro-unit vector; λ₂/λ₁ convergence is the textbook bound."""
+    from ..functions.vector import finite_norm_pred, stable_round
+    from ..tables import scalar_join, spread
+    from .similarity import _xq_expr
+
+    d = COV_DIMS
+    embq = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.expr(finite_norm_pred("embedding")))
+        .select(F.expr(_xq_expr("embedding")).alias("xq"))
+        .persist()
+    )
+    v = [10**6] * d
+
+    def dot_expr(vec: list) -> str:
+        return " + ".join(f"xq[{i}] * CAST({vec[i]} AS BIGINT)" for i in range(d))
+
+    for _ in range(PCA_POWER_ITERS - 1):
+        w_rows = (
+            embq.withColumn("dot", F.expr(dot_expr(v)))
+            .select("dot", F.posexplode("xq").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * dot")).alias("s"))
+            .collect()
+        )
+        if not w_rows:
+            break
+        w = [0] * d
+        for r in w_rows:
+            w[int(r.pos)] = int(r.s)
+        m = max(abs(x) for x in w) or 1
+        v = [(x * 10**6) // m for x in w]  # Python // floors — the SQL twin
+    vv = sum(x * x for x in v)
+    with_dot = embq.withColumn("dot", F.expr(dot_expr(v)))
+    wd = (
+        with_dot.select("dot", F.posexplode("xq").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * dot")).alias("s"))
+    )
+    ray = with_dot.agg(
+        F.sum(F.expr("CAST(dot AS DECIMAL(38,0)) * dot")).alias("sq")
+    )
+    w64 = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    out = (
+        scalar_join(wd, ray)
+        .withColumn("m", F.greatest(F.max(F.expr("abs(s)")).over(w64), F.lit(1).cast("decimal(38,0)")))
+        .select(
+            F.col("pos").cast("int").alias("dim"),
+            F.expr(
+                "CAST(CAST((s * 1000000 - pmod(s * 1000000, m)) / m AS BIGINT) AS DOUBLE) / 1e6"
+            ).alias("loading"),
+            F.expr(
+                stable_round(f"CAST(sq AS DOUBLE) / ({float(vv)!r}D * 1e12)", 6)
+            ).alias("eigval"),
+        )
+    )
+    return out

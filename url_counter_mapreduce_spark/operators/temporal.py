@@ -1008,3 +1008,71 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delay_minutes",
         )
     )
+
+
+BURSTINESS_MIN_GAPS = 2  # need >= 2 inter-event gaps (>= 3 events)
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness coefficient of inter-event times — Goh &
+    Barabási's B = (σ − μ)/(σ + μ) over the gap sequence (Europhys. Lett.
+    81, 2008), the standard activity-pattern statistic separating
+    Poisson-like users (B ≈ 0) from bursty ones (B → 1) and metronomic
+    automation (B → −1). A behavioral-analytics staple that doubles as a
+    bot-detection signal in corpus curation.
+
+    Exactness: gaps are integer epoch-MICROsecond differences
+    (unix_micros / epoch_us — exact BIGINTs in both engines; epoch
+    seconds would hit DuckDB's round-half-even CAST on fractional
+    timestamps) ordered by (ts ASC NULLS LAST, event_id) — the pinned
+    null placement of every ts-ordered per-user window here (ADVICE
+    r06). The sufficient statistics (n, Σg, Σg²) are exact integer sums
+    promoted to DECIMAL(38,0) before n·Σg² − (Σg)² (µs-scale g² reaches
+    10²⁴ — far past BIGINT), so σ's radicand is exact and the only float
+    steps — one sqrt, one division, one 6-dp stable round — are per-row
+    deterministic IEEE ops any engine reproduces.
+
+    Plan shape at 100 TB: one window (lag) and one aggregate, both
+    shuffling on user_id only — a single exchange shared by both stages,
+    the sessionize_events shape. Output is one row per qualifying user."""
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                F.expr("unix_micros(ts)") - F.lag(F.expr("unix_micros(ts)")).over(w)
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").cast("decimal(38,0)").alias("s"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("q"),
+    )
+    # radicand n·Σg² − (Σg)² is exact; σ = sqrt(rad)/n, μ = S/n, so
+    # B = (sqrt(rad) − S)/(sqrt(rad) + S) — the n's cancel
+    return (
+        stats.filter(F.col("n_gaps") >= BURSTINESS_MIN_GAPS)
+        .select(
+            "user_id",
+            F.col("n_gaps"),
+            F.expr(
+                stable_round("CAST(s AS DOUBLE) / (CAST(n_gaps AS DOUBLE) * 1e6)", 6)
+            ).alias("mean_gap_s"),
+            F.expr(
+                stable_round(
+                    "(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) - CAST(s AS DOUBLE))"
+                    " / nullif(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) + CAST(s AS DOUBLE), 0.0)",
+                    6,
+                )
+            ).alias("burstiness"),
+        )
+    )

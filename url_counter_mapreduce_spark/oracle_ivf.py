@@ -276,3 +276,52 @@ def semantic_decon_oracle_sql(n_cells: int, iters: int, tau: float) -> str:
            h.min_train_id IS NOT NULL AS flagged
     FROM test s LEFT JOIN hits h ON h.vec_id = s.vec_id
     """
+
+
+def pca_oracle_sql(iters: int = 3, dims: int = 64) -> str:
+    """Unrolled-CTE replay of operators/pipeline.embedding_pca_power:
+    power iteration on the uncentered second moment in exact HUGEINT
+    arithmetic — v0 = [10⁶]ᵈ; per round a per-row dot (Σ xq[i]·v[i]), a
+    per-dimension matvec accumulation (Σ_rows xq[i]·dot), and an L∞
+    floor renormalization to micro-units via the non-negative-mod floor
+    division ((num − posmod) // m — exactly divisible, so truncation and
+    floor agree, matching Python's // on the Spark driver). The final
+    round's matvec is normalized the same way for the loadings, and the
+    eigenvalue is the Rayleigh quotient Σ dot² / (|v|²·10¹²) with the
+    shared 6-dp stable round."""
+    parts = [
+        f"dims AS (SELECT unnest(range(1, {dims + 1})) AS i)",
+        f"e AS MATERIALIZED (SELECT vec_id, {_XQ} AS xq FROM embeddings WHERE {_FINITE})",
+        f"v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM dims)",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+        SELECT t.vec_id, sum(CAST(t.xq[v.i] AS HUGEINT) * v.v) AS dot
+        FROM e t, v{r - 1} v GROUP BY t.vec_id
+    )"""
+        )
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+        SELECT dims.i, sum(CAST(t.xq[dims.i] AS HUGEINT) * d.dot) AS s
+        FROM e t JOIN d{r} d USING (vec_id), dims GROUP BY dims.i
+    )"""
+        )
+        if r < iters:
+            parts.append(
+                f"""v{r} AS (
+        SELECT w.i,
+               CAST((w.s * 1000000 - ((w.s * 1000000 % m.m) + m.m) % m.m) // m.m
+                    AS HUGEINT) AS v
+        FROM w{r} w, (SELECT greatest(max(abs(s)), 1) AS m FROM w{r}) m
+    )"""
+            )
+    final = f"""SELECT CAST(w.i - 1 AS INT) AS dim,
+           CAST(CAST((w.s * 1000000 - ((w.s * 1000000 % m.m) + m.m) % m.m) // m.m
+                     AS BIGINT) AS DOUBLE) / 1e6 AS loading,
+           {_sr('CAST(r.sq AS DOUBLE) / (CAST(n.vv AS DOUBLE) * 1e12)')} AS eigval
+    FROM w{iters} w,
+         (SELECT greatest(max(abs(s)), 1) AS m FROM w{iters}) m,
+         (SELECT sum(dot * dot) AS sq FROM d{iters}) r,
+         (SELECT sum(v * v) AS vv FROM v{iters - 1}) n"""
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final

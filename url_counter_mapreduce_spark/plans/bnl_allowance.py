@@ -34,4 +34,5 @@ BNL_ALLOWANCE = {
     "host_reciprocity": 1,
     "events_survival_km": 1,
     "events_cooccurrence_lift": 1,
+    "embedding_pca_power": 1,
 }

@@ -4687,6 +4687,183 @@ _register(
 )
 
 # --------------------------------------------------------------------------
+# Round-7 additions: temperature-scaled source mixing and tokenizer
+# fertility (the data-mixing recipe card + subword-level tokenizer health).
+# --------------------------------------------------------------------------
+
+from .operators.pipeline import TEMP_MIX_ALPHA  # noqa: E402
+
+_register(
+    "mix_temperature",
+    _pipeline.mix_temperature,
+    f"""
+    WITH per AS (
+        SELECT coalesce(source, 'unknown') AS source,
+               CAST(sum(len({_TOKS_SAFE_SQL})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ), q AS (
+        SELECT source, n_tokens,
+               CAST(floor(pow(CAST(n_tokens AS DOUBLE), {TEMP_MIX_ALPHA}) * 1e6 + 0.5)
+                    AS BIGINT) AS powq
+        FROM per
+    ), t AS (
+        SELECT source, n_tokens, powq,
+               CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+               CAST(sum(powq) OVER () AS BIGINT) AS sum_powq
+        FROM q
+    )
+    SELECT source, n_tokens,
+           {_stable_round_sql('CAST(n_tokens AS DOUBLE) / total')} AS raw_share,
+           {_stable_round_sql('CAST(powq AS DOUBLE) / sum_powq')} AS temp_weight,
+           {_stable_round_sql(
+               'CAST(powq AS DOUBLE) * CAST(total AS DOUBLE)'
+               ' / (CAST(sum_powq AS DOUBLE) * CAST(n_tokens AS DOUBLE))'
+           )} AS upsample_factor
+    FROM t
+    """,
+)
+
+_register(
+    "tokenizer_fertility",
+    _pipeline.tokenizer_fertility,
+    _bpe_cte_chain(_pipeline.BPE_MERGES)
+    + f"""
+    , nsub AS (
+        SELECT token,
+               CAST(len(string_split(substring(symstr, 2, length(symstr) - 2),
+                                     chr(2) || chr(1))) AS BIGINT) AS n_sub
+        FROM w{_pipeline.BPE_MERGES}
+    ), sc AS (
+        SELECT coalesce(source, 'unknown') AS source, token,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents) t
+        WHERE token <> '' GROUP BY source, token
+    ), per AS (
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS n_words,
+               CAST(sum(cnt * n_sub) AS BIGINT) AS n_subwords,
+               CAST(sum(cnt * length(token)) AS BIGINT) AS n_chars
+        FROM sc JOIN nsub USING (token) GROUP BY source
+    )
+    SELECT source, n_words, n_subwords,
+           CAST((n_subwords * 1000000) // n_words AS DOUBLE) / 1e6 AS subwords_per_word,
+           CAST((n_chars * 1000000) // n_subwords AS DOUBLE) / 1e6 AS chars_per_subword
+    FROM per
+    """,
+)
+
+# --------------------------------------------------------------------------
+# Round-7 session-6 additions: burstiness, LPA communities, the MP4 video
+# container leg, and power-iteration PCA.
+# --------------------------------------------------------------------------
+
+from .operators.graph import LPA_ROUNDS  # noqa: E402
+from .operators.pipeline import COV_DIMS, PCA_POWER_ITERS  # noqa: E402
+from .operators.temporal import BURSTINESS_MIN_GAPS  # noqa: E402
+from .oracle_ivf import pca_oracle_sql  # noqa: E402
+
+_register(
+    "events_burstiness",
+    temporal.events_burstiness,
+    f"""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS g
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), s AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(g) AS HUGEINT) AS s,
+               sum(CAST(g AS HUGEINT) * g) AS q
+        FROM g WHERE g IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           {_stable_round_sql('CAST(s AS DOUBLE) / (CAST(n_gaps AS DOUBLE) * 1e6)')} AS mean_gap_s,
+           {_stable_round_sql(
+               '(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) - CAST(s AS DOUBLE))'
+               ' / nullif(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) + CAST(s AS DOUBLE), 0.0)'
+           )} AS burstiness
+    FROM s WHERE n_gaps >= {BURSTINESS_MIN_GAPS}
+    """,
+)
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    """Unrolled-CTE replay of graph.host_communities_lpa: the shared host
+    edge build, then per round a neighbor-label count and a
+    (count DESC, label ASC) argmax — row_number here, min(struct) on the
+    Spark side; identical total order, so the labels match exactly."""
+    parts = [
+        f"""t AS (
+        SELECT list_transform({_TOKS_SAFE_SQL},
+                   tk -> COALESCE(nullif(regexp_extract(lower(tk), '{text.URL_HOST_RE}', 1), ''),
+                                  lower(tk))) AS hosts
+        FROM documents
+    ), pairs AS (
+        SELECT least(hosts[i], hosts[i + 1]) AS a, greatest(hosts[i], hosts[i + 1]) AS b
+        FROM (SELECT hosts, unnest(range(1, len(hosts))) AS i FROM t WHERE len(hosts) >= 2)
+        WHERE hosts[i] <> hosts[i + 1]
+    ), e0 AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM pairs
+    ), sym AS MATERIALIZED (
+        SELECT a AS h, b AS n FROM e0 UNION ALL SELECT b AS h, a AS n FROM e0
+    ), l0 AS MATERIALIZED (SELECT DISTINCT h, h AS lbl FROM sym)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""c{r} AS (
+        SELECT s.h, l.lbl, CAST(count(*) AS BIGINT) AS c
+        FROM sym s JOIN l{r - 1} l ON l.h = s.n GROUP BY s.h, l.lbl
+    ), l{r} AS MATERIALIZED (
+        SELECT h, lbl FROM (
+            SELECT h, lbl,
+                   row_number() OVER (PARTITION BY h ORDER BY c DESC, lbl ASC) AS rn
+            FROM c{r}
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT l.h AS host, l.lbl AS community, sz.community_size
+    FROM l{rounds} l JOIN (
+        SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+        FROM l{rounds} GROUP BY lbl
+    ) sz USING (lbl)"""
+    )
+
+
+_register(
+    "host_communities_lpa",
+    _graph.host_communities_lpa,
+    _lpa_oracle_sql(LPA_ROUNDS),
+)
+
+_register(
+    "multimodal_mp4_meta",
+    multimodal.multimodal_mp4_meta,
+    f"""
+    SELECT doc_id,
+           {multimodal.MP4_BRAND} AS major_brand,
+           CAST({multimodal.MP4_TIMESCALE} AS INT) AS timescale,
+           CAST({multimodal.MP4_DURATION} AS INT) AS duration_ticks,
+           CAST({multimodal.MP4_NEXT_TRACK} AS INT) AS next_track_id,
+           CAST(3 AS INT) AS n_boxes,
+           CAST((CAST({multimodal.MP4_DURATION} AS BIGINT) * 1000)
+                // ({multimodal.MP4_TIMESCALE}) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+
+_register(
+    "embedding_pca_power",
+    _pipeline.embedding_pca_power,
+    pca_oracle_sql(PCA_POWER_ITERS, COV_DIMS),
+)
+
+# --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
 # ``udtf_surface`` at position 9 pushed position 51 out of the file). To make
