@@ -99,6 +99,9 @@ NULLISH_QUERIES = [
     "host_communities_lpa",
     "multimodal_mp4_meta",
     "embedding_pca_power",
+    "token_zipf_fit",
+    "vocab_heaps_fit",
+    "quality_repetition",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

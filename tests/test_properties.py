@@ -1881,3 +1881,114 @@ def test_pca_power_beats_start_rayleigh(spark, sf_dir):
     ).agg(F.sum(F.expr("sx * sx")).alias("ss")).collect()[0]
     rayleigh0 = float(r0.ss) / 64.0
     assert eig >= rayleigh0 * 0.999, (eig, rayleigh0)
+
+
+def test_ols_fit_recovers_exact_line(spark):
+    """_ols_fit on points lying EXACTLY on y = 2x + 3 (micro units) must
+    return slope 2, intercept 3 (ln-units after the /1e6), r2 = 1 — the
+    integer-exact OLS core behind the Zipf/Heaps fits has no excuse for
+    numeric slop on a perfect line."""
+    from url_counter_mapreduce_spark.operators.text import _ols_fit
+
+    pts = spark.createDataFrame(
+        [(x * 1_000_000, 2 * x * 1_000_000 + 3_000_000) for x in range(1, 11)],
+        "x long, y long",
+    )
+    row = _ols_fit(pts).collect()[0]
+    assert row["n_points"] == 10
+    assert abs(row["slope"] - 2.0) < 1e-9
+    assert abs(row["intercept"] - 3.0) < 1e-9
+    assert abs(row["r2"] - 1.0) < 1e-9
+
+
+def test_ols_fit_degenerate_returns_null(spark):
+    """Zero x-variance (all points at one x) must yield NULL slope/r2,
+    not a division blow-up."""
+    from url_counter_mapreduce_spark.operators.text import _ols_fit
+
+    pts = spark.createDataFrame([(5, 1), (5, 2), (5, 3)], "x long, y long")
+    row = _ols_fit(pts).collect()[0]
+    assert row["slope"] is None and row["intercept"] is None and row["r2"] is None
+
+
+def test_zipf_fit_slope_negative_and_bounded(spark, sf_dir):
+    """Rank-frequency is monotonically non-increasing by construction, so
+    the fitted log-log slope must be <= 0; on natural-ish text it sits in
+    (-3, 0) and the fit uses at most ZIPF_TOPK points."""
+    from url_counter_mapreduce_spark.operators.text import ZIPF_TOPK
+
+    row = QUERIES["token_zipf_fit"](spark, sf_dir).collect()[0]
+    assert 0 < row["n_points"] <= ZIPF_TOPK
+    assert row["slope"] is not None and -3.0 < row["slope"] <= 0.0
+    assert row["r2"] is not None and 0.0 <= row["r2"] <= 1.0
+
+
+def test_heaps_fit_sublinear_growth(spark, sf_dir):
+    """Heaps' law: vocabulary grows sub-linearly in corpus size, so the
+    fitted beta must land in [0, 1] (the tiny-fixture vocabulary saturates
+    in the first bucket, where beta = 0 is the truthful reading and the
+    zero-variance r2 is NULL)."""
+    row = QUERIES["vocab_heaps_fit"](spark, sf_dir).collect()[0]
+    assert row["n_points"] > 1
+    assert row["slope"] is not None and 0.0 <= row["slope"] <= 1.0
+    assert row["r2"] is None or 0.0 <= row["r2"] <= 1.0
+
+
+def test_heaps_fit_tracks_synthetic_growth(spark, sf_dir, tmp_path):
+    """On a corpus where every doc contributes 4 shared + 4 unique tokens,
+    V(N) ~ N/2 for large N, so the fitted log-log slope must approach 1
+    from below — the fit actually reacts to vocabulary growth."""
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
+    synth = spark.createDataFrame(
+        [(i, f"c0 c1 c2 c3 u{i}a u{i}b u{i}c u{i}d") for i in range(1, 129)],
+        "doc_id long, text string",
+    )
+    aligned = synth.select(
+        *[
+            F.col(c) if c in ("doc_id", "text") else F.lit(None).cast(f.dataType).alias(c)
+            for c, f in zip(docs.columns, docs.schema.fields)
+        ]
+    )
+    out = str(tmp_path / "heaps_sf")
+    aligned.write.parquet(f"{out}/documents.parquet")
+    try:
+        row = QUERIES["vocab_heaps_fit"](spark, out).collect()[0]
+        assert row["n_points"] > 30
+        assert 0.7 <= row["slope"] <= 1.01
+        assert row["r2"] is not None and row["r2"] > 0.9
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_repetition_closed_form_on_synthetic_docs(spark, sf_dir, tmp_path):
+    """quality_repetition against hand-computable docs: an all-repeat doc
+    ('a a a a a': 4 bigram occurrences, 1 distinct -> dup2 = 0.75,
+    top2_share = 1.0, keep = False) and an all-distinct doc (0 repetition,
+    keep = True); a sub-bigram doc reads as 0/keep."""
+    import shutil
+
+    src = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(src).limit(0)
+    synth = spark.createDataFrame(
+        [(1, "a a a a a"), (2, "w x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    aligned = synth.select(
+        *[
+            F.col(c) if c in ("doc_id", "text") else F.lit(None).cast(f.dataType).alias(c)
+            for c, f in zip(docs.columns, docs.schema.fields)
+        ]
+    )
+    out = str(tmp_path / "rep_sf")
+    aligned.write.parquet(f"{out}/documents.parquet")
+    try:
+        rows = {r["doc_id"]: r for r in QUERIES["quality_repetition"](spark, out).collect()}
+        assert abs(rows[1]["dup2_frac"] - 0.75) < 1e-9
+        assert abs(rows[1]["top2_share"] - 1.0) < 1e-9
+        assert rows[1]["keep"] is False
+        assert rows[2]["dup2_frac"] == 0.0 and rows[2]["keep"] is True
+        assert rows[3]["dup2_frac"] == 0.0 and rows[3]["keep"] is True
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

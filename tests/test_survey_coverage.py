@@ -246,6 +246,9 @@ NORTH_STAR_SURFACE = [
     "host_communities_lpa",
     "multimodal_mp4_meta",
     "embedding_pca_power",
+    "token_zipf_fit",
+    "vocab_heaps_fit",
+    "quality_repetition",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1391,3 +1391,294 @@ def dup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_quality"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Statistical-law fits: Zipf (rank-frequency) and Heaps (vocabulary growth).
+# Shared exact-integer OLS core: points arrive as micro-quantized BIGINT
+# (ln·1e6) so every sum is exact integer arithmetic in both engines and the
+# fit coefficients are bit-stable cross-engine (the floating-point work is
+# three final divisions over identical exact operands).
+# --------------------------------------------------------------------------
+
+ZIPF_TOPK = 1000  # fit window: top-K tokens by frequency (constant, bounded)
+HEAPS_BUCKETS = 64  # vocabulary-growth checkpoints (constant, bounded)
+LOG_MICRO = 1_000_000  # fixed-point scale for micro-quantized natural logs
+
+
+def _ln_micro_table(max_k: int) -> list[int]:
+    """round(ln(k)·1e6) for k = 1..max_k, computed once driver-side and
+    embedded as a LITERAL array in both engines — same catalog-literal
+    posture as _log2_table (JVM and libm ln() can differ in the last ulp;
+    a shared table removes the risk entirely where the domain is a small
+    constant range, here Zipf ranks 1..ZIPF_TOPK)."""
+    import math
+
+    return [round(math.log(k) * LOG_MICRO) for k in range(1, max_k + 1)]
+
+
+def _ln_micro_expr(col: str) -> str:
+    """Engine-evaluated micro-quantized natural log for UNBOUNDED positive
+    integer columns (token counts, cumulative totals), where a lookup table
+    cannot be sized. floor(ln(x)·1e6 + 0.5) flips only if the two engines'
+    ln() differ AND the value sits within ~1e-9 of a half-integer —
+    probability ~2e-9 per row (same accepted-risk posture as
+    mix_temperature's pow(); the sums built FROM these BIGINTs are then
+    exact, so accumulation order cannot widen the exposure)."""
+    return f"CAST(floor(ln(CAST({col} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+
+
+def _ols_fit(pts: DataFrame) -> DataFrame:
+    """OLS of y on x over exact micro-quantized BIGINT points (columns
+    ``x``, ``y``): one row out — n_points, slope, intercept (y-units, i.e.
+    natural-log space), r2. Sums are BIGINT-exact; the cross terms
+    (n·Σxy − Σx·Σy …) run in DECIMAL(38,0) (HUGEINT on the oracle side) so
+    nothing overflows before the final double divisions, which consume
+    identical exact integers in both engines. Degenerate spreads (zero
+    x-variance or y-variance) yield NULL slope/r2 rather than ±inf.
+
+    Plan shape at 100 TB: a single partial-aggregated global aggregate
+    over an already-bounded point set (ZIPF_TOPK or HEAPS_BUCKETS rows) —
+    no shuffle beyond the one that built the points."""
+    from ..functions.vector import stable_round
+
+    a = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    cov = "(CAST(n_points AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+    varx = "(CAST(n_points AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+    vary = "(CAST(n_points AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
+    icpt_num = "(CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy)"
+    return a.select(
+        "n_points",
+        F.expr(
+            f"CASE WHEN {varx} = 0 THEN NULL ELSE "
+            + stable_round(f"CAST({cov} AS DOUBLE) / CAST({varx} AS DOUBLE)", 6)
+            + " END"
+        ).alias("slope"),
+        F.expr(
+            f"CASE WHEN {varx} = 0 THEN NULL ELSE "
+            + stable_round(
+                f"CAST({icpt_num} AS DOUBLE) / CAST({varx} AS DOUBLE) / 1e6", 6
+            )
+            + " END"
+        ).alias("intercept"),
+        F.expr(
+            f"CASE WHEN {varx} = 0 OR {vary} = 0 THEN NULL ELSE "
+            + stable_round(
+                f"CAST({cov} AS DOUBLE) * CAST({cov} AS DOUBLE)"
+                f" / (CAST({varx} AS DOUBLE) * CAST({vary} AS DOUBLE))",
+                6,
+            )
+            + " END"
+        ).alias("r2"),
+    )
+
+
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS of ln(count)
+    on ln(rank) over the top-ZIPF_TOPK tokens — slope ≈ −1 is the healthy
+    natural-language signature; a much flatter or steeper slope flags
+    template spam or truncated vocabularies (the corpus-level cousin of
+    token_gini's inequality summary). One row: n_points, slope, intercept,
+    r2.
+
+    Exactness split: ln(rank) comes from a driver-embedded literal table
+    (ranks are the constant domain 1..ZIPF_TOPK — zero libm exposure);
+    ln(count) is engine-evaluated micro-quantized (_ln_micro_expr, counts
+    are unbounded). All OLS sums are then exact integers.
+
+    Plan shape at 100 TB: the flagship partial-aggregated token count,
+    then ONE vocab-bounded TopK (rank window over distinct tokens — the
+    token_gini posture) sliced to a constant 1000 rows before the
+    single-row fit aggregate."""
+    from pyspark.sql.window import Window
+
+    from ..tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(F.expr(_TOKS_SAFE)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lt = f"array({', '.join(str(v) + 'L' for v in _ln_micro_table(ZIPF_TOPK))})"
+    rw = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    pts = (
+        counts.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= ZIPF_TOPK)
+        .select(
+            F.expr(f"element_at({lt}, CAST(rnk AS INT))").alias("x"),
+            F.expr(_ln_micro_expr("c")).alias("y"),
+        )
+    )
+    return _ols_fit(pts)
+
+
+def vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth V(N) = K·N^β: OLS of
+    ln(cumulative distinct vocabulary) on ln(cumulative token count) over
+    HEAPS_BUCKETS corpus checkpoints — β far from the ~0.5 natural-text
+    band flags synthetic/templated corpora (sub-linear vocabulary growth
+    is the law; duplicated boilerplate bends it down, random noise bends
+    it up). One row: n_points, slope (β), intercept (ln K), r2.
+
+    Checkpointing WITHOUT a global sort: documents map to one of
+    HEAPS_BUCKETS buckets by pure arithmetic on doc_id against
+    driver-collected min/max (two scalar aggregates — the
+    quality_char_entropy catalog-literal posture), so no corpus-wide
+    row_number is ever needed. Each token's FIRST bucket is min(bucket);
+    per-bucket new-vocabulary and token-occurrence counts then cumsum over
+    ≤64 rows (bounded window). Logs are engine-evaluated micro-quantized
+    (_ln_micro_expr) and the fit is the exact-integer _ols_fit.
+
+    Plan shape at 100 TB: one (token → min bucket) partial-aggregated
+    shuffle (vocab-bounded output), one (bucket → count) aggregate (64
+    rows), a 64-row full-outer merge + bounded window, one-row fit."""
+    from pyspark.sql.window import Window
+
+    from ..tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    lo, hi = (
+        docs.agg(
+            F.min(F.coalesce(F.col("doc_id"), F.lit(0))),
+            F.max(F.coalesce(F.col("doc_id"), F.lit(0))),
+        ).collect()[0]
+        or (0, 0)
+    )
+    lo = int(lo if lo is not None else 0)
+    span = max(int(hi if hi is not None else 0) - lo + 1, 1)
+    # explicit floor: CAST(double AS INT) truncates in Spark but ROUNDS in
+    # DuckDB — floor() is the one cross-engine-unambiguous bucket edge
+    bucket = (
+        f"CAST(floor((CAST(coalesce(doc_id, 0) AS BIGINT) - {lo}L) * {HEAPS_BUCKETS}L"
+        f" / {span}L) AS INT)"
+    )
+    toks = docs.select(
+        F.expr(bucket).alias("b"), F.explode(F.expr(_TOKS_SAFE)).alias("w")
+    )
+    per_bucket = toks.groupBy("b").agg(F.count(F.lit(1)).alias("n_toks"))
+    first_seen = (
+        toks.groupBy("w")
+        .agg(F.min("b").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).alias("new_v"))
+        .withColumnRenamed("fb", "b")
+    )
+    merged = per_bucket.join(first_seen, "b", "full_outer").select(
+        F.col("b"),
+        F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+        F.coalesce("new_v", F.lit(0)).alias("new_v"),
+    )
+    cw = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        merged.withColumn("cum_n", F.sum("n_toks").over(cw))
+        .withColumn("cum_v", F.sum("new_v").over(cw))
+        .filter((F.col("cum_n") > 0) & (F.col("cum_v") > 0))
+        .select(
+            F.expr(_ln_micro_expr("cum_n")).alias("x"),
+            F.expr(_ln_micro_expr("cum_v")).alias("y"),
+        )
+    )
+    return _ols_fit(pts)
+
+
+# Gopher-style within-document repetition gates (Rae et al. 2021, table A1
+# spirit): fraction of n-gram OCCURRENCES that are repeats of an earlier
+# in-doc n-gram, plus the share of the single most frequent bigram.
+REP_DUP2_MAX = 0.20
+REP_DUP3_MAX = 0.18
+REP_TOP2_MAX = 0.18
+# the top-bigram-share rule only means anything on docs with enough bigram
+# mass (a 4-token doc has top2_share >= 1/3 by construction); below this
+# occurrence floor the rule abstains, mirroring Gopher's length-gated rules
+REP_MIN_BIGRAMS = 16
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition gate: per doc, the duplicate-bigram and
+    duplicate-trigram occurrence fractions (1 − distinct/total) and the
+    most-frequent-bigram share, with a keep flag under the Gopher-style
+    thresholds — the quality signal that catches boilerplate loops and
+    degenerate generations that corpus-LEVEL dedup never sees (it compares
+    a document against ITSELF, complementing quality_gopher's length/
+    stopword rules and dedup_*'s cross-doc passes).
+
+    All ratios are exact single divisions of per-doc BIGINT counts
+    (stable_round), so the oracle agrees bit-for-bit; docs too short for an
+    n-gram read as 0 repetition and keep=true.
+
+    Plan shape at 100 TB: one explode of tagged 2-/3-grams →
+    (doc_id, n, gram) partial-aggregated count → (doc_id) aggregate —
+    both shuffles keyed on doc_id-led keys (the second reuses the first's
+    partitioning) — then one doc_id equi-join back to the corpus row set
+    to keep gram-free docs. No windows, no driver state."""
+    from ..functions.vector import stable_round
+    from ..tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ngrams = (
+        "CASE WHEN size(toks) >= {n} THEN transform(sequence(0, size(toks) - {n}),"
+        " i -> named_struct('n', {n}, 'g', array_join(slice(toks, i + 1, {n}), ' ')))"
+        " ELSE array() END"
+    )
+    grams = docs.select(
+        "doc_id", F.expr(_TOKS_SAFE).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"concat({ngrams.format(n=2)}, {ngrams.format(n=3)})")
+        ).alias("gr"),
+    )
+    per_doc = (
+        grams.groupBy("doc_id", F.col("gr.n").alias("n"), F.col("gr.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("IF(n = 2, c, 0L)")).alias("t2"),
+            F.sum(F.expr("IF(n = 2, 1L, 0L)")).alias("d2"),
+            F.max(F.expr("IF(n = 2, c, 0L)")).alias("m2"),
+            F.sum(F.expr("IF(n = 3, c, 0L)")).alias("t3"),
+            F.sum(F.expr("IF(n = 3, 1L, 0L)")).alias("d3"),
+        )
+    )
+    frac = "CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "t2",
+            F.expr(
+                "CASE WHEN coalesce(t2, 0L) = 0 THEN 0.0D ELSE "
+                + stable_round(frac.format(num="t2 - d2", den="t2"), 6)
+                + " END"
+            ).alias("dup2_frac"),
+            F.expr(
+                "CASE WHEN coalesce(t3, 0L) = 0 THEN 0.0D ELSE "
+                + stable_round(frac.format(num="t3 - d3", den="t3"), 6)
+                + " END"
+            ).alias("dup3_frac"),
+            F.expr(
+                "CASE WHEN coalesce(t2, 0L) = 0 THEN 0.0D ELSE "
+                + stable_round(frac.format(num="m2", den="t2"), 6)
+                + " END"
+            ).alias("top2_share"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup2_frac") <= F.lit(REP_DUP2_MAX))
+            & (F.col("dup3_frac") <= F.lit(REP_DUP3_MAX))
+            & (
+                (F.col("top2_share") <= F.lit(REP_TOP2_MAX))
+                | (F.coalesce(F.col("t2"), F.lit(0)) < F.lit(REP_MIN_BIGRAMS))
+            ),
+        )
+        .drop("t2")
+    )

@@ -4864,6 +4864,154 @@ _register(
 )
 
 # --------------------------------------------------------------------------
+# Round-7 session-7 additions: statistical-law fits (Zipf rank-frequency,
+# Heaps vocabulary growth) and the Gopher-style within-doc repetition gate.
+# Shared oracle core: exact micro-quantized-integer OLS — Spark runs the
+# cross terms in DECIMAL(38,0), DuckDB in HUGEINT; both consume identical
+# exact integers so the fit coefficients agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def _ols_sql(points_cte: str) -> str:
+    """DuckDB twin of text._ols_fit over a CTE named ``p`` with BIGINT
+    micro-log columns x, y."""
+    cov = "(CAST(n_points AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)"
+    varx = "(CAST(n_points AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)"
+    vary = "(CAST(n_points AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy)"
+    icpt = "(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy)"
+    return f"""
+    {points_cte}
+    , a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM p
+    )
+    SELECT n_points,
+           CASE WHEN {varx} = 0 THEN NULL ELSE
+               {_stable_round_sql(f'CAST({cov} AS DOUBLE) / CAST({varx} AS DOUBLE)')}
+           END AS slope,
+           CASE WHEN {varx} = 0 THEN NULL ELSE
+               {_stable_round_sql(f'CAST({icpt} AS DOUBLE) / CAST({varx} AS DOUBLE) / 1e6')}
+           END AS intercept,
+           CASE WHEN {varx} = 0 OR {vary} = 0 THEN NULL ELSE
+               {_stable_round_sql(
+                   f'CAST({cov} AS DOUBLE) * CAST({cov} AS DOUBLE)'
+                   f' / (CAST({varx} AS DOUBLE) * CAST({vary} AS DOUBLE))'
+               )}
+           END AS r2
+    FROM a
+    """
+
+
+_LN_MICRO_SQL = "CAST(floor(ln(CAST({c} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+_ZIPF_LT = "[" + ", ".join(str(v) for v in text._ln_micro_table(text.ZIPF_TOPK)) + "]"
+
+_register(
+    "token_zipf_fit",
+    text.token_zipf_fit,
+    _ols_sql(f"""
+    WITH c AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest({_TOKS_SAFE_SQL}) AS w FROM documents) GROUP BY w
+    ), r AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rnk FROM c
+        QUALIFY rnk <= {text.ZIPF_TOPK}
+    ), p AS (
+        SELECT ({_ZIPF_LT})[rnk] AS x, {_LN_MICRO_SQL.format(c='c')} AS y FROM r
+    )
+    """),
+)
+
+_register(
+    "vocab_heaps_fit",
+    text.vocab_heaps_fit,
+    _ols_sql(f"""
+    WITH bounds AS (
+        SELECT CAST(min(coalesce(doc_id, 0)) AS BIGINT) AS lo,
+               CAST(greatest(max(coalesce(doc_id, 0))
+                             - min(coalesce(doc_id, 0)) + 1, 1) AS BIGINT) AS span
+        FROM documents
+    ), tk AS (
+        SELECT CAST(floor((CAST(coalesce(doc_id, 0) AS BIGINT) - lo)
+                          * {text.HEAPS_BUCKETS} / span) AS INT) AS b,
+               w
+        FROM (SELECT doc_id, unnest({_TOKS_SAFE_SQL}) AS w FROM documents), bounds
+    ), pb AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n_toks FROM tk GROUP BY b
+    ), fs AS (
+        SELECT fb AS b, CAST(count(*) AS BIGINT) AS new_v
+        FROM (SELECT w, min(b) AS fb FROM tk GROUP BY w) GROUP BY fb
+    ), m AS (
+        SELECT coalesce(pb.b, fs.b) AS b,
+               coalesce(n_toks, 0) AS n_toks, coalesce(new_v, 0) AS new_v
+        FROM pb FULL OUTER JOIN fs ON pb.b = fs.b
+    ), cum AS (
+        SELECT sum(n_toks) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_n,
+               sum(new_v) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_v
+        FROM m
+    ), p AS (
+        SELECT {_LN_MICRO_SQL.format(c='cum_n')} AS x,
+               {_LN_MICRO_SQL.format(c='cum_v')} AS y
+        FROM cum WHERE cum_n > 0 AND cum_v > 0
+    )
+    """),
+)
+
+_register(
+    "quality_repetition",
+    text.quality_repetition,
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SAFE_SQL} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, 2 AS n,
+               unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS g
+        FROM t
+        UNION ALL
+        SELECT doc_id, 3 AS n,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+        FROM t
+    ), c AS (
+        SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY doc_id, n, g
+    ), pd AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN n = 2 THEN c ELSE 0 END) AS BIGINT) AS t2,
+               CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+               CAST(max(CASE WHEN n = 2 THEN c ELSE 0 END) AS BIGINT) AS m2,
+               CAST(sum(CASE WHEN n = 3 THEN c ELSE 0 END) AS BIGINT) AS t3,
+               CAST(sum(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3
+        FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN coalesce(t2, 0) = 0 THEN 0.0
+                ELSE {_stable_round_sql('CAST(t2 - d2 AS DOUBLE) / CAST(t2 AS DOUBLE)')}
+           END AS dup2_frac,
+           CASE WHEN coalesce(t3, 0) = 0 THEN 0.0
+                ELSE {_stable_round_sql('CAST(t3 - d3 AS DOUBLE) / CAST(t3 AS DOUBLE)')}
+           END AS dup3_frac,
+           CASE WHEN coalesce(t2, 0) = 0 THEN 0.0
+                ELSE {_stable_round_sql('CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE)')}
+           END AS top2_share,
+           (CASE WHEN coalesce(t2, 0) = 0 THEN 0.0
+                 ELSE {_stable_round_sql('CAST(t2 - d2 AS DOUBLE) / CAST(t2 AS DOUBLE)')}
+            END <= CAST({text.REP_DUP2_MAX} AS DOUBLE)
+            AND CASE WHEN coalesce(t3, 0) = 0 THEN 0.0
+                     ELSE {_stable_round_sql('CAST(t3 - d3 AS DOUBLE) / CAST(t3 AS DOUBLE)')}
+                END <= CAST({text.REP_DUP3_MAX} AS DOUBLE)
+            AND (CASE WHEN coalesce(t2, 0) = 0 THEN 0.0
+                      ELSE {_stable_round_sql('CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE)')}
+                 END <= CAST({text.REP_TOP2_MAX} AS DOUBLE)
+                 OR coalesce(t2, 0) < {text.REP_MIN_BIGRAMS})) AS keep
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+
+# --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
 # ``udtf_surface`` at position 9 pushed position 51 out of the file). To make
