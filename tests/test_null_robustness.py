@@ -102,6 +102,8 @@ NULLISH_QUERIES = [
     "token_zipf_fit",
     "vocab_heaps_fit",
     "quality_repetition",
+    "host_clustering_coeff",
+    "sql_recursive_surface",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

@@ -1992,3 +1992,41 @@ def test_repetition_closed_form_on_synthetic_docs(spark, sf_dir, tmp_path):
         assert rows[3]["dup2_frac"] == 0.0 and rows[3]["keep"] is True
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_recursive_cte_matches_driver_loop_bfs(spark, sf_dir):
+    """sql_recursive_surface (one WITH RECURSIVE statement) and host_khop
+    (driver-loop frontier BFS) walk the same graph from the same seeds —
+    their (host, hops) result sets must be identical."""
+    rec = {(r["host"], r["hops"]) for r in QUERIES["sql_recursive_surface"](spark, sf_dir).collect()}
+    bfs = {(r["host"], r["hops"]) for r in QUERIES["host_khop"](spark, sf_dir).collect()}
+    assert rec == bfs and rec
+
+
+def test_clustering_coeff_closed_form(spark, sf_dir, tmp_path):
+    """host_clustering_coeff on a hand-computable graph: docs 'x y z x'
+    (triangle) + 'x w' (pendant) give 1 triangle, 5 wedges, global 3/5,
+    and avg local (1/3 + 1 + 1)/3 over the three degree>=2 nodes."""
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
+    synth = spark.createDataFrame(
+        [(1, "x y z x"), (2, "x w")], "doc_id long, text string"
+    )
+    aligned = synth.select(
+        *[
+            F.col(c) if c in ("doc_id", "text") else F.lit(None).cast(f.dataType).alias(c)
+            for c, f in zip(docs.columns, docs.schema.fields)
+        ]
+    )
+    out = str(tmp_path / "cc_sf")
+    aligned.write.parquet(f"{out}/documents.parquet")
+    try:
+        row = QUERIES["host_clustering_coeff"](spark, out).collect()[0]
+        assert row["n_nodes"] == 4
+        assert row["n_wedges"] == 5
+        assert row["n_triangles"] == 1
+        assert abs(row["global_coeff"] - 0.6) < 1e-9
+        assert abs(row["avg_local_coeff"] - (2333333 / 3e6)) < 2e-6
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

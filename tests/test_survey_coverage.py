@@ -249,6 +249,8 @@ NORTH_STAR_SURFACE = [
     "token_zipf_fit",
     "vocab_heaps_fit",
     "quality_repetition",
+    "host_clustering_coeff",
+    "sql_recursive_surface",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1056,3 +1056,53 @@ def sql_scripting_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+RECURSIVE_MAX_HOPS = 3  # depth cap: bounds UNION ALL walk enumeration
+
+
+def sql_recursive_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (Spark 4 WITH RECURSIVE): BFS hop distances
+    (≤ RECURSIVE_MAX_HOPS) from the 'a%' seed hosts over the directed
+    within-document host graph, written as ONE self-referential SQL
+    statement — the declarative twin of host_khop's driver-loop BFS (same
+    seeds, same edges, same min-distance semantics; a property test pins
+    the two result sets equal).
+
+    Spark's recursive CTEs support UNION ALL only (UNION_NOT_SUPPORTED_IN
+    _RECURSIVE_CTE as of 4.1), so the walk enumerates depth-capped PATHS
+    and MIN(d) collapses them — correct at any depth cap, but path count
+    can grow combinatorially on dense graphs: at 100 TB scale prefer
+    host_khop's iterative frontier/anti-join BFS, which expands each node
+    once. This operator exists to prove the SQL surface end-to-end; the
+    oracle runs the byte-identical shape (UNION ALL + cap) in DuckDB."""
+    from .text import URL_HOST_RE
+
+    # only the documents view is needed — registering it directly keeps the
+    # operator runnable on partial fixtures (the null battery ships only the
+    # tables a query reads)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_recursive_docs")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE t AS (
+            SELECT transform(filter(split(coalesce(text, ''), ' '), x -> x != ''),
+                       tk -> coalesce(nullif(regexp_extract(lower(tk), '{URL_HOST_RE}', 1), ''),
+                                      lower(tk))) AS hosts
+            FROM _recursive_docs
+        ), edges AS (
+            SELECT DISTINCT p.src, p.dst
+            FROM (SELECT explode(transform(sequence(0, size(hosts) - 2),
+                             i -> named_struct('src', hosts[i], 'dst', hosts[i + 1]))) AS p
+                  FROM t WHERE size(hosts) >= 2)
+            WHERE p.src <> p.dst
+        ), nodes AS (
+            SELECT DISTINCT explode(hosts) AS host FROM t
+        ), walk(host, d) AS (
+            SELECT host, 0 FROM nodes WHERE host LIKE 'a%'
+            UNION ALL
+            SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.host
+            WHERE w.d < {RECURSIVE_MAX_HOPS}
+        )
+        SELECT host, CAST(MIN(d) AS INT) AS hops FROM walk GROUP BY host
+        """
+    )

@@ -842,3 +842,85 @@ def host_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         "community_size",
     )
+
+
+def host_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering coefficients of the undirected host adjacency graph —
+    global transitivity (3·triangles / wedges) and the mean local
+    coefficient over nodes with degree ≥ 2 — the web-graph cohesion
+    summary that separates organically-linked neighborhoods from hub-spoke
+    link farms (triangle-free stars have coefficient 0 at any density).
+    One row: n_nodes, n_wedges, n_triangles, global_coeff, avg_local_coeff.
+
+    Exactness: wedge counts are C(deg, 2) in BIGINT; per-node local
+    ratios 2·tᵢ/(dᵢ(dᵢ−1)) are floored integer micro-division (Spark DIV =
+    DuckDB //), so the cross-node SUM is exact integer arithmetic — no
+    float accumulation order anywhere; the two final divisions are
+    stable_round over identical exact operands.
+
+    Plan shape at 100 TB: the host_triangles degree-ordered census
+    (orientation bounds the wedge self-join fan-out by O(√E) on skewed
+    graphs) plus one explode of the triangle set to per-node counts —
+    every shuffle an equi-join or aggregate on host keys; the final
+    aggregate is one row. scalar_join attaches the 1-row global census
+    (allowlisted category 2)."""
+    from ..functions.vector import stable_round
+    from ..tables import scalar_join
+
+    und = _host_undirected_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("h"))
+        .unionAll(und.select(F.col("b").alias("h")))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    withdeg = (
+        und.join(deg.withColumnRenamed("h", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("h", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    lt = "(da < db) OR (da = db AND a < b)"
+    oriented = withdeg.select(
+        F.expr(f"IF({lt}, a, b)").alias("u"),
+        F.expr(f"IF({lt}, b, a)").alias("v"),
+    ).localCheckpoint(eager=False)
+    e2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = oriented.join(e2, F.col("u") == F.col("u2")).filter(F.col("v") < F.col("w"))
+    tri = wedges.join(und, (F.col("v") == F.col("a")) & (F.col("w") == F.col("b")))
+    per_node_tri = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    local = (
+        deg.join(per_node_tri, "h", "left")
+        .select(
+            "deg",
+            F.coalesce("t", F.lit(0)).alias("t"),
+            F.expr(
+                "IF(deg >= 2, (2L * coalesce(t, 0L) * 1000000L) DIV (deg * (deg - 1L)), NULL)"
+            ).alias("lc_micro"),
+        )
+    )
+    summary = local.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("IF(deg >= 2, (deg * (deg - 1L)) DIV 2, 0L)")).alias("n_wedges"),
+        F.sum(F.expr("IF(deg >= 2, 1L, 0L)")).alias("_n2"),
+        F.sum("lc_micro").alias("_lc_sum"),
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return scalar_join(summary, n_tri).select(
+        "n_nodes",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges = 0 THEN NULL ELSE "
+            + stable_round("3.0D * n_triangles / CAST(n_wedges AS DOUBLE)", 6)
+            + " END"
+        ).alias("global_coeff"),
+        F.expr(
+            "CASE WHEN _n2 = 0 THEN NULL ELSE "
+            + stable_round("CAST(_lc_sum AS DOUBLE) / (CAST(_n2 AS DOUBLE) * 1e6)", 6)
+            + " END"
+        ).alias("avg_local_coeff"),
+    )

@@ -35,4 +35,5 @@ BNL_ALLOWANCE = {
     "events_survival_km": 1,
     "events_cooccurrence_lift": 1,
     "embedding_pca_power": 1,
+    "host_clustering_coeff": 1,
 }
