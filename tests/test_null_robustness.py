@@ -104,6 +104,7 @@ NULLISH_QUERIES = [
     "quality_repetition",
     "host_clustering_coeff",
     "sql_recursive_surface",
+    "multimodal_wav_pcm",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

@@ -2030,3 +2030,29 @@ def test_clustering_coeff_closed_form(spark, sf_dir, tmp_path):
         assert abs(row["avg_local_coeff"] - (2333333 / 3e6)) < 2e-6
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_pcm_features_match_brute_force_and_reject_garbage():
+    """pcm_features (RIFF walk + vectorized decode) against a per-sample
+    Python brute force on assorted square waves; non-WAV bytes and
+    stereo/float WAVs must be rejected, not misparsed."""
+    from url_counter_mapreduce_spark.operators.multimodal import (
+        pcm_features,
+        wav_pcm_bytes,
+    )
+
+    for rate, n, amp, half, off in [
+        (8000, 64, 1000, 2, 0),
+        (11000, 463, 13000, 7, 400),
+        (9000, 65, 3000, 3, 100),
+    ]:
+        blob = wav_pcm_bytes(rate, n, amp, half, off)
+        got = pcm_features(blob)
+        samples = [off + (amp if (k // half) % 2 == 0 else -amp) for k in range(n)]
+        peak = max(abs(s) for s in samples)
+        sum_sq = sum(s * s for s in samples)
+        zc = sum(1 for a, b in zip(samples, samples[1:]) if a * b < 0)
+        assert got == (rate, n, peak, sum_sq, zc)
+        assert zc == (n - 1) // half
+    assert pcm_features(b"not a wav at all") is None
+    assert pcm_features(b"RIFF\x00\x00\x00\x00WAVE") is None

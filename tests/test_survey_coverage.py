@@ -251,6 +251,7 @@ NORTH_STAR_SURFACE = [
     "quality_repetition",
     "host_clustering_coeff",
     "sql_recursive_surface",
+    "multimodal_wav_pcm",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -694,3 +694,141 @@ def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         F.expr("(CAST(duration_ticks AS BIGINT) * 1000) div timescale"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio PCM leg: non-silent square-wave WAVs and sample-level feature
+# extraction (peak, energy, zero-crossing rate) — the audio twin of the
+# PNG/GIF/JPEG/MP4 container battery, one level deeper than header parsing:
+# the features come from the DECODED samples, not the chunk headers, while
+# the square-wave synthesis keeps every feature closed-form on doc_id so
+# the DuckDB oracle replays them exactly.
+# --------------------------------------------------------------------------
+
+# doc_id-keyed synthesis formulas (SQL-expressible; Python mirrors below)
+PCM_RATE = "8000 + (doc_id % 8) * 1000"  # sample rate, 8k..15k
+PCM_AMP = "1000 + (doc_id % 7) * 2000"  # square amplitude, 1k..13k
+PCM_HALF = "2 + doc_id % 6"  # samples per half-period, 2..7
+PCM_N = "64 + (doc_id * 13) % 400"  # sample count, 64..463
+PCM_OFF = "(doc_id % 5) * 100"  # DC offset, 0..400
+
+
+def wav_pcm_bytes(rate: int, n: int, amp: int, half: int, off: int) -> bytes:
+    """Valid mono 16-bit PCM WAV carrying an offset square wave:
+    s[k] = off + amp if (k div half) even else off - amp."""
+    import struct
+
+    samples = bytearray()
+    for k in range(n):
+        s = off + (amp if (k // half) % 2 == 0 else -amp)
+        samples += struct.pack("<h", s)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + bytes(samples)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_pcm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic square-wave WAV payloads keyed on doc_id per the
+    PCM_* formula contract (Arrow-batched mapInPandas synthesis)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def gen(doc_id: int) -> bytes:
+            return wav_pcm_bytes(
+                8000 + (doc_id % 8) * 1000,
+                64 + (doc_id * 13) % 400,
+                1000 + (doc_id % 7) * 2000,
+                2 + doc_id % 6,
+                (doc_id % 5) * 100,
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["doc_id"].map(lambda i: gen(int(i)))}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def pcm_features(blob: bytes):
+    """(rate, n_samples, peak, sum_sq, zero_crossings) from a mono 16-bit
+    WAV's decoded samples (RIFF walk to fmt/data, then numpy over the raw
+    PCM), or None if the bytes are not such a WAV."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(blob):
+        typ, size = blob[pos:pos + 4], struct.unpack("<I", blob[pos + 4:pos + 8])[0]
+        payload = blob[pos + 8:pos + 8 + size]
+        if typ == b"fmt " and size >= 16:
+            _fmt, chans, rate = struct.unpack("<HHI", payload[:8])
+            if _fmt != 1 or chans != 1:
+                return None
+        elif typ == b"data":
+            data = payload
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None or len(data) % 2 != 0:
+        return None
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if s.size == 0:
+        return (int(rate), 0, 0, 0, 0)
+    zc = int(np.count_nonzero(s[:-1] * s[1:] < 0))
+    return (int(rate), int(s.size), int(np.abs(s).max()), int((s * s).sum()), zc)
+
+
+def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-level PCM feature extraction over synthesized non-silent
+    WAVs: decode the int16 stream and emit sample_rate, n_samples, peak
+    amplitude, exact energy Σs² (BIGINT), zero-crossing count, and RMS —
+    the audio quality/filter features (clipping detection = peak at
+    full-scale; silence gating = energy near 0; pitch proxy = crossing
+    rate) a multimodal curation pass computes per clip.
+
+    mapInPandas + numpy over the Arrow batch is the right shape for
+    per-blob decode at 100 TB: no shuffle (doc-partitioned map), vectorized
+    per batch, output a fixed narrow schema. RMS = sqrt(sum_sq/n) is
+    evaluated JVM-side on the exact integers (IEEE sqrt is correctly
+    rounded, so both engines agree bit-for-bit under stable_round).
+
+    Oracle: the PCM_* synthesis formulas replayed closed-form on doc_id —
+    peak = off+amp, positive-sample count from whole/partial periods,
+    energy n_pos·(off+amp)² + n_neg·(off−amp)², crossings = (n−1) div
+    half."""
+    from ..functions.vector import stable_round
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [pcm_features(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [f[0] if f else None for f in feats],
+                    "n_samples": [f[1] if f else None for f in feats],
+                    "peak": [f[2] if f else None for f in feats],
+                    "sum_sq": [f[3] if f else None for f in feats],
+                    "zero_crossings": [f[4] if f else None for f in feats],
+                }
+            )
+
+    meta = synth_pcm_payloads(spark, sf_dir).mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, sample_rate int, n_samples long, peak long,"
+            " sum_sq long, zero_crossings long"
+        ),
+    )
+    return meta.withColumn(
+        "rms",
+        F.expr(
+            "CASE WHEN n_samples > 0 THEN "
+            + stable_round("sqrt(CAST(sum_sq AS DOUBLE) / n_samples)", 6)
+            + " ELSE NULL END"
+        ),
+    )

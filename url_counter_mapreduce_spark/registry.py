@@ -5089,6 +5089,35 @@ _register(
     .replace("{max_hops}", str(advanced.RECURSIVE_MAX_HOPS)),
 )
 
+_register(
+    "multimodal_wav_pcm",
+    multimodal.multimodal_wav_pcm,
+    f"""
+    WITH params AS (
+        SELECT doc_id,
+               CAST({multimodal.PCM_RATE} AS INT) AS sample_rate,
+               CAST({multimodal.PCM_N} AS BIGINT) AS n,
+               CAST({multimodal.PCM_AMP} AS BIGINT) AS amp,
+               CAST({multimodal.PCM_HALF} AS BIGINT) AS h,
+               CAST({multimodal.PCM_OFF} AS BIGINT) AS off
+        FROM documents
+    ), pos AS (
+        SELECT *, (n // (2 * h)) * h + least(n % (2 * h), h) AS n_pos FROM params
+    ), f AS (
+        SELECT doc_id, sample_rate, n AS n_samples, off + amp AS peak,
+               n_pos * (off + amp) * (off + amp)
+                   + (n - n_pos) * (off - amp) * (off - amp) AS sum_sq,
+               (n - 1) // h AS zero_crossings
+        FROM pos
+    )
+    SELECT doc_id, sample_rate, n_samples, peak, sum_sq, zero_crossings,
+           CASE WHEN n_samples > 0 THEN
+               {_stable_round_sql('sqrt(CAST(sum_sq AS DOUBLE) / n_samples)')}
+           ELSE NULL END AS rms
+    FROM f
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
