@@ -105,6 +105,9 @@ NULLISH_QUERIES = [
     "host_clustering_coeff",
     "sql_recursive_surface",
     "multimodal_wav_pcm",
+    "lm_perplexity_gate",
+    "token_entropy_rate",
+    "source_overlap_matrix",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

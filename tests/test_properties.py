@@ -2056,3 +2056,67 @@ def test_pcm_features_match_brute_force_and_reject_garbage():
         assert zc == (n - 1) // half
     assert pcm_features(b"not a wav at all") is None
     assert pcm_features(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_perplexity_gate_relative_threshold_splits(spark, sf_dir):
+    """The relative gate must actually fire: every ppl is >= 1 (add-one
+    probabilities never exceed 1), the keep flag equals the documented
+    integer predicate, and on the fixture some docs land on each side of
+    125% of the corpus mean."""
+    from url_counter_mapreduce_spark.operators.text import PPL_REL_DEN, PPL_REL_NUM
+
+    rows = QUERIES["lm_perplexity_gate"](spark, sf_dir).collect()
+    scored = [r for r in rows if r["perplexity"] is not None]
+    assert scored and all(r["perplexity"] >= 1.0 for r in scored)
+    n = len(scored)
+    total = sum(round(r["perplexity"] * 1e4) for r in scored)
+    for r in scored:
+        expect = PPL_REL_DEN * round(r["perplexity"] * 1e4) * n <= PPL_REL_NUM * total
+        assert r["keep"] == expect
+    kept = sum(1 for r in scored if r["keep"])
+    assert 0 < kept <= n
+
+
+def test_entropy_rate_conditioning_reduces_entropy(spark, sf_dir):
+    """H(W2|W1) <= H(W) + eps: conditioning on the previous token cannot
+    add information; redundancy_ratio must sit in [0, 1] on natural-ish
+    text."""
+    row = QUERIES["token_entropy_rate"](spark, sf_dir).collect()[0]
+    assert row["unigram_entropy"] is not None and row["unigram_entropy"] > 0
+    assert row["entropy_rate"] is not None and row["entropy_rate"] >= 0
+    assert row["entropy_rate"] <= row["unigram_entropy"] + 1e-6
+    assert 0.0 <= row["redundancy_ratio"] <= 1.0
+
+
+def test_source_overlap_counts_injected_cross_source_dups(spark, sf_dir, tmp_path):
+    """source_overlap_matrix on a corpus with known sharing: text 'dup A'
+    in sources s1+s2+s3, 'dup B' in s1+s2, unique texts elsewhere —
+    expect (s1,s2)=2, (s1,s3)=1, (s2,s3)=1 and no other pairs."""
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
+    synth = spark.createDataFrame(
+        [
+            (1, "dup A", "s1"), (2, "dup A", "s2"), (3, "dup A", "s3"),
+            (4, "dup B", "s1"), (5, "dup B", "s2"),
+            (6, "only one", "s1"), (7, "another", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    aligned = synth.select(
+        *[
+            F.col(c) if c in ("doc_id", "text", "source")
+            else F.lit(None).cast(f.dataType).alias(c)
+            for c, f in zip(docs.columns, docs.schema.fields)
+        ]
+    )
+    out = str(tmp_path / "ovl_sf")
+    aligned.write.parquet(f"{out}/documents.parquet")
+    try:
+        got = {
+            (r["source_a"], r["source_b"]): r["n_shared_texts"]
+            for r in QUERIES["source_overlap_matrix"](spark, out).collect()
+        }
+        assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -252,6 +252,9 @@ NORTH_STAR_SURFACE = [
     "host_clustering_coeff",
     "sql_recursive_surface",
     "multimodal_wav_pcm",
+    "lm_perplexity_gate",
+    "token_entropy_rate",
+    "source_overlap_matrix",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1348,3 +1348,40 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("min_train_id IS NOT NULL").alias("flagged"),
         )
     )
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-content overlap: for every source pair (a < b),
+    how many DISTINCT document texts appear in both — the contamination
+    matrix a corpus-mixing pass reads before weighting sources (two
+    "independent" crawls sharing half their content double-count that mass
+    under any per-source mixing weight; cf. the cross-snapshot overlap
+    accounting in the C4/mC4 and FineWeb dump-dedup discussions).
+
+    Mechanics: distinct (md5(text), source) pairs, self-joined on the
+    hash with a < b ordering, counted per pair. The join key is the
+    content hash, so fan-out per key is bounded by the SOURCE count (tiny
+    constant), never by duplicate volume — a hash shared by 10^6 docs in
+    2 sources contributes one (hash, a), one (hash, b), one joined row.
+
+    Plan shape at 100 TB: one distinct over (hash, source) — partial-
+    aggregated, hash-keyed — then a self equi-join on hash (|sources|-
+    bounded fan-out) and a |sources|²-row aggregate. No skew exposure:
+    the distinct collapses duplicate mass before anything joins."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hs = (
+        docs.select(
+            F.md5(F.coalesce("text", F.lit(""))).alias("h"),
+            F.coalesce("source", F.lit("unknown")).alias("source"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = hs.withColumnRenamed("source", "source_a")
+    b = hs.withColumnRenamed("source", "source_b")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_texts"))
+    )

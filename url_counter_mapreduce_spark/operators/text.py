@@ -1682,3 +1682,193 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t2")
     )
+
+
+# relative perplexity ceiling: keep docs within NUM/DEN of the corpus-mean
+# perplexity (a fixed absolute ceiling is meaningless for a self-trained LM —
+# the absolute scale moves with vocabulary size; CCNet likewise thresholds on
+# corpus-relative quantiles). 5/4 = 125 % of the mean.
+PPL_REL_NUM = 5
+PPL_REL_DEN = 4
+
+
+def lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter (Wenzek et al., LREC 2020) under the
+    corpus-self-trained add-one bigram LM: per doc, token-level perplexity
+    exp(−(1/n)·Σ ln p(w2|w1)) and a keep flag at PPL_REL_NUM/PPL_REL_DEN of
+    the corpus-mean perplexity — the log-space complement of
+    lm_bigram_quality's arithmetic-mean score (perplexity is what the
+    published pipelines actually threshold on; the gate is corpus-RELATIVE
+    because a self-trained LM's absolute scale moves with vocabulary size).
+    The gate predicate is pure integer arithmetic: perplexities are exact
+    1e-4 multiples after stable_round, so DEN·n·pplᵢ ≤ NUM·Σppl compares
+    exact BIGINTs in both engines (no float mean, no accumulation order).
+
+    Cross-engine exactness: each DISTINCT (doc, bigram)'s log-probability
+    is micro-quantized per row (_ln_micro-style: p = (c_big+1)/(c_uni+V)
+    is one correctly-rounded IEEE division, ln the accepted-risk last-ulp
+    op), then Σ n_occ·lp is EXACT integer arithmetic — accumulation order
+    cannot move the sum, unlike a float Σ log. The final exp/stable_round
+    consumes identical exact integers in both engines. V is read off the
+    materialized unigram model (catalog-stat literal, tf_idf posture).
+
+    Plan shape at 100 TB: identical to lm_bigram_quality — one explode,
+    two partial-aggregated model counts, two short-key equi-joins, one
+    per-doc aggregate; the gate is a projection."""
+    from ..functions.vector import stable_round
+    from ..tables import load_table as _lt
+    from ..tables import spread
+
+    docs = _lt(spark, sf_dir, "documents")
+    toks = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.expr(_TOKS).alias("toks"))
+        .localCheckpoint(eager=False)
+    )
+    docbig = (
+        toks.filter(F.expr("size(toks) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", F.expr("concat_ws(' ', b.w1, b.w2)").alias("bigram"))
+        .groupBy("doc_id", "w1", "bigram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+        .localCheckpoint(eager=False)
+    )
+    vocab_v = uni.count()
+    big = docbig.groupBy("bigram").agg(F.sum("n_occ").alias("c_big"))
+    lp = (
+        "CAST(floor(ln((CAST(c_big AS DOUBLE) + 1.0D)"
+        f" / (CAST(c_uni AS DOUBLE) + {vocab_v}.0D)) * 1e6 + 0.5) AS BIGINT)"
+    )
+    scored = (
+        docbig.join(big, "bigram")
+        .join(uni.withColumnRenamed("token", "w1"), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_bigrams"),
+            F.sum(F.expr(f"n_occ * {lp}")).alias("_slp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(
+                stable_round(
+                    "exp(-CAST(_slp AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e6))", 4
+                )
+            ).alias("perplexity"),
+        )
+    )
+    from ..tables import scalar_join
+
+    corpus = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_scored"),
+        F.sum(F.expr("CAST(floor(perplexity * 1e4 + 0.5) AS BIGINT)")).alias("_sum_pplq"),
+    )
+    return (
+        scalar_join(docs.select("doc_id").join(scored, "doc_id", "left"), corpus)
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "perplexity",
+            F.expr(
+                f"coalesce({PPL_REL_DEN}L * CAST(floor(perplexity * 1e4 + 0.5) AS BIGINT)"
+                f" * _n_scored <= {PPL_REL_NUM}L * _sum_pplq, true)"
+            ).alias("keep"),
+        )
+    )
+
+
+def token_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus information-theory summary: unigram entropy H(W) and the
+    bigram-chain entropy rate H(W₂|W₁) in nats, plus their ratio — the
+    redundancy diagnostic (entropy rate far below unigram entropy means
+    the corpus is locally predictable: templates, boilerplate, generated
+    loops) complementing quality_char_entropy's per-doc character view.
+
+    H(W₂|W₁) = (1/N)·Σ c(w1,w2)·(ln c_ctx(w1) − ln c(w1,w2)) over distinct
+    bigrams, with c_ctx the per-context successor total — every ln is
+    micro-quantized per DISTINCT n-gram row, the weighted sum runs in
+    DECIMAL(38,0) (HUGEINT oracle-side) so it is exact at any corpus size,
+    and only the final division is floating point.
+
+    Plan shape at 100 TB: bigram count (flagship shuffle), context count =
+    re-aggregate of the bigram model by w1 (model-sized), one short-key
+    equi-join of the two, single-row final aggregate."""
+    from ..functions.vector import stable_round
+    from ..tables import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.expr(_TOKS_SAFE).alias("toks")).localCheckpoint(eager=False)
+    big = (
+        toks.filter(F.expr("size(toks) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> named_struct('w1', toks[i], 'bigram',"
+                    " concat_ws(' ', toks[i], toks[i + 1])))"
+                )
+            ).alias("b")
+        )
+        .groupBy("b.w1", "b.bigram")
+        .agg(F.count(F.lit(1)).alias("c_big"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = big.groupBy("w1").agg(F.sum("c_big").alias("c_ctx"))
+    lnm = "CAST(floor(ln(CAST({c} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    bterm = big.join(ctx, "w1").agg(
+        F.sum("c_big").alias("n_bigrams"),
+        F.sum(
+            F.expr(
+                f"CAST(c_big AS DECIMAL(38,0)) * ({lnm.format(c='c_ctx')} - {lnm.format(c='c_big')})"
+            )
+        ).alias("_hb"),
+    )
+    unig = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # H(W) = ln N − (1/N)·Σ c·ln c: Σ c·L(c) is the exact integer part;
+    # L(N) is applied to the SCALAR total in the final projection (the
+    # quality_char_entropy identity, sans table cap)
+    uterm = unig.agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.expr(f"CAST(c AS DECIMAL(38,0)) * {lnm.format(c='c')}")).alias("_sclnc"),
+    )
+    from ..tables import scalar_join
+
+    both = scalar_join(bterm, uterm)
+    h_uni = (
+        f"CAST(CAST(n_tokens AS DECIMAL(38,0)) * {lnm.format(c='n_tokens')}"
+        " - _sclnc AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6)"
+    )
+    h_rate = "CAST(_hb AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e6)"
+    return both.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0 THEN {stable_round(h_uni, 6)} ELSE NULL END"
+        ).alias("unigram_entropy"),
+        F.expr(
+            f"CASE WHEN n_bigrams > 0 THEN {stable_round(h_rate, 6)} ELSE NULL END"
+        ).alias("entropy_rate"),
+        F.expr(
+            f"CASE WHEN n_tokens > 0 AND n_bigrams > 0 AND ({h_uni}) > 0 THEN "
+            + stable_round(f"({h_rate}) / ({h_uni})", 6)
+            + " ELSE NULL END"
+        ).alias("redundancy_ratio"),
+    )

@@ -36,4 +36,6 @@ BNL_ALLOWANCE = {
     "events_cooccurrence_lift": 1,
     "embedding_pca_power": 1,
     "host_clustering_coeff": 1,
+    "token_entropy_rate": 1,
+    "lm_perplexity_gate": 1,
 }

@@ -5118,6 +5118,121 @@ _register(
     """,
 )
 
+_LNM_SQL = "CAST(floor(ln(CAST({c} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+
+_register(
+    "lm_perplexity_gate",
+    text.lm_perplexity_gate,
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), db AS (
+        SELECT doc_id, w1, bigram, COUNT(*) AS n_occ
+        FROM (
+            SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                  FROM t WHERE len(toks) >= 2)
+        )
+        GROUP BY doc_id, w1, bigram
+    ), uni AS (
+        SELECT token, COUNT(*) AS c_uni
+        FROM (SELECT unnest(toks) AS token FROM t)
+        GROUP BY token
+    ), big AS (
+        SELECT bigram, SUM(n_occ) AS c_big FROM db GROUP BY bigram
+    ), scored AS (
+        SELECT doc_id, SUM(n_occ)::BIGINT AS n_bigrams,
+               {_stable_round_sql(
+                   'exp(-CAST(SUM(n_occ * '
+                   'CAST(floor(ln((CAST(c_big AS DOUBLE) + 1.0)'
+                   ' / (CAST(c_uni AS DOUBLE) + (SELECT COUNT(*) FROM uni)))'
+                   ' * 1e6 + 0.5) AS BIGINT)'
+                   ') AS DOUBLE) / (CAST(SUM(n_occ) AS DOUBLE) * 1e6))', 4
+               )} AS perplexity
+        FROM db JOIN big USING (bigram) JOIN uni ON uni.token = db.w1
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           s.perplexity,
+           COALESCE({text.PPL_REL_DEN} * CAST(floor(s.perplexity * 1e4 + 0.5) AS BIGINT)
+                        * (SELECT count(*) FROM scored)
+                    <= {text.PPL_REL_NUM}
+                        * (SELECT sum(CAST(floor(perplexity * 1e4 + 0.5) AS BIGINT))
+                           FROM scored),
+                    true) AS keep
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+)
+
+_register(
+    "token_entropy_rate",
+    text.token_entropy_rate,
+    f"""
+    WITH t AS (
+        SELECT {_TOKS_SAFE_SQL} AS toks FROM documents
+    ), bg AS (
+        SELECT toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+    ), big AS (
+        SELECT w1, bigram, CAST(count(*) AS BIGINT) AS c_big FROM bg GROUP BY w1, bigram
+    ), ctx AS (
+        SELECT w1, CAST(sum(c_big) AS BIGINT) AS c_ctx FROM big GROUP BY w1
+    ), bterm AS (
+        SELECT CAST(sum(c_big) AS BIGINT) AS n_bigrams,
+               sum(CAST(c_big AS HUGEINT)
+                   * ({_LNM_SQL.format(c='c_ctx')} - {_LNM_SQL.format(c='c_big')})) AS hb
+        FROM big JOIN ctx USING (w1)
+    ), unig AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ), uterm AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+               sum(CAST(c AS HUGEINT) * {_LNM_SQL.format(c='c')}) AS sclnc
+        FROM unig
+    )
+    SELECT n_tokens, n_bigrams,
+           CASE WHEN n_tokens > 0 THEN
+               {_stable_round_sql(
+                   "CAST(CAST(n_tokens AS HUGEINT) * " + _LNM_SQL.format(c='n_tokens')
+                   + " - sclnc AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6)"
+               )}
+           ELSE NULL END AS unigram_entropy,
+           CASE WHEN n_bigrams > 0 THEN
+               {_stable_round_sql(
+                   'CAST(hb AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e6)'
+               )}
+           ELSE NULL END AS entropy_rate,
+           CASE WHEN n_tokens > 0 AND n_bigrams > 0
+                     AND (CAST(CAST(n_tokens AS HUGEINT) * {_LNM_SQL.format(c='n_tokens')}
+                          - sclnc AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6)) > 0 THEN
+               {_stable_round_sql(
+                   '(CAST(hb AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e6))'
+                   ' / (CAST(CAST(n_tokens AS HUGEINT) * '
+                   + _LNM_SQL.format(c='n_tokens')
+                   + ' - sclnc AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6))'
+               )}
+           ELSE NULL END AS redundancy_ratio
+    FROM bterm, uterm
+    """,
+)
+
+_register(
+    "source_overlap_matrix",
+    dedup.source_overlap_matrix,
+    """
+    WITH hs AS (
+        SELECT DISTINCT md5(coalesce(text, '')) AS h,
+                        coalesce(source, 'unknown') AS source
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_texts
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
