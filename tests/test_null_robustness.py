@@ -108,6 +108,8 @@ NULLISH_QUERIES = [
     "lm_perplexity_gate",
     "token_entropy_rate",
     "source_overlap_matrix",
+    "host_hits",
+    "dedup_editdistance_pairs",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

@@ -2120,3 +2120,67 @@ def test_source_overlap_counts_injected_cross_source_dups(spark, sf_dir, tmp_pat
         assert got == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_hits_star_graph_closed_form(spark, sf_dir, tmp_path):
+    """HITS on a star (hub h -> a, b, c): the three leaves get authority
+    1.0 and hub 0.0; h gets hub 1.0 and authority 0.0 — the hub/authority
+    split is the operator's whole point."""
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
+    synth = spark.createDataFrame(
+        [(1, "h a"), (2, "h b"), (3, "h c")], "doc_id long, text string"
+    )
+    aligned = synth.select(
+        *[
+            F.col(c) if c in ("doc_id", "text") else F.lit(None).cast(f.dataType).alias(c)
+            for c, f in zip(docs.columns, docs.schema.fields)
+        ]
+    )
+    out = str(tmp_path / "hits_sf")
+    aligned.write.parquet(f"{out}/documents.parquet")
+    try:
+        rows = {r["host"]: r for r in QUERIES["host_hits"](spark, out).collect()}
+        assert set(rows) == {"h", "a", "b", "c"}
+        for leaf in "abc":
+            assert abs(rows[leaf]["authority"] - 1.0) < 1e-9
+            assert rows[leaf]["hub_score"] == 0.0
+        assert rows["h"]["authority"] == 0.0
+        assert abs(rows["h"]["hub_score"] - 1.0) < 1e-9
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_editdistance_pairs_catch_small_corruptions(spark, sf_dir, tmp_path):
+    """A one-token corruption of a 40-token doc must surface as an
+    edit-distance pair (MinHash candidates + levenshtein verify), while an
+    unrelated doc must not pair with either."""
+    import shutil
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    corrupt = base.replace("tok7 ", "tokX ")
+    other = " ".join(f"zzz{i}" for i in range(40))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
+    synth = spark.createDataFrame(
+        [(1, base), (2, corrupt), (3, other)], "doc_id long, text string"
+    )
+    aligned = synth.select(
+        *[
+            F.col(c) if c in ("doc_id", "text") else F.lit(None).cast(f.dataType).alias(c)
+            for c, f in zip(docs.columns, docs.schema.fields)
+        ]
+    )
+    out = str(tmp_path / "ed_sf")
+    aligned.write.parquet(f"{out}/documents.parquet")
+    try:
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in QUERIES["dedup_editdistance_pairs"](spark, out).collect()
+        }
+        assert (1, 2) in pairs
+        assert pairs[(1, 2)]["edit_distance"] == 1
+        assert pairs[(1, 2)]["rel_distance"] <= 0.2
+        assert not any(3 in p for p in pairs)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

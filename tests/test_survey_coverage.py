@@ -255,6 +255,8 @@ NORTH_STAR_SURFACE = [
     "lm_perplexity_gate",
     "token_entropy_rate",
     "source_overlap_matrix",
+    "host_hits",
+    "dedup_editdistance_pairs",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1385,3 +1385,70 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_texts"))
     )
+
+
+# edit-distance verification ceiling: pairs kept when
+# ED_REL_DEN · levenshtein ≤ ED_REL_NUM · max(len_a, len_b)  (≤ 20 %)
+ED_REL_NUM = 1
+ED_REL_DEN = 5
+
+
+def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate pairs verified by CHARACTER edit distance: MinHash-
+    LSH band candidates (the shared signature index — same blocking as
+    dedup_minhash_pairs) re-verified with levenshtein ≤ 20 % of the longer
+    text — the character-level robustness pass that token-set Jaccard
+    misses (word reorderings score high on Jaccard but far on edit
+    distance; OCR/typo corruptions the reverse), the complement every
+    fuzzy-dedup stack pairs with shingle similarity.
+
+    Exactness: levenshtein is the classic unit-cost DP — identical
+    integers in Spark and DuckDB — and the keep predicate is pure integer
+    arithmetic (ED_REL_DEN·ed ≤ ED_REL_NUM·maxlen); the relative distance
+    is one stable_round division of those integers.
+
+    Plan shape at 100 TB: candidates come from the banded equi-join
+    (never all-pairs); the verify is per-candidate-pair compute. Spark
+    additionally supports levenshtein(a, b, threshold) (banded
+    Ukkonen-style early exit) — not used here only because the oracle
+    must run the identical unbounded form; a production deployment would
+    pass the per-pair ceiling."""
+    from ..tables import load_table as _lt
+
+    sigs = _signatures_for(spark, sf_dir)
+    bands = _band_keys(sigs, [])
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band2"), F.col("key").alias("key2")
+    )
+    cand = (
+        bands.join(b2, (F.col("band") == F.col("band2")) & (F.col("key") == F.col("key2")))
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    texts = _lt(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("txt")
+    )
+    ta = texts.select(F.col("doc_id").alias("doc_a"), F.col("txt").alias("txt_a"))
+    tb = texts.select(F.col("doc_id").alias("doc_b"), F.col("txt").alias("txt_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("txt_a", "txt_b").cast("long").alias("edit_distance"),
+            F.greatest(F.length("txt_a"), F.length("txt_b")).cast("long").alias("_mx"),
+        )
+        .filter(
+            F.expr(f"{ED_REL_DEN}L * edit_distance <= {ED_REL_NUM}L * _mx AND _mx > 0")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_distance",
+            F.expr(
+                "floor(CAST(edit_distance AS DOUBLE) / _mx * 1e6 + 0.5) / 1e6"
+            ).alias("rel_distance"),
+        )
+    )

@@ -924,3 +924,108 @@ def host_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " END"
         ).alias("avg_local_coeff"),
     )
+
+
+HITS_ITERS = 4
+HITS_TOP = 20
+
+
+def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-HITS_TOP hosts by HITS authority (Kleinberg, JACM 1999) over the
+    weighted directed within-document host graph, hub scores alongside —
+    the link-analysis complement of host_pagerank (PageRank rewards being
+    pointed AT by important pages; HITS separates directories/hubs from
+    destinations/authorities, the split crawl schedulers use).
+
+    Driver-controlled power iteration (the PageRank pattern), HITS_ITERS
+    rounds of auth[d] = Σ w·hub[s]; hub[s] = Σ w·auth[d], each followed by
+    MAX-normalization (valid for HITS convergence like any norm, and —
+    unlike the L2 norm — exactly computable in integers): scores are
+    BIGINT nano-units, the weighted sums run in DECIMAL(38,0) (HUGEINT in
+    the oracle), and renormalization is (s·10⁹) DIV max — integer floor
+    division whose quotient is ≤ 10⁹ by construction (Spark's DECIMAL DIV
+    silently wraps only when the QUOTIENT overflows BIGINT; bounded here).
+    Zero floating point in the loop — bit-exact cross-engine by
+    construction; the oracle replays the rounds as unrolled CTE stages.
+
+    Plan shape at 100 TB: edge table built once and checkpointed; each
+    half-round is one equi-join + one aggregate keyed on host; the max is
+    a window over the NODE table (host-bounded, the token_gini posture).
+    Shuffles ∝ edges per round, never corpus."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import stable_round
+    from .text import URL_HOST_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.expr(
+            "transform(filter(split(coalesce(text, ''), ' '), x -> x != ''),"
+            f" t -> coalesce(nullif(regexp_extract(lower(t), '{URL_HOST_RE}', 1), ''),"
+            " lower(t)))"
+        ).alias("hosts")
+    ).localCheckpoint(eager=False)
+    pairs = (
+        hosts.filter(F.expr("size(hosts) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(hosts) - 2),"
+                    " i -> named_struct('src', hosts[i], 'dst', hosts[i + 1]))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint()  # built once, probed 2·HITS_ITERS times
+    )
+    nodes = hosts.select(F.explode("hosts").alias("host")).distinct().localCheckpoint()
+    allw = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scores = nodes.select(
+        "host", F.lit(10**9).alias("hub"), F.lit(10**9).alias("auth")
+    )
+    renorm = (
+        "CAST(CAST(coalesce(s, CAST(0 AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        " * 1000000000L DIV mx AS BIGINT)"
+    )
+    for it in range(HITS_ITERS):
+        a_raw = (
+            edges.join(
+                scores.select(F.col("host").alias("src"), "hub"), "src"
+            )
+            .select("dst", F.expr("CAST(w AS DECIMAL(38,0)) * hub").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        scores = (
+            scores.join(a_raw.withColumnRenamed("dst", "host"), "host", "left")
+            .withColumn("mx", F.max("s").over(allw))
+            .select("host", "hub", F.expr(renorm).alias("auth"))
+        )
+        h_raw = (
+            edges.join(
+                scores.select(F.col("host").alias("dst"), "auth"), "dst"
+            )
+            .select("src", F.expr("CAST(w AS DECIMAL(38,0)) * auth").alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("s"))
+        )
+        scores = (
+            scores.join(h_raw.withColumnRenamed("src", "host"), "host", "left")
+            .withColumn("mx", F.max("s").over(allw))
+            .select("host", F.expr(renorm).alias("hub"), "auth")
+            .localCheckpoint()
+        )
+    return (
+        scores.select(
+            "host",
+            F.expr(stable_round("CAST(auth AS DOUBLE) / 1e9", 6)).alias("authority"),
+            F.expr(stable_round("CAST(hub AS DOUBLE) / 1e9", 6)).alias("hub_score"),
+        )
+        .orderBy(F.col("authority").desc(), F.col("host").asc())
+        .limit(HITS_TOP)
+    )

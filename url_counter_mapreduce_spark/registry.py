@@ -5233,6 +5233,91 @@ _register(
     """,
 )
 
+def _hits_oracle_sql(n_iters: int) -> str:
+    """DuckDB replay of host_hits as unrolled auth/hub CTE stage pairs
+    (the _pagerank_oracle_sql pattern). All-integer: weighted sums in
+    HUGEINT, max-renormalization by integer floor division — zero floats
+    until the display projection, so the replay is bit-exact."""
+    head = f"""
+    WITH t AS (
+        SELECT list_transform({_TOKS_SAFE_SQL},
+                   tk -> COALESCE(nullif(regexp_extract(lower(tk), '{text.URL_HOST_RE}', 1), ''),
+                                  lower(tk))) AS hosts
+        FROM documents
+    ), pairs AS (
+        SELECT hosts[i] AS src, hosts[i + 1] AS dst
+        FROM (SELECT hosts, unnest(range(1, len(hosts))) AS i FROM t WHERE len(hosts) >= 2)
+        WHERE hosts[i] <> hosts[i + 1]
+    ), e AS MATERIALIZED (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM pairs GROUP BY src, dst
+    ), nodes AS MATERIALIZED (
+        SELECT DISTINCT h AS host FROM (SELECT unnest(hosts) AS h FROM t)
+    ), s0 AS (
+        SELECT host, CAST(1000000000 AS BIGINT) AS hub,
+               CAST(1000000000 AS BIGINT) AS auth
+        FROM nodes
+    )"""
+    stages = []
+    for k in range(n_iters):
+        stages.append(f"""
+    , a{k} AS MATERIALIZED (
+        SELECT host, hub,
+               CAST(CAST(coalesce(s, 0) AS HUGEINT) * 1000000000 // mx AS BIGINT) AS auth
+        FROM (
+            SELECT s{k}.host, s{k}.hub, c.s, max(c.s) OVER () AS mx
+            FROM s{k} LEFT JOIN (
+                SELECT dst, SUM(CAST(w AS HUGEINT) * hub) AS s
+                FROM e JOIN s{k} ON s{k}.host = e.src GROUP BY dst
+            ) c ON c.dst = s{k}.host
+        )
+    ), s{k + 1} AS MATERIALIZED (
+        SELECT host,
+               CAST(CAST(coalesce(s, 0) AS HUGEINT) * 1000000000 // mx AS BIGINT) AS hub,
+               auth
+        FROM (
+            SELECT a{k}.host, a{k}.auth, c.s, max(c.s) OVER () AS mx
+            FROM a{k} LEFT JOIN (
+                SELECT src, SUM(CAST(w AS HUGEINT) * auth) AS s
+                FROM e JOIN a{k} ON a{k}.host = e.dst GROUP BY src
+            ) c ON c.src = a{k}.host
+        )
+    )""")
+    tail = f"""
+    SELECT host,
+           {_stable_round_sql('CAST(auth AS DOUBLE) / 1e9')} AS authority,
+           {_stable_round_sql('CAST(hub AS DOUBLE) / 1e9')} AS hub_score
+    FROM s{n_iters}
+    ORDER BY authority DESC, host ASC LIMIT {_graph.HITS_TOP}
+    """
+    return head + "".join(stages) + tail
+
+
+_register("host_hits", _graph.host_hits, _hits_oracle_sql(_graph.HITS_ITERS))
+
+_register(
+    "dedup_editdistance_pairs",
+    dedup.dedup_editdistance_pairs,
+    _SIGS_CTE
+    + f", bands AS ({_BANDS_SQL})"
+    + f"""
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), v AS (
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(coalesce(da.text, ''), coalesce(db.text, '')) AS BIGINT) AS edit_distance,
+               CAST(greatest(length(coalesce(da.text, '')), length(coalesce(db.text, ''))) AS BIGINT) AS mx
+        FROM cand
+        JOIN documents da ON da.doc_id = doc_a
+        JOIN documents db ON db.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, edit_distance,
+           floor(CAST(edit_distance AS DOUBLE) / mx * 1e6 + 0.5) / 1e6 AS rel_distance
+    FROM v
+    WHERE {dedup.ED_REL_DEN} * edit_distance <= {dedup.ED_REL_NUM} * mx AND mx > 0
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
