@@ -110,6 +110,7 @@ NULLISH_QUERIES = [
     "source_overlap_matrix",
     "host_hits",
     "dedup_editdistance_pairs",
+    "events_user_stickiness",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

@@ -2184,3 +2184,62 @@ def test_editdistance_pairs_catch_small_corruptions(spark, sf_dir, tmp_path):
         assert not any(3 in p for p in pairs)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_market_basket_closed_form(spark, sf_dir, tmp_path):
+    """Pair supports/confidence/lift on a 3-order basket set with known
+    co-occurrence: orders {p1,p2}, {p1,p2}, {p1,p3}."""
+    import shutil
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(0)
+    synth = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (2, 102), (3, 101), (3, 103)],
+        "l_orderkey long, l_partkey long",
+    )
+    aligned = synth.select(
+        *[
+            F.col(c) if c in ("l_orderkey", "l_partkey")
+            else F.lit(None).cast(f.dataType).alias(c)
+            for c, f in zip(li.columns, li.schema.fields)
+        ]
+    )
+    out = str(tmp_path / "mb_sf")
+    aligned.write.parquet(f"{out}/lineitem.parquet")
+    try:
+        rows = {
+            (r["pa"], r["pb"]): r
+            for r in QUERIES["orders_market_basket"](spark, out).collect()
+        }
+        assert rows[(101, 102)]["support"] == 2
+        assert abs(rows[(101, 102)]["confidence"] - 2 / 3) < 1e-6
+        assert abs(rows[(101, 102)]["lift"] - 1.0) < 1e-6
+        assert rows[(101, 103)]["support"] == 1
+        assert (102, 103) not in rows
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_abc_pareto_partitions_and_orders(spark, sf_dir):
+    """ABC classes must be consistent with the cumulative share: A rows
+    have the smallest cum_share, the final row reaches share 1.0, and the
+    class predicates match the published 80/95 cuts."""
+    rows = QUERIES["orders_abc_pareto"](spark, sf_dir).collect()
+    assert rows and {r["abc_class"] for r in rows} <= {"A", "B", "C"}
+    mx = max(r["cum_share"] for r in rows)
+    assert abs(mx - 1.0) < 1e-6
+    for r in rows:
+        if r["abc_class"] == "A":
+            assert r["cum_share"] <= 0.8 + 1e-6
+        elif r["abc_class"] == "B":
+            assert r["cum_share"] <= 0.95 + 1e-6
+    assert any(r["abc_class"] == "A" for r in rows)
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    """DAU/MAU is a ratio of actives: 0 < stickiness <= 1 and
+    avg_dau <= mau for every month."""
+    rows = QUERIES["events_user_stickiness"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["stickiness"] <= 1.0 + 1e-9
+        assert r["avg_dau"] <= r["mau"] + 1e-9

@@ -257,6 +257,9 @@ NORTH_STAR_SURFACE = [
     "source_overlap_matrix",
     "host_hits",
     "dedup_editdistance_pairs",
+    "orders_market_basket",
+    "orders_abc_pareto",
+    "events_user_stickiness",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1106,3 +1106,114 @@ def sql_recursive_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT host, CAST(MIN(d) AS INT) AS hops FROM walk GROUP BY host
         """
     )
+
+
+BASKET_TOP = 50
+
+
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order line items: for the BASKET_TOP
+    most co-ordered part pairs, support count, confidence P(b|a), and lift
+    — the association-rule primitive (Agrawal/Srikant's Apriori setting)
+    restricted to pair itemsets, which at TPC-H's bounded basket width
+    (≤ 7 lines per order) needs no candidate pruning at any corpus size:
+    the per-order pair explode is C(7,2)-bounded, so the self-join fan-out
+    is a constant factor of the lineitem count.
+
+    Exactness: supports are BIGINT counts; confidence and lift are single
+    stable_round divisions of exact integers (lift's N attaches via the
+    one-row scalar_join, allowlisted). Ordering (support desc, pa, pb) is
+    integer-deterministic.
+
+    Plan shape at 100 TB: distinct (order, part) — partial-aggregated —
+    then an orderkey equi-join with constant fan-out, a (pa, pb)
+    aggregate, and a TakeOrderedAndProject. Per-part supports re-use the
+    distinct table; no corpus-wide sort."""
+    from ..functions.vector import stable_round
+    from ..tables import scalar_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    b2 = baskets.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
+    )
+    pair_support = (
+        baskets.join(b2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_partkey") < F.col("pb")))
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    sa = item.select(F.col("l_partkey").alias("pa"), F.col("s").alias("sa"))
+    sb = item.select(F.col("l_partkey").alias("pb"), F.col("s").alias("sb"))
+    return (
+        scalar_join(pair_support.join(sa, "pa").join(sb, "pb"), n_orders)
+        .select(
+            "pa",
+            "pb",
+            "support",
+            F.expr(stable_round("CAST(support AS DOUBLE) / sa", 6)).alias("confidence"),
+            F.expr(
+                stable_round(
+                    "CAST(support AS DOUBLE) * n_orders / (CAST(sa AS DOUBLE) * sb)", 6
+                )
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(BASKET_TOP)
+    )
+
+
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank parts by
+    exact-integer revenue, cumulative revenue share, and the inventory
+    classes A (first 80 % of revenue), B (to 95 %), C (tail) — the 80/20
+    analysis every catalog/inventory pipeline runs.
+
+    Exactness: revenue is computed per ROW in integer 1e-4 units —
+    l_extendedprice and l_discount are 2-dp decimals stored as doubles, so
+    floor(·100 + 0.5) recovers exact integers and price_c·(100 − disc_c)
+    is an exact BIGINT — making the per-part sums, the ranking, and the
+    class predicates (5·cum ≤ 4·total for A, 20·cum ≤ 19·total for B)
+    pure integer arithmetic in both engines. Only the display columns
+    divide.
+
+    Plan shape at 100 TB: one partial-aggregated (partkey) sum, then a
+    window over the PART DIMENSION (catalog-bounded, the skyline_docs
+    posture), never over line items."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import stable_round
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            "l_partkey",
+            F.expr(
+                "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                " * (100L - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+            ).alias("rc4"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("rc4").alias("rc4"))
+    )
+    # null placement pinned on both engines (Spark defaults DESC NULLS
+    # LAST / ASC NULLS FIRST, DuckDB the reverse on ASC — the cross-engine
+    # window-order trap)
+    w = Window.orderBy(F.col("rc4").desc_nulls_last(), F.col("l_partkey").asc_nulls_last())
+    tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        rev.withColumn("cum", F.sum("rc4").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", F.sum("rc4").over(tot))
+        .select(
+            "l_partkey",
+            F.expr(stable_round("CAST(rc4 AS DOUBLE) / 1e4", 4)).alias("revenue"),
+            F.expr(stable_round("CAST(cum AS DOUBLE) / total", 6)).alias("cum_share"),
+            F.expr(
+                "CASE WHEN 5 * cum <= 4 * total THEN 'A'"
+                " WHEN 20 * cum <= 19 * total THEN 'B' ELSE 'C' END"
+            ).alias("abc_class"),
+        )
+    )

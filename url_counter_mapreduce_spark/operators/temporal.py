@@ -1076,3 +1076,57 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("burstiness"),
         )
     )
+
+
+def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month: distinct daily actives
+    averaged over the month's ACTIVE days, divided by the month's distinct
+    actives — the engagement ratio product analytics watches (1.0 = every
+    monthly user shows up every active day; ~0.05 = drive-by traffic).
+
+    Exactness: all inputs are BIGINT counts (Σ per-day distinct users,
+    day count, monthly distinct users); avg_dau and stickiness are single
+    stable_round divisions of exact integers. Calendar keys via
+    date_format (DuckDB strftime twins); NULL timestamps group under a
+    NULL month in both engines.
+
+    Plan shape at 100 TB: one (month, day, user) distinct — partial-
+    aggregated, the dominant shuffle — then (month, day) and (month)
+    re-aggregates that reuse its partitioning prefix, and a month-keyed
+    join of two month-bounded tables."""
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    mdu = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    daily = mdu.groupBy("month", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    per_month = daily.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        F.sum("dau").alias("sum_dau"),
+    )
+    mau = (
+        mdu.select("month", "user_id")
+        .distinct()
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    return per_month.join(mau, "month").select(
+        "month",
+        "n_active_days",
+        "mau",
+        F.expr(
+            stable_round("CAST(sum_dau AS DOUBLE) / n_active_days", 6)
+        ).alias("avg_dau"),
+        F.expr(
+            stable_round("CAST(sum_dau AS DOUBLE) / (CAST(n_active_days AS DOUBLE) * mau)", 6)
+        ).alias("stickiness"),
+    )

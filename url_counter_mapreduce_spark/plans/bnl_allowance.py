@@ -38,4 +38,5 @@ BNL_ALLOWANCE = {
     "host_clustering_coeff": 1,
     "token_entropy_rate": 1,
     "lm_perplexity_gate": 1,
+    "orders_market_basket": 1,
 }

@@ -5318,6 +5318,85 @@ _register(
     """,
 )
 
+_register(
+    "orders_market_basket",
+    advanced.orders_market_basket,
+    f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), ps AS (
+        SELECT a.l_partkey AS pa, c.l_partkey AS pb, CAST(count(*) AS BIGINT) AS support
+        FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY a.l_partkey, c.l_partkey
+    ), item AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY l_partkey
+    ), n AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b
+    )
+    SELECT pa, pb, support,
+           {_stable_round_sql('CAST(support AS DOUBLE) / sa.s')} AS confidence,
+           {_stable_round_sql(
+               'CAST(support AS DOUBLE) * n_orders / (CAST(sa.s AS DOUBLE) * sb.s)'
+           )} AS lift
+    FROM ps JOIN item sa ON sa.l_partkey = ps.pa
+            JOIN item sb ON sb.l_partkey = ps.pb, n
+    ORDER BY support DESC, pa ASC, pb ASC LIMIT {advanced.BASKET_TOP}
+    """,
+)
+
+_register(
+    "orders_abc_pareto",
+    advanced.orders_abc_pareto,
+    f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS rc4
+        FROM lineitem GROUP BY l_partkey
+    ), c AS (
+        SELECT l_partkey, rc4,
+               sum(rc4) OVER (ORDER BY rc4 DESC NULLS LAST, l_partkey ASC NULLS LAST
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(rc4) OVER () AS total
+        FROM rev
+    )
+    SELECT l_partkey,
+           {_stable_round_sql('CAST(rc4 AS DOUBLE) / 1e4', 4)} AS revenue,
+           {_stable_round_sql('CAST(cum AS DOUBLE) / total')} AS cum_share,
+           CASE WHEN 5 * cum <= 4 * total THEN 'A'
+                WHEN 20 * cum <= 19 * total THEN 'B' ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+
+_register(
+    "events_user_stickiness",
+    temporal.events_user_stickiness,
+    f"""
+    WITH mdu AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+                        strftime(ts, '%Y-%m-%d') AS day, user_id
+        FROM events
+    ), daily AS (
+        SELECT month, day, CAST(count(*) AS BIGINT) AS dau FROM mdu GROUP BY month, day
+    ), pm AS (
+        SELECT month, CAST(count(*) AS BIGINT) AS n_active_days,
+               CAST(sum(dau) AS BIGINT) AS sum_dau
+        FROM daily GROUP BY month
+    ), mau AS (
+        SELECT month, CAST(count(*) AS BIGINT) AS mau
+        FROM (SELECT DISTINCT month, user_id FROM mdu) GROUP BY month
+    )
+    SELECT month, n_active_days, mau,
+           {_stable_round_sql('CAST(sum_dau AS DOUBLE) / n_active_days')} AS avg_dau,
+           {_stable_round_sql(
+               'CAST(sum_dau AS DOUBLE) / (CAST(n_active_days AS DOUBLE) * mau)'
+           )} AS stickiness
+    FROM pm JOIN mau USING (month)
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
