@@ -111,6 +111,7 @@ NULLISH_QUERIES = [
     "host_hits",
     "dedup_editdistance_pairs",
     "events_user_stickiness",
+    "events_trend_forecast",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

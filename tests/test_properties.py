@@ -2243,3 +2243,37 @@ def test_stickiness_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r["stickiness"] <= 1.0 + 1e-9
         assert r["avg_dau"] <= r["mau"] + 1e-9
+
+
+def test_trend_forecast_recovers_exact_linear_series(spark, sf_dir, tmp_path):
+    """On a synthetic series with exactly k events on day d0+i·(i from
+    0..9, counts 10+2i), the fitted slope must be exactly 2 and the
+    forecast for day 10 exactly 30; r2 = 1."""
+    import datetime
+    import shutil
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(0)
+    rows = []
+    eid = 0
+    for i in range(10):
+        for _ in range(10 + 2 * i):
+            rows.append((eid, datetime.datetime(2024, 1, 1 + i, 12, 0, 0), "click"))
+            eid += 1
+    synth = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    aligned = synth.select(
+        *[
+            F.col(c) if c in ("event_id", "ts", "event_type")
+            else F.lit(None).cast(f.dataType).alias(c)
+            for c, f in zip(ev.columns, ev.schema.fields)
+        ]
+    )
+    out = str(tmp_path / "trend_sf")
+    aligned.write.parquet(f"{out}/events.parquet")
+    try:
+        row = QUERIES["events_trend_forecast"](spark, out).collect()[0]
+        assert row["n_days"] == 10
+        assert abs(row["slope"] - 2.0) < 1e-9
+        assert abs(row["r2"] - 1.0) < 1e-9
+        assert abs(row["forecast_next"] - 30.0) < 1e-9
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

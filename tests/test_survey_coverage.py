@@ -260,6 +260,7 @@ NORTH_STAR_SURFACE = [
     "orders_market_basket",
     "orders_abc_pareto",
     "events_user_stickiness",
+    "events_trend_forecast",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

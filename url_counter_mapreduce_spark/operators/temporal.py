@@ -1130,3 +1130,81 @@ def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round("CAST(sum_dau AS DOUBLE) / (CAST(n_active_days AS DOUBLE) * mau)", 6)
         ).alias("stickiness"),
     )
+
+
+def events_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend over daily counts with a one-day-ahead
+    forecast: OLS of count on day index, slope (events/day), fit r², and
+    forecast_next = intercept + slope·(last_index + 1) — the capacity-
+    planning primitive (is traffic growing, and what does tomorrow look
+    like) complementing events_seasonal_decompose's cyclic reading.
+
+    Exactness: daily counts and day indices are BIGINTs; all OLS cross
+    terms run in DECIMAL(38,0) (HUGEINT oracle-side) so slope, intercept,
+    r² and the forecast are divisions of identical exact integers in both
+    engines (the token_zipf_fit core, applied per group). Day indices are
+    per-type-rebased (x − min x), which leaves slope/r²/forecast invariant
+    while keeping the cross terms small. NULL timestamps are filtered
+    before counting (a NULL x would desync count(*) from the sums).
+    Single-day types yield NULL slope/forecast (zero x-variance), not
+    division blow-ups.
+
+    Plan shape at 100 TB: one (type, day) partial-aggregated count, a
+    type-partitioned window for the rebase (type-day-bounded), one
+    per-type aggregate. No corpus-wide windows."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import stable_round
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .select(
+            F.coalesce("event_type", F.lit("unknown")).alias("event_type"),
+            F.expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)").alias("ed"),
+        )
+        .groupBy("event_type", "ed")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    tw = Window.partitionBy("event_type")
+    pts = daily.withColumn("x", F.col("ed") - F.min("ed").over(tw))
+    a = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.max("x").alias("mx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    cov = "(CAST(n_days AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+    varx = "(CAST(n_days AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+    vary = "(CAST(n_days AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
+    icpt = "(CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy)"
+    return a.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            f"CASE WHEN {varx} = 0 THEN NULL ELSE "
+            + stable_round(f"CAST({cov} AS DOUBLE) / CAST({varx} AS DOUBLE)", 6)
+            + " END"
+        ).alias("slope"),
+        F.expr(
+            f"CASE WHEN {varx} = 0 OR {vary} = 0 THEN NULL ELSE "
+            + stable_round(
+                f"CAST({cov} AS DOUBLE) * CAST({cov} AS DOUBLE)"
+                f" / (CAST({varx} AS DOUBLE) * CAST({vary} AS DOUBLE))",
+                6,
+            )
+            + " END"
+        ).alias("r2"),
+        F.expr(
+            f"CASE WHEN {varx} = 0 THEN NULL ELSE "
+            + stable_round(
+                f"(CAST({icpt} AS DOUBLE) + CAST({cov} AS DOUBLE) * (mx + 1))"
+                f" / CAST({varx} AS DOUBLE)",
+                6,
+            )
+            + " END"
+        ).alias("forecast_next"),
+    )

@@ -5397,6 +5397,55 @@ _register(
     """,
 )
 
+_register(
+    "events_trend_forecast",
+    temporal.events_trend_forecast,
+    f"""
+    WITH daily AS (
+        SELECT coalesce(event_type, 'unknown') AS event_type,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS ed,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY coalesce(event_type, 'unknown'), CAST(ts AS DATE)
+    ), pts AS (
+        SELECT event_type, ed - min(ed) OVER (PARTITION BY event_type) AS x, y FROM daily
+    ), a AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(max(x) AS BIGINT) AS mx,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CASE WHEN (CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) = 0 THEN NULL ELSE
+               {_stable_round_sql(
+                   'CAST(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)'
+                   ' / CAST(CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)'
+               )}
+           END AS slope,
+           CASE WHEN (CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) = 0
+                     OR (CAST(n_days AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) = 0 THEN NULL ELSE
+               {_stable_round_sql(
+                   'CAST(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)'
+                   ' * CAST(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)'
+                   ' / (CAST(CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)'
+                   ' * CAST(CAST(n_days AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))'
+               )}
+           END AS r2,
+           CASE WHEN (CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) = 0 THEN NULL ELSE
+               {_stable_round_sql(
+                   '(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)'
+                   ' + CAST(CAST(n_days AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) * (mx + 1))'
+                   ' / CAST(CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)'
+               )}
+           END AS forecast_next
+    FROM a
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
