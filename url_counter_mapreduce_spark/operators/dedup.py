@@ -1408,11 +1408,16 @@ def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one stable_round division of those integers.
 
     Plan shape at 100 TB: candidates come from the banded equi-join
-    (never all-pairs); the verify is per-candidate-pair compute. Spark
-    additionally supports levenshtein(a, b, threshold) (banded
-    Ukkonen-style early exit) — not used here only because the oracle
-    must run the identical unbounded form; a production deployment would
-    pass the per-pair ceiling."""
+    (never all-pairs); the verify is per-candidate-pair compute, kept
+    cheap by two EXACT prunes (scale-smoke-measured 4.7×/linear without
+    them on a 16×-replica corpus whose true near-dup pair population is
+    itself quadratic in the clone count): (1) ed ≥ |len_a − len_b|, so
+    pairs whose length gap already violates the ceiling skip the DP
+    outright; (2) Spark's levenshtein(a, b, threshold) early-exit DP
+    (O(ceiling·L), not O(L²)) with the per-pair ceiling — it returns −1
+    above the ceiling, which the keep predicate discards, so the KEPT
+    rows carry the same exact distances as the oracle's unbounded form
+    (ed ≤ ⌊NUM·mx/DEN⌋ ⟺ DEN·ed ≤ NUM·mx for integer ed)."""
     from ..tables import load_table as _lt
 
     sigs = _signatures_for(spark, sf_dir)
@@ -1437,12 +1442,22 @@ def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("txt_a", "txt_b").cast("long").alias("edit_distance"),
+            "txt_a",
+            "txt_b",
             F.greatest(F.length("txt_a"), F.length("txt_b")).cast("long").alias("_mx"),
+            F.abs(F.length("txt_a") - F.length("txt_b")).cast("long").alias("_gap"),
         )
-        .filter(
-            F.expr(f"{ED_REL_DEN}L * edit_distance <= {ED_REL_NUM}L * _mx AND _mx > 0")
+        .filter(F.expr(f"_mx > 0 AND {ED_REL_DEN}L * _gap <= {ED_REL_NUM}L * _mx"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                f"CAST(levenshtein(txt_a, txt_b,"
+                f" CAST(({ED_REL_NUM}L * _mx) DIV {ED_REL_DEN} AS INT)) AS BIGINT)"
+            ).alias("edit_distance"),
+            "_mx",
         )
+        .filter(F.col("edit_distance") >= 0)
         .select(
             "doc_a",
             "doc_b",

@@ -5304,12 +5304,18 @@ _register(
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     ), v AS (
+        -- length pre-filter mirrors the Spark side: ed >= |len gap|, so the
+        -- gap bound is an exact implication of the keep predicate
         SELECT doc_a, doc_b,
                CAST(levenshtein(coalesce(da.text, ''), coalesce(db.text, '')) AS BIGINT) AS edit_distance,
                CAST(greatest(length(coalesce(da.text, '')), length(coalesce(db.text, ''))) AS BIGINT) AS mx
         FROM cand
         JOIN documents da ON da.doc_id = doc_a
         JOIN documents db ON db.doc_id = doc_b
+        WHERE {dedup.ED_REL_DEN}
+                  * abs(length(coalesce(da.text, '')) - length(coalesce(db.text, '')))
+              <= {dedup.ED_REL_NUM}
+                  * greatest(length(coalesce(da.text, '')), length(coalesce(db.text, '')))
     )
     SELECT doc_a, doc_b, edit_distance,
            floor(CAST(edit_distance AS DOUBLE) / mx * 1e6 + 0.5) / 1e6 AS rel_distance
