@@ -112,6 +112,8 @@ NULLISH_QUERIES = [
     "dedup_editdistance_pairs",
     "events_user_stickiness",
     "events_trend_forecast",
+    "events_attribution",
+    "dedup_rate_curve",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

@@ -2277,3 +2277,43 @@ def test_trend_forecast_recovers_exact_linear_series(spark, sf_dir, tmp_path):
         assert abs(row["forecast_next"] - 30.0) < 1e-9
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_attribution_models_agree_on_totals(spark, sf_dir):
+    """First-touch and last-touch must attribute the SAME total number of
+    conversions (every converting user with a pre-purchase touch gets
+    exactly one credit under each model)."""
+    rows = QUERIES["events_attribution"](spark, sf_dir).collect()
+    first = sum(r["n_conversions"] for r in rows if r["model"] == "first_touch")
+    last = sum(r["n_conversions"] for r in rows if r["model"] == "last_touch")
+    assert first == last and first > 0
+
+
+def test_dedup_rate_curve_splits_reorderings_and_skips_short_docs(spark, sf_dir, tmp_path):
+    """Unigram sets collide reorderings ('a b c' vs 'c b a'); bigram sets
+    split them; docs shorter than n are EXCLUDED from that n's row rather
+    than colliding on the empty set."""
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
+    synth = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c"), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    aligned = synth.select(
+        *[
+            F.col(c) if c in ("doc_id", "text") else F.lit(None).cast(f.dataType).alias(c)
+            for c, f in zip(docs.columns, docs.schema.fields)
+        ]
+    )
+    out = str(tmp_path / "curve_sf")
+    aligned.write.parquet(f"{out}/documents.parquet")
+    try:
+        rows = {r["n"]: r for r in QUERIES["dedup_rate_curve"](spark, out).collect()}
+        # docs 1,2 share the unigram SET {a,b,c}; only 1,3 share bigrams
+        assert rows[1]["n_docs"] == 4 and rows[1]["n_distinct_sets"] == 2
+        assert rows[2]["n_distinct_sets"] == 3  # doc2's reversed bigrams split off
+        assert rows[3]["n_docs"] == 4 and rows[3]["n_distinct_sets"] == 3
+        assert rows[4]["n_docs"] == 0 and rows[4]["dup_rate"] is None
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

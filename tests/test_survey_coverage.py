@@ -261,6 +261,8 @@ NORTH_STAR_SURFACE = [
     "orders_abc_pareto",
     "events_user_stickiness",
     "events_trend_forecast",
+    "events_attribution",
+    "dedup_rate_curve",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1467,3 +1467,62 @@ def dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_distance"),
         )
     )
+
+
+DEDUP_CURVE_NS = (1, 2, 3, 4)
+
+
+def dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate-vs-granularity curve: for each shingle size n in
+    DEDUP_CURVE_NS, the fraction of docs whose DISTINCT n-gram SET
+    collides with another doc's — the tuning diagnostic that picks the
+    dedup shingle width (n=1 is bag-of-words collision, large n
+    approaches exact-text identity; the knee of the curve is where
+    near-dup blocking stops over-merging). One row per n: n_docs,
+    n_distinct_sets, dup_rate.
+
+    The set fingerprint is md5 over the SORTED distinct n-gram list with
+    an ASCII-RS joiner — order-canonical, so identical sets hash equal in
+    both engines regardless of construction order. Docs SHORTER than n
+    are excluded from that n's row (they have no n-grams; hashing their
+    empty set would collide every short doc into one bogus dup group —
+    n_docs is therefore the ELIGIBLE count per granularity).
+
+    Plan shape at 100 TB: per n, one map-side fingerprint projection and
+    one count-distinct aggregate — 4 scans (or one shared-scan union that
+    AQE collapses); nothing shuffles but the hash keys."""
+    from ..functions.vector import stable_round
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = None
+    for n in DEDUP_CURVE_NS:
+        grams = (
+            f"array_distinct(transform(sequence(0, size(toks) - {n}),"
+            f" i -> array_join(slice(toks, i + 1, {n}), ' ')))"
+        )
+        fp = (
+            docs.select(F.expr(_tokens_non_distinct()).alias("toks"))
+            .filter(F.expr(f"size(toks) >= {n}"))
+            .select(F.md5(F.expr(f"array_join(array_sort({grams}), char(30))")).alias("h"))
+        )
+        row = fp.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_distinct_sets"),
+        ).select(
+            F.lit(n).cast("int").alias("n"),
+            "n_docs",
+            "n_distinct_sets",
+            F.expr(
+                "CASE WHEN n_docs = 0 THEN NULL ELSE "
+                + stable_round("1.0D - CAST(n_distinct_sets AS DOUBLE) / n_docs", 6)
+                + " END"
+            ).alias("dup_rate"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _tokens_non_distinct() -> str:
+    """Order-preserving non-empty space-split tokens (the n-gram curve
+    must keep duplicates and order, unlike _tokens_expr's distinct set)."""
+    return "filter(split(coalesce(text, ''), ' '), x -> x != '')"

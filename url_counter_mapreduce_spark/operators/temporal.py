@@ -1208,3 +1208,62 @@ def events_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " END"
         ).alias("forecast_next"),
     )
+
+
+ATTRIB_TOUCHES = ("view", "click", "signup")
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution: for every user
+    whose history contains a purchase, credit the touch event (view /
+    click / signup) that opened the path and the one that closed it —
+    the marketing-attribution primitive whose two models bracket every
+    weighted scheme in between. Output: one row per (model, event_type)
+    with attributed conversion counts.
+
+    Deterministic by construction: the touch ordering is (ts, event_id)
+    with both null placements pinned (the cross-engine window trap), and
+    only touches STRICTLY before the user's first purchase count — a NULL
+    ts never qualifies (NULL < t is false in both engines).
+
+    Plan shape at 100 TB: first-purchase per user (one partial-aggregated
+    min), an equi-join of touches to it, one user-partitioned window over
+    pre-conversion touches (user-history-bounded), two tiny aggregates."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin(*ATTRIB_TOUCHES))
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("fp_ts"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
+    ranked = touches.withColumn("rn_first", F.row_number().over(w)).withColumn(
+        "rn_last",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc_nulls_last("ts"), F.desc_nulls_last("event_id")
+            )
+        ),
+    )
+    first = (
+        ranked.filter(F.col("rn_first") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+        .select(F.lit("first_touch").alias("model"), "event_type", "n_conversions")
+    )
+    last = (
+        ranked.filter(F.col("rn_last") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+        .select(F.lit("last_touch").alias("model"), "event_type", "n_conversions")
+    )
+    return first.unionAll(last)

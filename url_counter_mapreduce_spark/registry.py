@@ -5452,6 +5452,57 @@ _register(
     """,
 )
 
+_register(
+    "events_attribution",
+    temporal.events_attribution,
+    """
+    WITH fp AS (
+        SELECT user_id, min(ts) AS fp_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ), touches AS (
+        SELECT e.user_id, e.event_type, e.ts, e.event_id
+        FROM events e JOIN fp USING (user_id)
+        WHERE e.event_type IN ('view', 'click', 'signup') AND e.ts < fp.fp_ts
+    ), ranked AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS rn_first,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn_last
+        FROM touches
+    )
+    SELECT 'first_touch' AS model, event_type, CAST(count(*) AS BIGINT) AS n_conversions
+    FROM ranked WHERE rn_first = 1 GROUP BY event_type
+    UNION ALL
+    SELECT 'last_touch' AS model, event_type, CAST(count(*) AS BIGINT) AS n_conversions
+    FROM ranked WHERE rn_last = 1 GROUP BY event_type
+    """,
+)
+
+_register(
+    "dedup_rate_curve",
+    dedup.dedup_rate_curve,
+    " UNION ALL ".join(
+        f"""
+    SELECT CAST({n} AS INT) AS n,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_sets,
+           CASE WHEN count(*) = 0 THEN NULL ELSE
+               {_stable_round_sql('1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*)')}
+           END AS dup_rate
+    FROM (
+        SELECT md5(coalesce(list_aggregate(list_sort(
+                   list_distinct(list_transform(range(1, len(toks) - {n} + 2),
+                            i -> array_to_string(toks[i:i + {n} - 1], ' ')))),
+                   'string_agg', chr(30)), '')) AS h
+        FROM (SELECT {_TOKS_SAFE_SQL} AS toks FROM documents)
+        WHERE len(toks) >= {n}
+    )
+    """
+        for n in dedup.DEDUP_CURVE_NS
+    ),
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
