@@ -114,6 +114,7 @@ NULLISH_QUERIES = [
     "events_trend_forecast",
     "events_attribution",
     "dedup_rate_curve",
+    "udf_iter_surface",
     "embedding_covariance",
     "embedding_quantize",
     # events with NULL value / props / event_type

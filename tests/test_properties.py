@@ -2317,3 +2317,23 @@ def test_dedup_rate_curve_splits_reorderings_and_skips_short_docs(spark, sf_dir,
         assert rows[4]["n_docs"] == 0 and rows[4]["dup_rate"] is None
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_udf_iter_matches_scalar_udf_token_counts(spark, sf_dir):
+    """The SCALAR_ITER UDF's token counts must equal the scalar pandas
+    UDF's (udf_surface) on the same corpus — two Arrow eval modes, one
+    semantics."""
+    it = {r["doc_id"]: r["n_tokens"] for r in QUERIES["udf_iter_surface"](spark, sf_dir).collect()}
+    sc = {r["doc_id"]: r["n_tokens"] for r in QUERIES["udf_surface"](spark, sf_dir).collect()}
+    assert it == sc and it
+
+
+def test_lead_time_bounds_and_mean_inside_range(spark, sf_dir):
+    """Per-priority lead-time summary invariants (the synthetic fixture
+    draws ship and order dates independently, so negatives are the honest
+    reading): min <= mean <= max and the late fraction is a fraction."""
+    rows = QUERIES["orders_lead_time"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["min_days"] <= r["mean_days"] <= r["max_days"]
+        assert 0.0 <= r["late_frac"] <= 1.0

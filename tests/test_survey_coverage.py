@@ -263,6 +263,8 @@ NORTH_STAR_SURFACE = [
     "events_trend_forecast",
     "events_attribution",
     "dedup_rate_curve",
+    "udf_iter_surface",
+    "orders_lead_time",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design

@@ -1217,3 +1217,53 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abc_class"),
         )
     )
+
+
+LEAD_TIME_LATE_DAYS = 90
+
+
+def orders_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per order priority: min/max/mean days from
+    o_orderdate to each line item's l_shipdate, plus the late fraction
+    (> LEAD_TIME_LATE_DAYS days) — the fulfillment SLA report every
+    order-management pipeline runs, and the repo's canonical
+    fact-to-fact date arithmetic example (lineitem ⋈ orders on the
+    order key, dimension-grouped).
+
+    Exactness: lead times are integer datediff days; mean and late
+    fraction are single stable_round divisions of exact BIGINT sums.
+
+    Plan shape at 100 TB: the lineitem→orders equi-join shuffles on the
+    order key (both sides partial-pruned to 2–3 columns); one
+    |priorities|-row aggregate after it."""
+    from ..functions.vector import stable_round
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.coalesce("o_orderpriority", F.lit("unknown")).alias("priority"),
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS BIGINT)"
+        ).alias("days"),
+    )
+    return (
+        joined.filter(F.col("days").isNotNull())
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.min("days").alias("min_days"),
+            F.max("days").alias("max_days"),
+            F.sum("days").alias("_sd"),
+            F.sum(F.expr(f"IF(days > {LEAD_TIME_LATE_DAYS}, 1L, 0L)")).alias("_late"),
+        )
+        .select(
+            "priority",
+            "n_items",
+            "min_days",
+            "max_days",
+            F.expr(stable_round("CAST(_sd AS DOUBLE) / n_items", 6)).alias("mean_days"),
+            F.expr(stable_round("CAST(_late AS DOUBLE) / n_items", 6)).alias("late_frac"),
+        )
+    )

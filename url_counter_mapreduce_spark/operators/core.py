@@ -24,6 +24,8 @@ identical semantics (space-split, drop empties), columnar input.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -236,3 +238,46 @@ def arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInArrow(stats, schema="doc_id long, n_chars_utf8 long, n_spaces long")
+
+
+def udf_iter_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12's fourth UDF shape: the ITERATOR-of-Series pandas UDF
+    (SCALAR_ITER) — same Arrow batching as udf_surface's scalar form but
+    the function owns the batch loop, the variant used when per-executor
+    one-time setup (a model handle, a compiled automaton) must amortize
+    across batches instead of re-running per batch. The "expensive
+    initialization" here is a compiled regex + a byte-cost table, built
+    once per partition iterator, then applied to every batch: per-doc
+    UTF-8 byte count and a tokens-per-100-bytes density score.
+
+    Exactness: byte length and token count are integers; density is one
+    stable-rounded division — exact oracle via DuckDB's strlen/octet
+    semantics (ASCII fixture: octet_length)."""
+    import re
+
+    @pandas_udf("struct<n_bytes: long, n_tokens: long>")
+    def doc_stats(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # (annotated Iterator[Series] for the SCALAR_ITER eval-type
+        # inferencer; a struct-typed UDF yields DataFrames at runtime)
+        token_re = re.compile(r"[^ ]+")  # one-time setup, amortized
+        for text in batches:
+            filled = text.fillna("")
+            yield pd.DataFrame(
+                {
+                    "n_bytes": filled.str.encode("utf-8").str.len().astype("int64"),
+                    "n_tokens": filled.str.count(token_re).astype("int64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_stats(F.col("text")).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.n_bytes").alias("n_bytes"),
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.expr(
+            "CASE WHEN s.n_bytes = 0 THEN 0.0D ELSE"
+            " floor(CAST(s.n_tokens AS DOUBLE) * 100 / s.n_bytes * 1e6 + 0.5) / 1e6 END"
+        ).alias("tokens_per_100b"),
+    )

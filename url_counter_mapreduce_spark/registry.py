@@ -5503,6 +5503,44 @@ _register(
     ),
 )
 
+_register(
+    "udf_iter_surface",
+    core.udf_iter_surface,
+    f"""
+    SELECT doc_id,
+           CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+           CAST(len({_TOKS_SAFE_SQL}) AS BIGINT) AS n_tokens,
+           CASE WHEN strlen(coalesce(text, '')) = 0 THEN 0.0 ELSE
+               floor(CAST(len({_TOKS_SAFE_SQL}) AS DOUBLE) * 100
+                     / strlen(coalesce(text, '')) * 1e6 + 0.5) / 1e6
+           END AS tokens_per_100b
+    FROM documents
+    """,
+)
+
+_register(
+    "orders_lead_time",
+    advanced.orders_lead_time,
+    f"""
+    WITH j AS (
+        SELECT coalesce(o.o_orderpriority, 'unknown') AS priority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(days) AS BIGINT) AS min_days,
+           CAST(max(days) AS BIGINT) AS max_days,
+           {_stable_round_sql('CAST(sum(days) AS DOUBLE) / count(*)')} AS mean_days,
+           {_stable_round_sql(
+               'CAST(sum(CASE WHEN days > ' + str(advanced.LEAD_TIME_LATE_DAYS)
+               + ' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)'
+           )} AS late_frac
+    FROM j WHERE days IS NOT NULL GROUP BY priority
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
