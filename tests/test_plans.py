@@ -189,3 +189,48 @@ def test_cdc_snapshot_diff_has_no_exchange(spark, sf_dir):
     the executed plan must contain no Exchange — the diff is scan + merge."""
     plan = _plan(spark, sf_dir, "cdc_changes")
     assert "Exchange" not in plan, plan[:1200]
+
+
+def test_udf_iter_is_arrow_batched_not_row_python(spark, sf_dir):
+    """The SCALAR_ITER UDF must plan as ArrowEvalPython (vectorized batch
+    transfer), never BatchEvalPython (row-at-a-time pickling)."""
+    plan = _plan(spark, sf_dir, "udf_iter_surface")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pcm_decode_is_shuffle_free(spark, sf_dir):
+    """multimodal_wav_pcm is synth → decode → projection, all mapInPandas
+    over the scan partitioning: the plan must contain NO Exchange (a
+    per-blob decode that shuffles is wrong at any scale)."""
+    plan = _plan(spark, sf_dir, "multimodal_wav_pcm")
+    assert "Exchange" not in plan
+
+
+def test_lead_time_scans_are_pruned(spark, sf_dir):
+    """orders_lead_time reads 2 of 11 lineitem columns and 3 of 6 orders
+    columns — the fact-scan pruning that decides its cost at 100 TB."""
+    plan = _plan(spark, sf_dir, "orders_lead_time")
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"l_orderkey", "l_shipdate", "o_orderkey", "o_orderdate", "o_orderpriority"}, cols
+
+
+def test_repetition_and_gates_have_partial_aggregation(spark, sf_dir):
+    """The corpus-linear session-7 gates must show map-side combine
+    (partial HashAggregate) so the n-gram/bigram shuffles carry aggregated
+    keys, not raw occurrences."""
+    for name in ("quality_repetition", "lm_perplexity_gate", "token_entropy_rate"):
+        plan = _plan(spark, sf_dir, name)
+        assert "partial" in plan.lower(), f"{name} lacks partial aggregation"
+
+
+def test_market_basket_uses_topk_operator(spark, sf_dir):
+    """orders_market_basket's top-50 must plan as TakeOrderedAndProject
+    (per-partition heaps), not a global sort."""
+    plan = _plan(spark, sf_dir, "orders_market_basket")
+    assert "TakeOrderedAndProject" in plan
