@@ -1804,6 +1804,21 @@ def test_mp4_synth_roundtrip_and_rejects_garbage():
     assert parse_mp4(b"") is None
     assert parse_mp4(b"\x00" * 32) is None
     assert parse_mp4(b"\x00\x00\x00\x08ftyp") is None  # truncated ftyp
+    import struct as _st
+
+    # crafted moov whose mvhd header abuts the buffer end: the parser must
+    # return None, not IndexError on blob[j + 8] (ADVICE r07 crash class)
+    ftyp = _st.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+    bare_mvhd_hdr = _st.pack(">I", 8) + b"mvhd"  # header only, no body
+    crafted = ftyp + _st.pack(">I", 16) + b"moov" + bare_mvhd_hdr
+    assert parse_mp4(crafted) is None
+    # short mvhd body (struct.error class): 16 bytes of body, fields need 100
+    short_body = _st.pack(">I", 24) + b"mvhd" + b"\x00" * 16
+    crafted2 = ftyp + _st.pack(">I", 32) + b"moov" + short_body
+    assert parse_mp4(crafted2) is None
+    # child box whose size overruns its moov parent: break, not overread
+    runaway = ftyp + _st.pack(">I", 16) + b"moov" + _st.pack(">I", 4096) + b"mvhd"
+    assert parse_mp4(runaway) is None
 
 
 def test_burstiness_bounds_and_closed_form(spark, sf_dir):
@@ -1995,12 +2010,37 @@ def test_repetition_closed_form_on_synthetic_docs(spark, sf_dir, tmp_path):
 
 
 def test_recursive_cte_matches_driver_loop_bfs(spark, sf_dir):
-    """sql_recursive_surface (one WITH RECURSIVE statement) and host_khop
-    (driver-loop frontier BFS) walk the same graph from the same seeds —
-    their (host, hops) result sets must be identical."""
-    rec = {(r["host"], r["hops"]) for r in QUERIES["sql_recursive_surface"](spark, sf_dir).collect()}
-    bfs = {(r["host"], r["hops"]) for r in QUERIES["host_khop"](spark, sf_dir).collect()}
+    """The WITH RECURSIVE surface statement (path-enumerating one-liner,
+    kept as the tested surface proof) and the registered
+    sql_recursive_surface query (frontier/anti-join BFS plan) walk the
+    same graph from the same seeds — their (host, hops) result sets must
+    be identical. This is the result-equality property that lets the
+    registered plan be the scale-safe BFS while the recursive-CTE
+    machinery is still exercised end-to-end."""
+    from url_counter_mapreduce_spark.operators.advanced import recursive_cte_statement
+
+    rec = {(r["host"], r["hops"]) for r in recursive_cte_statement(spark, sf_dir).collect()}
+    bfs = {(r["host"], r["hops"]) for r in QUERIES["sql_recursive_surface"](spark, sf_dir).collect()}
     assert rec == bfs and rec
+
+
+def test_recursive_surface_registers_no_temp_view(spark, sf_dir):
+    """Neither the registered query nor the surface statement may leave
+    (or clobber) session temp views — the former createOrReplaceTempView
+    side channel is gone."""
+    from url_counter_mapreduce_spark.operators.advanced import recursive_cte_statement
+
+    spark.range(1).createOrReplaceTempView("_recursive_docs")
+    try:
+        before = {t.name for t in spark.catalog.listTables()}
+        QUERIES["sql_recursive_surface"](spark, sf_dir).collect()
+        recursive_cte_statement(spark, sf_dir).collect()
+        after = {t.name for t in spark.catalog.listTables()}
+        assert after == before
+        # the pre-existing view must be untouched, not clobbered
+        assert spark.table("_recursive_docs").count() == 1
+    finally:
+        spark.catalog.dropTempView("_recursive_docs")
 
 
 def test_clustering_coeff_closed_form(spark, sf_dir, tmp_path):
@@ -2056,6 +2096,20 @@ def test_pcm_features_match_brute_force_and_reject_garbage():
         assert zc == (n - 1) // half
     assert pcm_features(b"not a wav at all") is None
     assert pcm_features(b"RIFF\x00\x00\x00\x00WAVE") is None
+    import struct as _st
+
+    # fmt chunk header claiming 16 bytes with a truncated body: must be
+    # None, not struct.error (ADVICE r07 crash class)
+    truncated_fmt = b"RIFF" + _st.pack("<I", 20) + b"WAVE" + b"fmt " + _st.pack("<I", 16) + b"\x00" * 4
+    assert pcm_features(truncated_fmt) is None
+    # data chunk promising more bytes than the buffer holds
+    wav_ok_fmt = _st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    truncated_data = (
+        b"RIFF" + _st.pack("<I", 64) + b"WAVE"
+        + b"fmt " + _st.pack("<I", 16) + wav_ok_fmt
+        + b"data" + _st.pack("<I", 1000) + b"\x00" * 8
+    )
+    assert pcm_features(truncated_data) is None
 
 
 def test_perplexity_gate_relative_threshold_splits(spark, sf_dir):

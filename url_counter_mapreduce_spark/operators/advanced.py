@@ -1062,33 +1062,52 @@ RECURSIVE_MAX_HOPS = 3  # depth cap: bounds UNION ALL walk enumeration
 
 
 def sql_recursive_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive CTE surface (Spark 4 WITH RECURSIVE): BFS hop distances
-    (≤ RECURSIVE_MAX_HOPS) from the 'a%' seed hosts over the directed
-    within-document host graph, written as ONE self-referential SQL
-    statement — the declarative twin of host_khop's driver-loop BFS (same
-    seeds, same edges, same min-distance semantics; a property test pins
-    the two result sets equal).
+    """Recursive-CTE query semantics (BFS hop distances ≤
+    RECURSIVE_MAX_HOPS from the 'a%' seed hosts over the directed
+    within-document host graph), EXECUTED by the frontier/anti-join BFS
+    core (graph.khop_bfs_visited) rather than by enumerating paths.
 
-    Spark's recursive CTEs support UNION ALL only (UNION_NOT_SUPPORTED_IN
-    _RECURSIVE_CTE as of 4.1), so the walk enumerates depth-capped PATHS
-    and MIN(d) collapses them — correct at any depth cap, but path count
-    can grow combinatorially on dense graphs: at 100 TB scale prefer
-    host_khop's iterative frontier/anti-join BFS, which expands each node
-    once. This operator exists to prove the SQL surface end-to-end; the
-    oracle runs the byte-identical shape (UNION ALL + cap) in DuckDB."""
+    Why the registered plan is the BFS: Spark 4's WITH RECURSIVE supports
+    UNION ALL only (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE as of 4.1), so
+    the one-statement formulation must enumerate depth-capped PATHS and
+    collapse them with MIN(d) — correct at any depth cap, but path count
+    grows combinatorially on hub-heavy graphs (k hops through a clique of
+    n hubs is n^k paths for n distinct answers). The BFS expands each node
+    exactly once, so the same min-distance semantics cost frontier-adjacent
+    edges per hop at any density — that is the plan a 100 TB run needs.
+
+    The WITH RECURSIVE surface itself is still exercised end-to-end:
+    recursive_cte_statement() runs the one-statement formulation through
+    Spark's recursive-CTE machinery (parameterized spark.sql — no session
+    temp view is created or clobbered), and
+    test_recursive_cte_matches_driver_loop_bfs pins its result set equal
+    to this query's. The DuckDB oracle remains the recursive CTE — two
+    independent formulations of BFS layering."""
+    from .graph import khop_bfs_visited
+
+    return khop_bfs_visited(spark, sf_dir, RECURSIVE_MAX_HOPS)
+
+
+def recursive_cte_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-statement WITH RECURSIVE formulation (Spark 4 recursive-CTE
+    surface) of sql_recursive_surface's semantics — kept as the tested
+    surface proof, not the registered plan (see sql_recursive_surface's
+    docstring for why path enumeration is the wrong plan at scale).
+
+    The documents frame binds through parameterized spark.sql ({docs}
+    placeholder), so no session-level temp view is created, clobbered, or
+    left behind — the defect class of the former createOrReplaceTempView
+    side channel."""
     from .text import URL_HOST_RE
 
-    # only the documents view is needed — registering it directly keeps the
-    # operator runnable on partial fixtures (the null battery ships only the
-    # tables a query reads)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_recursive_docs")
+    docs = load_table(spark, sf_dir, "documents")
     return spark.sql(
         f"""
         WITH RECURSIVE t AS (
             SELECT transform(filter(split(coalesce(text, ''), ' '), x -> x != ''),
                        tk -> coalesce(nullif(regexp_extract(lower(tk), '{URL_HOST_RE}', 1), ''),
                                       lower(tk))) AS hosts
-            FROM _recursive_docs
+            FROM {{docs}}
         ), edges AS (
             SELECT DISTINCT p.src, p.dst
             FROM (SELECT explode(transform(sequence(0, size(hosts) - 2),
@@ -1104,7 +1123,8 @@ def sql_recursive_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE w.d < {RECURSIVE_MAX_HOPS}
         )
         SELECT host, CAST(MIN(d) AS INT) AS hops FROM walk GROUP BY host
-        """
+        """,
+        docs=docs,
     )
 
 
@@ -1204,16 +1224,26 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window-order trap)
     w = Window.orderBy(F.col("rc4").desc_nulls_last(), F.col("l_partkey").asc_nulls_last())
     tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # cum/total and the class predicates run in DECIMAL(38,0) (HUGEINT
+    # oracle-side): rc4 is 1e-4-unit revenue, so at the documented 100 TB
+    # lineitem volume total is ~2e19 and the 5x/20x products exceed int64 —
+    # Spark (non-ANSI) would wrap silently while DuckDB errors. 38 digits
+    # hold 20 * 2e19 with 17 to spare.
+    rc4d = F.col("rc4").cast("decimal(38,0)")
     return (
-        rev.withColumn("cum", F.sum("rc4").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("total", F.sum("rc4").over(tot))
+        rev.withColumn("cum", F.sum(rc4d).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", F.sum(rc4d).over(tot))
         .select(
             "l_partkey",
             F.expr(stable_round("CAST(rc4 AS DOUBLE) / 1e4", 4)).alias("revenue"),
-            F.expr(stable_round("CAST(cum AS DOUBLE) / total", 6)).alias("cum_share"),
+            F.expr(stable_round("CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)", 6)).alias(
+                "cum_share"
+            ),
             F.expr(
-                "CASE WHEN 5 * cum <= 4 * total THEN 'A'"
-                " WHEN 20 * cum <= 19 * total THEN 'B' ELSE 'C' END"
+                "CASE WHEN CAST(5 AS DECIMAL(38,0)) * cum <= CAST(4 AS DECIMAL(38,0)) * total"
+                " THEN 'A'"
+                " WHEN CAST(20 AS DECIMAL(38,0)) * cum <= CAST(19 AS DECIMAL(38,0)) * total"
+                " THEN 'B' ELSE 'C' END"
             ).alias("abc_class"),
         )
     )

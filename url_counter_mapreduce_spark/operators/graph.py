@@ -531,6 +531,15 @@ def host_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, not the graph. The DuckDB oracle walks the same graph with a
     depth-bounded recursive CTE and takes MIN(d) — independent
     formulations of BFS layering."""
+    return khop_bfs_visited(spark, sf_dir, KHOP_K)
+
+
+def khop_bfs_visited(spark: SparkSession, sf_dir: str, max_hops: int) -> DataFrame:
+    """Shared frontier/anti-join BFS core behind host_khop and
+    sql_recursive_surface: (host, hops) = min hop distance ≤ max_hops from
+    the 'a%' seed hosts over the directed within-document host graph.
+    Scale-safe by construction — each node is expanded exactly once, so
+    cost is edges-adjacent-to-frontier per hop, never path enumeration."""
     from .text import URL_HOST_RE
 
     docs = load_table(spark, sf_dir, "documents")
@@ -567,7 +576,7 @@ def host_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host", F.lit(0).alias("hops")
     ).localCheckpoint()
     visited = frontier
-    for k in range(1, KHOP_K + 1):
+    for k in range(1, max_hops + 1):
         nxt = (
             frontier.join(edges, frontier.host == edges.src)
             .select(F.col("dst").alias("host"))

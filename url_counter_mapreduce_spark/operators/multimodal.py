@@ -625,11 +625,19 @@ def parse_mp4(blob: bytes):
             j = i + 8
             while j + 8 <= i + size:
                 (csize,) = _st.unpack(">I", blob[j : j + 4])
-                if csize < 8:
+                # csize must keep the child inside moov: a crafted size
+                # that runs past the parent is truncation, not a box
+                if csize < 8 or j + csize > i + size:
                     break
-                if blob[j + 4 : j + 8] == b"mvhd" and blob[j + 8] == 0:
-                    timescale, duration = _st.unpack(">II", blob[j + 20 : j + 28])
-                    (next_track,) = _st.unpack(">I", blob[j + 104 : j + 108])
+                if blob[j + 4 : j + 8] == b"mvhd":
+                    # a v0 mvhd payload spans j+8 .. j+108; a header that
+                    # abuts the buffer end (j + 8 == len) or a short body
+                    # is garbage — reject instead of IndexError
+                    if j + 108 > i + size:
+                        return None
+                    if blob[j + 8] == 0:
+                        timescale, duration = _st.unpack(">II", blob[j + 20 : j + 28])
+                        (next_track,) = _st.unpack(">I", blob[j + 104 : j + 108])
                 j += csize
         i += size
     if brand is None or timescale is None:
@@ -767,6 +775,10 @@ def pcm_features(blob: bytes):
     while pos + 8 <= len(blob):
         typ, size = blob[pos:pos + 4], struct.unpack("<I", blob[pos + 4:pos + 8])[0]
         payload = blob[pos + 8:pos + 8 + size]
+        if len(payload) < size:
+            # chunk header promises more bytes than the buffer holds:
+            # truncated input is malformed, not a struct.error crash
+            return None
         if typ == b"fmt " and size >= 16:
             _fmt, chans, rate = struct.unpack("<HHI", payload[:8])
             if _fmt != 1 or chans != 1:

@@ -1871,14 +1871,21 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-unit vector; λ₂/λ₁ convergence is the textbook bound."""
     from ..functions.vector import finite_norm_pred, stable_round
     from ..tables import scalar_join, spread
+    from .dedup import _cached_signatures
     from .similarity import _xq_expr
 
     d = COV_DIMS
-    embq = (
-        spread(load_table(spark, sf_dir, "embeddings"))
-        .filter(F.expr(finite_norm_pred("embedding")))
-        .select(F.expr(_xq_expr("embedding")).alias("xq"))
-        .persist()
+    # keyed persist (dedup._SIG_CACHE discipline) instead of a bare
+    # .persist(): repeated invocations — e.g. the full-registry gate —
+    # reuse one cached quantized frame and the FIFO eviction unpersists
+    # it, so pinned executor storage can't accumulate across calls.
+    embq = _cached_signatures(
+        (spark.sparkContext.applicationId, sf_dir, "pca_embq"),
+        lambda: (
+            spread(load_table(spark, sf_dir, "embeddings"))
+            .filter(F.expr(finite_norm_pred("embedding")))
+            .select(F.expr(_xq_expr("embedding")).alias("xq"))
+        ),
     )
     v = [10**6] * d
 

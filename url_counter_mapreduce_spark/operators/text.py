@@ -1702,7 +1702,12 @@ def lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     because a self-trained LM's absolute scale moves with vocabulary size).
     The gate predicate is pure integer arithmetic: perplexities are exact
     1e-4 multiples after stable_round, so DEN·n·pplᵢ ≤ NUM·Σppl compares
-    exact BIGINTs in both engines (no float mean, no accumulation order).
+    exact integers in both engines (no float mean, no accumulation order).
+    The products run in DECIMAL(38,0) (HUGEINT oracle-side): pplq is
+    vocab-scale × 1e4 and n_scored is corpus-scale, so the BIGINT product
+    overflows int64 at the 100 TB posture — Spark (non-ANSI) would wrap
+    silently while DuckDB raises. 38 digits hold ~1e10 · 1e11 · DEN with
+    17 digits to spare.
 
     Cross-engine exactness: each DISTINCT (doc, bigram)'s log-probability
     is micro-quantized per row (_ln_micro-style: p = (c_big+1)/(c_uni+V)
@@ -1784,8 +1789,10 @@ def lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             "perplexity",
             F.expr(
-                f"coalesce({PPL_REL_DEN}L * CAST(floor(perplexity * 1e4 + 0.5) AS BIGINT)"
-                f" * _n_scored <= {PPL_REL_NUM}L * _sum_pplq, true)"
+                f"coalesce(CAST({PPL_REL_DEN} AS DECIMAL(38,0))"
+                f" * CAST(floor(perplexity * 1e4 + 0.5) AS DECIMAL(38,0))"
+                f" * _n_scored <= CAST({PPL_REL_NUM} AS DECIMAL(38,0))"
+                f" * _sum_pplq, true)"
             ).alias("keep"),
         )
     )

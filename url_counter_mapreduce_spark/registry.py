@@ -5155,10 +5155,11 @@ _register(
     SELECT d.doc_id,
            COALESCE(s.n_bigrams, 0) AS n_bigrams,
            s.perplexity,
-           COALESCE({text.PPL_REL_DEN} * CAST(floor(s.perplexity * 1e4 + 0.5) AS BIGINT)
+           COALESCE(CAST({text.PPL_REL_DEN} AS HUGEINT)
+                        * CAST(floor(s.perplexity * 1e4 + 0.5) AS HUGEINT)
                         * (SELECT count(*) FROM scored)
-                    <= {text.PPL_REL_NUM}
-                        * (SELECT sum(CAST(floor(perplexity * 1e4 + 0.5) AS BIGINT))
+                    <= CAST({text.PPL_REL_NUM} AS HUGEINT)
+                        * (SELECT sum(CAST(floor(perplexity * 1e4 + 0.5) AS HUGEINT))
                            FROM scored),
                     true) AS keep
     FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
@@ -5362,16 +5363,18 @@ _register(
         FROM lineitem GROUP BY l_partkey
     ), c AS (
         SELECT l_partkey, rc4,
-               sum(rc4) OVER (ORDER BY rc4 DESC NULLS LAST, l_partkey ASC NULLS LAST
-                              ROWS UNBOUNDED PRECEDING) AS cum,
-               sum(rc4) OVER () AS total
+               sum(CAST(rc4 AS HUGEINT))
+                   OVER (ORDER BY rc4 DESC NULLS LAST, l_partkey ASC NULLS LAST
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(CAST(rc4 AS HUGEINT)) OVER () AS total
         FROM rev
     )
     SELECT l_partkey,
            {_stable_round_sql('CAST(rc4 AS DOUBLE) / 1e4', 4)} AS revenue,
-           {_stable_round_sql('CAST(cum AS DOUBLE) / total')} AS cum_share,
-           CASE WHEN 5 * cum <= 4 * total THEN 'A'
-                WHEN 20 * cum <= 19 * total THEN 'B' ELSE 'C' END AS abc_class
+           {_stable_round_sql('CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)')} AS cum_share,
+           CASE WHEN CAST(5 AS HUGEINT) * cum <= CAST(4 AS HUGEINT) * total THEN 'A'
+                WHEN CAST(20 AS HUGEINT) * cum <= CAST(19 AS HUGEINT) * total
+                THEN 'B' ELSE 'C' END AS abc_class
     FROM c
     """,
 )
