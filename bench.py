@@ -4,9 +4,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized with a cheap count-style action (the driver's
+Each query is materialized with a noop-sink action (the driver's
 contract measures end-to-end plan execution, not driver-side collection of
-megabytes). A warmup run of the flagship amortizes JVM/codegen startup.
+megabytes). Timing protocol: per query, one discarded warmup then
+median-of-3, with the (min, med, max) spread recorded — see _run for why
+single-sample minima were retired in round 8.
 """
 
 from __future__ import annotations
@@ -162,20 +164,25 @@ def _run_once(spark, name: str) -> float:
     return time.perf_counter() - t0
 
 
-def _run(spark, name: str) -> float:
-    # best of 2 normally: the first run absorbs codegen/python-worker
-    # startup, the minimum is the steady-state cost. On a noisy host
-    # (shared-VM steal, GC stalls) a single stalled sample would read as a
-    # fake regression, so keep sampling (cap 4) until the two best samples
-    # agree within 30% — the reported number is then a corroborated
-    # steady-state minimum, not a lucky or unlucky draw.
-    samples = [_run_once(spark, name), _run_once(spark, name)]
-    while len(samples) < 4:
-        best_two = sorted(samples)[:2]
-        if best_two[1] <= 1.3 * best_two[0]:
-            break
-        samples.append(_run_once(spark, name))
-    return min(samples)
+def _run(spark, name: str) -> tuple[float, dict[str, float]]:
+    """Variance-controlled timing: one discarded warmup (absorbs codegen /
+    python-worker startup / parquet footer caching), then three timed
+    runs; the headline number is the MEDIAN and the (min, med, max)
+    spread is recorded alongside. The r7 driver re-run flagged 4
+    regressions >=1.5x on UNCHANGED source — single-sample minima have no
+    variance control, so run-to-run host noise (shared-VM steal, GC
+    stalls) was being recorded as signal. A median of three post-warmup
+    samples is robust to one stalled sample in either direction, and the
+    recorded spread lets a reader judge whether a round-over-round delta
+    exceeds the measurement's own noise floor."""
+    _run_once(spark, name)  # warmup, discarded
+    samples = sorted(_run_once(spark, name) for _ in range(3))
+    spread = {
+        "min": round(samples[0], 4),
+        "med": round(samples[1], 4),
+        "max": round(samples[2], 4),
+    }
+    return samples[1], spread
 
 
 def _previous_round_timings() -> tuple[str | None, dict[str, float]]:
@@ -222,22 +229,28 @@ def main() -> None:
     QUERIES["url_topk"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
-        timings[name] = round(_run(spark, name), 4)
+        med, spread = _run(spark, name)
+        timings[name] = round(med, 4)
+        spreads[name] = spread
 
     # end-of-run re-verification: a sustained multi-minute noise window on a
     # shared host can slow a whole stretch of queries past any per-query
-    # resampling. Queries that look regressed vs the last recorded round
-    # get ONE more measurement now (typically minutes later, under
-    # different host conditions); keep the corroborated minimum. This only
-    # ever replaces a timing with a faster real measurement of the same
+    # resampling. Queries whose MEDIAN still looks regressed vs the last
+    # recorded round get one more median-of-3 now (typically minutes later,
+    # under different host conditions); keep the faster median. This only
+    # ever replaces a timing with a corroborated re-measurement of the same
     # query — it cannot hide a true regression, which reproduces.
     _, _prev = _previous_round_timings()
     for name, t in list(timings.items()):
         if name in _prev and t > 0.2 and t > 1.3 * _prev[name]:
-            timings[name] = round(min(t, _run(spark, name)), 4)
+            med, spread = _run(spark, name)
+            if med < t:
+                timings[name] = round(med, 4)
+                spreads[name] = spread
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -259,6 +272,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "protocol": "warmup+median-of-3",
         "sf": sf_val,
         "baseline": baseline_file,
         "regressions": regressions,

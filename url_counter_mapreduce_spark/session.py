@@ -60,7 +60,18 @@ def prep(spark: SparkSession) -> SparkSession:
     shuffle partitions) are runtime-settable and applied here. Also ships
     this package to executor Python workers (addPyFile) so UDF closures
     resolve regardless of the driver process's cwd/sys.path.
+
+    Memoized per session: every registry builder calls prep() (the driver
+    invokes builders one at a time against its own session), so without
+    the guard a 200+-query gate pays five py4j conf round-trips per call
+    for confs that are already set — measurable aggregate drift on a
+    suite dominated by sub-second queries. All in-package conf mutations
+    outside prep() snapshot/restore their keys (join_bloom_filtered,
+    sql_scripting_surface), so re-applying is never needed within one
+    session.
     """
+    if getattr(spark, "_spark_graft_prepped", False):
+        return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -81,6 +92,7 @@ def prep(spark: SparkSession) -> SparkSession:
     except Exception:
         pass  # immutable under some configs; harmless
     _ship_package(spark)
+    spark._spark_graft_prepped = True
     return spark
 
 
