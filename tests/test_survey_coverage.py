@@ -276,12 +276,16 @@ ROWS_ONLY_BY_DESIGN = {
     "stream_sessionize",
     "stream_user_stats",
     "stream_url_count",
-    "dedup_mllib_minhash",  # MLlib seeded hash family, not DuckDB-reproducible
+    # dedup_mllib_minhash left this set in round 8: its registered output
+    # is the parity-comparison row vs dedup_prefix_filter (exact recall),
+    # whose expected value is fully DuckDB-replayable.
     "stream_enriched_counts",
     "approx_quantiles_value",  # GK sketch values are engine-specific
     "stream_sliding_count",  # streaming state; batch twin window_sliding_count
     "hll_sketch_rollup",  # DataSketches HLL values are engine-specific
-    "quality_compression_ratio",  # DEFLATE has no SQL form; deterministic, property-tested
+    # quality_compression_ratio left this set in round 8: expected zlib
+    # lengths are precomputed into a committed sidecar parquet (regen-diff
+    # guarded), joined by text hash at oracle time.
 }
 
 
@@ -382,6 +386,27 @@ def test_query_table_file_matches_regen():
     assert committed == gen.render(), (
         "docs/QUERIES.md is stale — run `python tools/gen_query_table.py` "
         "after registering/reordering queries"
+    )
+
+
+def test_compression_sidecar_matches_regen():
+    """The COMMITTED fixtures/compression_expected.parquet must agree with
+    a fresh recomputation over the fixture corpora — same staleness guard
+    discipline as docs/QUERIES.md. Compares rows, not parquet bytes, so a
+    codec/version change can't false-alarm."""
+    import importlib
+
+    import duckdb
+
+    gen = importlib.import_module("tools.gen_compression_sidecar")
+    fresh = gen.build_rows()
+    committed = duckdb.sql(
+        f"SELECT text_md5, n_bytes, n_compressed FROM read_parquet('{gen.OUT}') "
+        "ORDER BY text_md5"
+    ).fetchall()
+    assert [tuple(r) for r in committed] == fresh, (
+        "fixtures/compression_expected.parquet is stale — run "
+        "`python tools/gen_compression_sidecar.py` after fixture changes"
     )
 
 

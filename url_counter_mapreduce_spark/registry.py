@@ -10,6 +10,7 @@ have ``None`` oracles → driver records a rows-only check.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -922,11 +923,9 @@ _register(
     """,
 )
 
-# MLlib MinHashLSH (X12's library path): seeded-random hash family, not
-# reproducible in DuckDB → rows-only
+# MLlib MinHashLSH (X12's library path): registered further down as a
+# parity-comparison row whose oracle reuses the dedup_prefix_filter SQL
 from .operators import mllib_lsh  # noqa: E402
-
-_register("dedup_mllib_minhash", mllib_lsh.dedup_mllib_minhash, None)
 
 # --------------------------------------------------------------------------
 # Corpus-management additions: grouped top-K, bigram stats, incremental dedup
@@ -3028,9 +3027,34 @@ _register(
     """,
 )
 
-# DEFLATE has no SQL form → rows-only by design (see the guard-list
-# comment in tests/test_survey_coverage.py; property tests pin bounds)
-_register("quality_compression_ratio", text.quality_compression_ratio, None)
+# DEFLATE has no SQL form, but zlib level-6 output is a pure function of
+# the input bytes and the fixture corpora are deterministic — so the
+# expected compressed length per DISTINCT text is precomputed into a
+# committed side table (tools/gen_compression_sidecar.py, regen-diff
+# guarded) and joined by text hash at oracle time. n_bytes needs no
+# sidecar: DuckDB strings are UTF-8, so strlen IS the byte count.
+_COMPRESSION_SIDECAR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "fixtures",
+    "compression_expected.parquet",
+)
+_register(
+    "quality_compression_ratio",
+    text.quality_compression_ratio,
+    f"""
+    SELECT d.doc_id,
+           CAST(strlen(coalesce(d.text, '')) AS BIGINT) AS n_bytes,
+           s.n_compressed,
+           CASE WHEN strlen(coalesce(d.text, '')) = 0 THEN NULL ELSE
+               {_stable_round_sql(
+                   "CAST(s.n_compressed AS DOUBLE) / strlen(coalesce(d.text, ''))"
+               )}
+           END AS ratio
+    FROM documents d
+    JOIN read_parquet('{_COMPRESSION_SIDECAR}') s
+      ON s.text_md5 = md5(coalesce(d.text, ''))
+    """,
+)
 
 _SB_DECILE = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10"
 _SB_ALPHA = "0.4"
@@ -4183,6 +4207,27 @@ _register(
     JOIN sh sb ON sb.doc_id = doc_b
     WHERE {{j}} >= {dedup.PREFIX_JACCARD_T}
     """.replace("{j}", _JSQL),
+)
+
+# MLlib MinHashLSH parity gate (X12's library path): the Spark side
+# measures MLlib's pair set against dedup_prefix_filter's (recall exactly
+# 1 at the threshold); the oracle replays the exact side and asserts set
+# equality — a band miss or cross-version MLlib drift fails the gate
+# loudly. See operators/mllib_lsh.py for why equality is the
+# deterministic expectation (CountVectorizer features make precision 1
+# by construction; 24 hash tables put P(miss) ~ 6e-8 per pair).
+_register(
+    "dedup_mllib_minhash",
+    mllib_lsh.dedup_mllib_minhash,
+    f"""
+    WITH expected AS (SELECT CAST(count(*) AS BIGINT) AS n
+                      FROM ({ORACLES["dedup_prefix_filter"]}) t)
+    SELECT n AS n_exact, n AS n_mllib, n AS n_common,
+           CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra,
+           CASE WHEN n = 0 THEN NULL ELSE CAST(1.0 AS DOUBLE) END AS pair_precision,
+           CASE WHEN n = 0 THEN NULL ELSE CAST(1.0 AS DOUBLE) END AS pair_recall
+    FROM expected
+    """,
 )
 
 from .operators.analytic import WINSOR_HI, WINSOR_LO  # noqa: E402
