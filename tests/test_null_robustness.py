@@ -124,6 +124,9 @@ NULLISH_QUERIES = [
     "quantiles_value",
     "json_struct_extract",
     "variant_events",
+    # round-8 additions
+    "dedup_containment_pairs",
+    "dedup_cdc_chunks",
 ]
 
 

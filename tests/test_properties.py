@@ -2391,3 +2391,80 @@ def test_lead_time_bounds_and_mean_inside_range(spark, sf_dir):
     for r in rows:
         assert r["min_days"] <= r["mean_days"] <= r["max_days"]
         assert 0.0 <= r["late_frac"] <= 1.0
+
+
+def test_containment_catches_doc_inside_doc(spark, tmp_path):
+    """dedup_containment_pairs must flag a short doc fully quoted inside a
+    long one (containment 1, Jaccard well under the 0.5 family threshold)
+    in the contained->container direction only."""
+    import shutil
+
+    long_toks = [f"w{i}" for i in range(30)]
+    short_toks = long_toks[8:20]  # 12 tokens => 10 shingles, all inside long
+    rows = [
+        (1, " ".join(long_toks), "en", "s0", 1),
+        (2, " ".join(short_toks), "en", "s0", 1),
+        (3, "alpha beta gamma delta epsilon zeta", "en", "s0", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "contain_fixture")
+    docs.write.parquet(f"{out}/documents.parquet")
+    try:
+        from url_counter_mapreduce_spark.operators.dedup import (
+            clear_signature_cache,
+            dedup_containment_pairs,
+        )
+
+        clear_signature_cache()  # fixture dir must not hit a cached corpus
+        got = {
+            (r.doc_src, r.doc_dst): (r.containment, r.jaccard)
+            for r in dedup_containment_pairs(spark, out).collect()
+        }
+        assert (2, 1) in got, got
+        c, j = got[(2, 1)]
+        assert c == 1.0 and j < 0.5  # the pair Jaccard-family ops miss
+        assert (1, 2) not in got  # container is NOT contained in the quote
+        assert not any(3 in p for p in got)
+    finally:
+        clear_signature_cache()
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_cdc_chunks_shift_robust_dedup(spark, tmp_path):
+    """Content-defined chunk boundaries must survive a prefix insertion:
+    a doc and its one-token-prepended twin share their later chunks, so
+    the per-source report shows real chunk-level savings — the property
+    offset-based blocking cannot have."""
+    import shutil
+
+    base = " ".join(f"t{i % 7}x{i % 11}y{i}" for i in range(120))
+    rows = [
+        (1, base, "en", "s0", 1),
+        (2, "inserted " + base, "en", "s0", 1),
+        (3, " ".join(f"zz{i}" for i in range(40)), "en", "s1", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "cdc_fixture")
+    docs.write.parquet(f"{out}/documents.parquet")
+    try:
+        from url_counter_mapreduce_spark.operators.dedup import dedup_cdc_chunks
+
+        got = {r.source: r for r in dedup_cdc_chunks(spark, out).collect()}
+        s0 = got["s0"]
+        # the twin's post-insertion chunks re-align => large shared volume
+        assert s0.n_unique_chunks < s0.n_chunks
+        assert s0.bytes_unique < s0.bytes_total
+        # a large share of bytes dedups away (the aligned suffix dominates;
+        # measured 0.647 — the non-shared part is doc1+doc2's pre-boundary
+        # prefix chunks, whose size depends on where the first cut lands)
+        assert s0.bytes_unique <= 0.7 * s0.bytes_total, s0
+        # the unrelated source dedups nothing against itself
+        s1 = got["s1"]
+        assert s1.n_unique_chunks == s1.n_chunks
+        assert s1.dedup_ratio == 1.0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

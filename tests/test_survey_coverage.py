@@ -228,6 +228,8 @@ NORTH_STAR_SURFACE = [
     "embedding_dim_stats",
     "dedup_semantic_trained",
     "dedup_prefix_filter",
+    "dedup_containment_pairs",
+    "dedup_cdc_chunks",
     "decontaminate_semantic",
     "agg_winsorized_pricing",
     "join_null_safe",

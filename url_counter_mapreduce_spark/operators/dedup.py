@@ -1526,3 +1526,172 @@ def _tokens_non_distinct() -> str:
     """Order-preserving non-empty space-split tokens (the n-gram curve
     must keep duplicates and order, unlike _tokens_expr's distinct set)."""
     return "filter(split(coalesce(text, ''), ' '), x -> x != '')"
+
+
+CONTAIN_T = 0.8  # containment threshold |A∩B| / |A|
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup pairs: ordered (doc_src, doc_dst)
+    where |S_src ∩ S_dst| / |S_src| ≥ CONTAIN_T over 3-gram shingle sets
+    — the doc-inside-doc detector the symmetric Jaccard family
+    structurally misses (a short article quoted inside a long page has
+    Jaccard |A|/|B| ≈ 0 but containment 1; web curation needs exactly
+    this to catch boilerplate-wrapped syndication, quote farms, and
+    wrapper pages). Broder's resemblance/containment pair (1997) — the
+    repo ships resemblance as dedup_minhash_pairs; this is the other
+    half.
+
+    Recall is exactly 1 at the threshold (no LSH miss): containment
+    ≥ t forces |S_src ∩ S_dst| ≥ ⌈t·|S_src|⌉, so the intersection misses
+    at most |S_src| − ⌈t·|S_src|⌉ elements of S_src — any
+    (|S_src| − ⌈t·|S_src|⌉ + 1)-element PREFIX of S_src under the global
+    rarity order must hit S_dst (pigeonhole, Chaudhuri et al. ICDE
+    2006). Unlike the symmetric prefix filter, the probe side joins the
+    FULL posting of the destination (containment admits arbitrarily
+    large destinations, so there is no destination-side prefix or
+    PPJoin length filter — the price of asymmetry).
+
+    Plan shape at 100 TB: shares the session shingle index; one df
+    aggregate, one per-doc rank window (doc-partitioned), an equi-join
+    of source prefixes against full postings (df ≥ 2 both sides — a
+    df = 1 shingle cannot pair two distinct docs), then the 1:1 verify
+    rejoin. Hot boilerplate shingles make the full-posting side skew:
+    production corpora should cap posting length like the LSH bucket
+    cap; the fixture corpus needs no cap and the registry oracle
+    assumes none."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import stable_round
+
+    sh = _signatures_for(spark, sf_dir).select("doc_id", "shingles")
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+    )
+    dfx = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    posting = ex.join(dfx, "s").filter(F.col("df") >= 2)
+    ranked = posting.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("s").asc())
+        ),
+    )
+    # NOTE the rank runs over the df>=2 SUBSET of each doc's shingles, so
+    # kept prefixes are supersets of the full-order prefixes minus df=1
+    # elements — df=1 elements cannot hit any other doc, so dropping them
+    # from the prefix budget preserves the pigeonhole bound.
+    prefix = ranked.filter(
+        F.expr(f"r <= sz - CAST(ceil({CONTAIN_T}D * sz) AS INT) + 1")
+    ).select(F.col("doc_id").alias("doc_src"), "s")
+    cand = (
+        prefix.join(
+            posting.select(F.col("doc_id").alias("doc_dst"), "s"), "s"
+        )
+        .filter(F.col("doc_src") != F.col("doc_dst"))
+        .select("doc_src", "doc_dst")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_src"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_dst"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_src")
+        .join(sb, "doc_dst")
+        .select(
+            "doc_src",
+            "doc_dst",
+            F.expr(
+                stable_round(
+                    "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / size(sh_a)", 6
+                )
+            ).alias("containment"),
+            F.expr(_JACCARD_EXPR).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+CDC_WINDOW = 3  # tokens per boundary-decision window
+CDC_DIVISOR = 8  # boundary when window-hash % CDC_DIVISOR == 0 (mean chunk ~8 tokens)
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking storage dedup report per source: split
+    every document into variable-size chunks at CONTENT-DEFINED
+    boundaries (a boundary closes after token i when the hash of the
+    CDC_WINDOW-token window ending at i lands on 0 mod CDC_DIVISOR — the
+    rolling-hash cut rule of LBFS/restic/borg/casync, token-granular),
+    then measure per source how much chunk-level storage dedup saves:
+    n_chunks, n_unique_chunks, bytes_total, bytes_unique, dedup_ratio.
+    Content-defined cuts are SHIFT-ROBUST — inserting one token early in
+    a doc moves every fixed-size block but leaves all later CDC cut
+    points (and so their chunk hashes) unchanged, which is why backup
+    stores and LLM-corpus blob stores chunk this way rather than by
+    offset.
+
+    Exactness: boundaries come from md5 (identical in both engines,
+    integer-compared); chunk texts reassemble by per-doc position; all
+    counts/byte sums are exact BIGINTs; the ratio is one stable_round
+    division.
+
+    Plan shape at 100 TB: one explode (linear), per-doc lag/sum windows
+    (doc-partitioned — never a global sort), a (doc, chunk) reassembly
+    aggregate, a (source, chunk-hash) aggregate, and a |sources|-row
+    final rollup. Flagship-class shuffles only."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vector import stable_round
+
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.coalesce("source", F.lit("unknown")).alias("source"),
+        F.expr(_tokens_non_distinct()).alias("toks"),
+    )
+    toks = docs.filter(F.size("toks") > 0).select(
+        "doc_id", "source", F.posexplode("toks").alias("pos", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = toks.withColumn(
+        "b",
+        F.expr(
+            "CASE WHEN pos >= 2 AND pmod(CAST(conv(substring(md5(concat_ws(' ',"
+            f" lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),"
+            f" lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),"
+            f" tok)), 1, 8), 16, 10) AS BIGINT), {CDC_DIVISOR}) = 0 THEN 1 ELSE 0 END"
+        ),
+    )
+    chunked = flagged.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum("b").over(wdoc.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+        F.md5(
+            F.expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok))")
+        ).alias("h"),
+        F.expr(
+            "octet_length(concat_ws(' ',"
+            " transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)))"
+        ).cast("long").alias("nb"),
+    )
+    # same hash => same text => same nb; min() just pins determinism
+    per_hash = chunks.groupBy("source", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"), F.min("nb").alias("nb")
+    )
+    return per_hash.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_chunks"),
+        F.sum(F.expr("cnt * nb")).cast("long").alias("bytes_total"),
+        F.sum("nb").cast("long").alias("bytes_unique"),
+    ).select(
+        "source",
+        "n_chunks",
+        "n_unique_chunks",
+        "bytes_total",
+        "bytes_unique",
+        F.expr(
+            "CASE WHEN bytes_total = 0 THEN NULL ELSE "
+            + stable_round("CAST(bytes_unique AS DOUBLE) / bytes_total", 6)
+            + " END"
+        ).alias("dedup_ratio"),
+    )

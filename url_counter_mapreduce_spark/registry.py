@@ -4230,6 +4230,91 @@ _register(
     """,
 )
 
+_CONTAIN_SQL = (
+    "floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+    " / len(sa.shingles) * 1e6 + 0.5) / 1e6"
+)
+
+_register(
+    "dedup_containment_pairs",
+    dedup.dedup_containment_pairs,
+    _SHINGLES_CTE
+    + f"""
+    , ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    , dfx AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY s)
+    , posting AS (SELECT ex.doc_id, ex.s, dfx.df
+                  FROM ex JOIN dfx USING (s) WHERE dfx.df >= 2)
+    , szs AS (SELECT doc_id, len(shingles) AS sz FROM sh)
+    , ranked AS (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, s ASC) AS r
+        FROM posting
+    )
+    , pref AS (
+        SELECT r.doc_id AS doc_src, r.s
+        FROM ranked r JOIN szs USING (doc_id)
+        WHERE r.r <= szs.sz
+                  - CAST(ceil(CAST({dedup.CONTAIN_T} AS DOUBLE) * szs.sz) AS INT) + 1
+    )
+    , cand AS (
+        SELECT DISTINCT p.doc_src, q.doc_id AS doc_dst
+        FROM pref p JOIN posting q ON p.s = q.s AND p.doc_src <> q.doc_id
+    )
+    SELECT doc_src, doc_dst, {_CONTAIN_SQL} AS containment, {_JSQL} AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_src
+    JOIN sh sb ON sb.doc_id = doc_dst
+    WHERE {_CONTAIN_SQL} >= {dedup.CONTAIN_T}
+    """,
+)
+
+_register(
+    "dedup_cdc_chunks",
+    dedup.dedup_cdc_chunks,
+    f"""
+    WITH t AS (
+        SELECT doc_id, coalesce(source, 'unknown') AS source,
+               list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, source, i - 1 AS pos, toks[i] AS tok
+        FROM (SELECT doc_id, source, toks, unnest(range(1, len(toks) + 1)) AS i
+              FROM t WHERE len(toks) > 0)
+    ), flagged AS (
+        SELECT doc_id, source, pos, tok,
+               CASE WHEN pos >= 2 AND CAST('0x' || substr(md5(
+                        lag(tok, 2) OVER w || ' ' || lag(tok, 1) OVER w || ' ' || tok
+                    ), 1, 8) AS BIGINT) % {dedup.CDC_DIVISOR} = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM tok
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), chunked AS (
+        SELECT doc_id, source, pos, tok,
+               coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS chunk_id
+        FROM flagged
+    ), chunks AS (
+        SELECT doc_id, source, chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS h,
+               CAST(strlen(string_agg(tok, ' ' ORDER BY pos)) AS BIGINT) AS nb
+        FROM chunked GROUP BY doc_id, source, chunk_id
+    ), per_hash AS (
+        SELECT source, h, CAST(count(*) AS BIGINT) AS cnt, min(nb) AS nb
+        FROM chunks GROUP BY source, h
+    )
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_unique_chunks,
+           CAST(sum(cnt * nb) AS BIGINT) AS bytes_total,
+           CAST(sum(nb) AS BIGINT) AS bytes_unique,
+           CASE WHEN sum(cnt * nb) = 0 THEN NULL ELSE
+               {_stable_round_sql('CAST(sum(nb) AS DOUBLE) / sum(cnt * nb)')}
+           END AS dedup_ratio
+    FROM per_hash GROUP BY source
+    """,
+)
+
 from .operators.analytic import WINSOR_HI, WINSOR_LO  # noqa: E402
 
 _register(
