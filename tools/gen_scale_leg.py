@@ -14,14 +14,21 @@ Generation rules (all Spark-side, all deterministic via md5 on
 (replica, key) — no RNG state, so any partitioning produces identical
 bytes):
 
-- documents: 10 replicas. Replica 0 is sf0.1 verbatim. In replica r>0,
-  each token is REPLACED with a fresh replica-local token
-  'w<md5(r:token)[:10]>' when md5(r ':' token) lands under MUT_PPM —
-  vocabulary grows ~linearly in bytes (new types per replica) while
-  token-count/doc-length distributions are preserved exactly, and the
-  unchanged majority keeps cross-replica shingle overlap realistic for
-  the dedup family. URL-shaped tokens mutate into fresh hosts, growing
-  the host graph the same way.
+- documents: 10 replicas. Replica 0 is sf0.1 verbatim. In replica r>0, a
+  token occurrence is REPLACED with a fresh replica-local type when
+  md5(r ':' prev_token ':' token) lands under MUT_PPM (~25% of
+  occurrences). Keying on the (replica, bigram) CONTENT — not the
+  position — is what makes the growth realistic in both directions:
+  shared spans between two docs in the same replica mutate identically,
+  so the within-replica near-dup structure of sf0.1 is preserved (true
+  pairs grow ~linearly with replicas), while across replicas a 25%
+  token churn drops 3-gram-shingle Jaccard to ~(0.75^3)/(2-0.75^3) ~
+  0.27 — far enough below every 0.5-family threshold that replicas do
+  NOT become a quadratic wall of spurious near-dup pairs (the failure
+  mode of naive replication). Vocabulary grows per replica (fresh
+  types), token-count/doc-length distributions are preserved exactly,
+  and URL-shaped tokens mutate into fresh hosts, growing the host graph
+  the same way.
 - embeddings: 10 replicas; replica r applies the deterministic
   per-dimension sign pattern md5(r:dim) (an orthogonal transform:
   within-replica pairwise cosines are preserved, cross-replica
@@ -54,7 +61,7 @@ SRC = "/root/testdata/sf0.1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, ".scaledata", "sf1.0")
 REPLICAS = 10
-MUT_PPM = 120_000  # ~12% of tokens mutate per nonzero replica
+MUT_PPM = 250_000  # ~25% of token occurrences mutate per nonzero replica
 
 _COPY = ["region", "nation", "customer", "supplier", "part"]
 
@@ -68,15 +75,22 @@ def _replicate(df, n=REPLICAS):
 
 
 def _mutate_text_expr() -> str:
-    """Per-token deterministic mutation for replica _r > 0. A token
-    mutates when the first 8 hex chars of md5(_r ':' token), read as an
-    integer mod 1e6, land under MUT_PPM; the replacement is a fresh
-    replica-local type. Pure expression — JVM-side, codegen'd."""
-    tok_hash = "conv(substring(md5(concat(CAST(_r AS STRING), ':', t)), 1, 8), 16, 10) % 1000000"
+    """Per-occurrence deterministic mutation for replica _r > 0, keyed on
+    the (replica, prev_token, token) CONTENT (see module doc for why
+    content-keying preserves within-replica dup structure while breaking
+    cross-replica similarity). URL-shaped tokens become fresh hosts so
+    the host graph grows too. Pure expression — JVM-side, codegen'd."""
+    key = (
+        "concat(CAST(_r AS STRING), ':', CASE WHEN i = 0 THEN '^' ELSE ts[i - 1] END,"
+        " ':', ts[i])"
+    )
+    sel = f"CAST(conv(substring(md5({key}), 1, 8), 16, 10) AS BIGINT) % 1000000"
     return (
-        "concat_ws(' ', transform(filter(split(coalesce(text, ''), ' '), x -> x != ''),"
-        f" t -> CASE WHEN _r = 0 OR {tok_hash} >= {MUT_PPM} THEN t"
-        " ELSE concat('w', substring(md5(concat(CAST(_r AS STRING), ':', t)), 1, 10))"
+        "concat_ws(' ', transform(sequence(0, size(ts) - 1),"
+        f" i -> CASE WHEN _r = 0 OR {sel} >= {MUT_PPM} THEN ts[i]"
+        f" WHEN ts[i] LIKE 'http%' THEN concat('https://',"
+        f" substring(md5({key}), 1, 6), '.com')"
+        f" ELSE concat('w', substring(md5({key}), 1, 10))"
         " END))"
     )
 
@@ -107,6 +121,7 @@ def main() -> None:
     n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     out_docs = (
         _replicate(docs)
+        .withColumn("ts", F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')"))
         .select(
             (F.col("_r") * F.lit(n_docs) + F.col("doc_id")).alias("doc_id"),
             F.expr(_mutate_text_expr()).alias("text"),
