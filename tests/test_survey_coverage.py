@@ -269,25 +269,22 @@ NORTH_STAR_SURFACE = [
     "orders_lead_time",
 ]
 
-# ops whose semantics are not SQL-expressible → rows-only by design
+# ops whose semantics are not SQL-expressible → rows-only by design.
+# Since round 8 this is STREAMING ONLY: every batch query has an exact
+# oracle. The approx-sketch trio (approx_distinct_users,
+# approx_quantiles_value, hll_sketch_rollup) left this set in round 8 by
+# re-registering as deterministic accuracy gates (exact columns +
+# within-bound flags the oracle asserts as the contract — the
+# dedup_mllib_minhash recipe); similarity_ivf/_ivf_pq left in round 7
+# (exact-replayable integer trainers, oracle_ivf.py);
+# quality_compression_ratio left in round 8 (committed zlib sidecar).
 ROWS_ONLY_BY_DESIGN = {
-    "approx_distinct_users",  # HLL sketch values are engine-specific
-    # similarity_ivf / similarity_ivf_pq left this set in round 7: their
-    # integer-quantized trainers are exact-replayable (oracle_ivf.py)
     "stream_event_count",
     "stream_sessionize",
     "stream_user_stats",
     "stream_url_count",
-    # dedup_mllib_minhash left this set in round 8: its registered output
-    # is the parity-comparison row vs dedup_prefix_filter (exact recall),
-    # whose expected value is fully DuckDB-replayable.
     "stream_enriched_counts",
-    "approx_quantiles_value",  # GK sketch values are engine-specific
     "stream_sliding_count",  # streaming state; batch twin window_sliding_count
-    "hll_sketch_rollup",  # DataSketches HLL values are engine-specific
-    # quality_compression_ratio left this set in round 8: expected zlib
-    # lengths are precomputed into a committed sidecar parquet (regen-diff
-    # guarded), joined by text hash at oracle time.
 }
 
 

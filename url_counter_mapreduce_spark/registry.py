@@ -212,8 +212,19 @@ _register(
     "SELECT DISTINCT user_id, event_type FROM events",
 )
 
-# HLL sketch values are engine-specific → rows-only check; bounds asserted in tests.
-_register("approx_distinct_users", relational.approx_distinct_users, None)
+# HLL++ estimates are engine-specific, but the registered output is the
+# deterministic accuracy gate (exact count + within-bound flag) — the
+# estimate is a pure function of the input set, so the oracle asserts the
+# expected flag as the contract (left rows-only in round 8).
+_register(
+    "approx_distinct_users",
+    relational.approx_distinct_users,
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 
 _register(
     "window_topn_per_group",
@@ -1315,8 +1326,18 @@ _register(
     """,
 )
 
-# GK sketch values are engine-specific → rows-only; error bound in tests
-_register("approx_quantiles_value", advanced.approx_quantiles_value, None)
+# GK sketch values are engine-specific, but the registered output is the
+# deterministic rank-error gate — the oracle asserts the expected flags
+# as the contract (left rows-only in round 8).
+_register(
+    "approx_quantiles_value",
+    advanced.approx_quantiles_value,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
 
 from .streaming import join as _stream_join  # noqa: E402
 from .streaming import stateful_v2 as _stateful_v2  # noqa: E402
@@ -2754,11 +2775,23 @@ _register(
     """,
 )
 
-# rows-only: Apache DataSketches HLL values are engine-specific (DuckDB
-# cannot replay them); the accuracy measurement ships IN the result
-# (est vs exact_distinct) and tests/test_properties.py bounds the error
-# and asserts union-of-partials ≡ sketch-of-whole
-_register("hll_sketch_rollup", advanced.hll_sketch_rollup, None)
+# Apache DataSketches HLL values are engine-specific (DuckDB cannot
+# replay them), but the registered output is the deterministic accuracy
+# gate: exact distinct + day-sketch count + merge-consistency and
+# error-bound flags, asserted by the oracle as the expected contract
+# (left rows-only in round 8). tests/test_properties.py additionally
+# re-derives the raw estimates and bounds them independently.
+_register(
+    "hll_sketch_rollup",
+    advanced.hll_sketch_rollup,
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_day_sketches,
+           TRUE AS merge_consistent, TRUE AS est_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 
 _register("source_xml_roundtrip", _roundtrip.source_xml_roundtrip, _ROUNDTRIP_ORACLE)
 
@@ -5740,7 +5773,7 @@ _CANONICAL_FIRST_50 = [
     "sink_partitioned_parquet",# X24
     "stream_foreachbatch_dedup",# X25
     "join_skew_salted",        # X26
-    "approx_quantiles_value",  # X27 (rows-only by design: GK sketch)
+    "approx_quantiles_value",  # X27 (exact rank-error gate since round 8)
     "stream_stream_join",      # X29
     "stream_dedup_stateful",   # X30
     "json_struct_extract",     # X31
