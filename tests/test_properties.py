@@ -152,16 +152,26 @@ def test_session_window_boundary_semantics(spark):
 
 
 def test_approx_distinct_within_bounds(spark, sf_dir):
-    exact = {
-        r.event_type: r.n
+    """Independent re-derivation of the accuracy gate: recompute the raw
+    HLL++ estimate (the registered query now ships only the gate flag) and
+    bound it against exact here, then assert every shipped flag is TRUE
+    and the shipped exact counts match."""
+    raw = {
+        r.event_type: (r.approx_users, r.exact_users)
         for r in load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
         .collect()
     }
-    approx = {r.event_type: r.approx_users for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()}
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(2, 0.05 * n)
+    gate = {r.event_type: r for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()}
+    assert set(gate) == set(raw)
+    for k, (approx, n) in raw.items():
+        assert abs(approx - n) <= max(2, 0.05 * n), (k, approx, n)
+        assert gate[k].exact_users == n
+        assert gate[k].approx_within_5pct is True, k
 
 
 def test_multimodal_decode_deterministic(spark, sf_dir):
@@ -627,15 +637,30 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
     where the exact quantile interpolates."""
     vals = {}
     for r in load_table(spark, sf_dir, "events").select("event_type", "value").collect():
-        vals.setdefault(r.event_type, []).append(r.value)
-    approx = {r.event_type: r for r in QUERIES["approx_quantiles_value"](spark, sf_dir).collect()}
-    assert set(approx) == set(vals)
+        if r.value is not None:
+            vals.setdefault(r.event_type, []).append(r.value)
+    # The registered query ships the rank-error GATE; re-derive the raw
+    # percentile_approx estimates here and bound their ranks independently.
+    est = {
+        r.event_type: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        )
+        .collect()
+    }
+    gate = {r.event_type: r for r in QUERIES["approx_quantiles_value"](spark, sf_dir).collect()}
+    assert set(gate) == set(vals) == set(est)
     import bisect
 
-    for et, a in approx.items():
+    for et, a in est.items():
         xs = sorted(vals[et])
         n = len(xs)
-        assert a.n == n
+        assert gate[et].n == n
+        assert gate[et].p50_rank_ok and gate[et].p90_rank_ok and gate[et].p99_rank_ok, et
         for q, v in ((0.5, a.p50), (0.9, a.p90), (0.99, a.p99)):
             lo = bisect.bisect_left(xs, v)
             hi = bisect.bisect_right(xs, v)
@@ -1463,14 +1488,66 @@ def test_cogroup_reconcile_matches_join(spark, sf_dir):
         assert got[r.o_orderkey] == (r.n_items, r.sum_qty, r.revenue), r.o_orderkey
 
 
+def test_sketch_ship_variants_agree_with_gate_twins(spark, sf_dir):
+    """The sketch-only SHIP-PATH variants (round 9) carry rows-only
+    oracles by design — so pin their accuracy here against the exact
+    numbers their gate twins ship: the ship-path estimate must satisfy
+    the same bound the twin's gate flag asserts, on the same data."""
+    gate = {r.event_type: r.exact_users for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()}
+    ship = {r.event_type: r.approx_users for r in QUERIES["approx_distinct_users_sketch"](spark, sf_dir).collect()}
+    assert set(ship) == set(gate)
+    for et, n in gate.items():
+        assert abs(ship[et] - n) <= max(2, 0.05 * n), (et, ship[et], n)
+
+    hll_gate = {r.event_type: r for r in QUERIES["hll_sketch_rollup"](spark, sf_dir).collect()}
+    hll_ship = {r.event_type: r for r in QUERIES["hll_rollup_sketch"](spark, sf_dir).collect()}
+    assert set(hll_ship) == set(hll_gate)
+    for et, r in hll_ship.items():
+        g = hll_gate[et]
+        assert r.n_day_sketches == g.n_day_sketches, et
+        assert abs(r.est_users - g.exact_distinct) <= 0.05 * g.exact_distinct + 1.5, (et, r, g)
+
+    q_gate = {r.event_type: r.n for r in QUERIES["approx_quantiles_value"](spark, sf_dir).collect()}
+    q_ship = {r.event_type: r for r in QUERIES["approx_quantiles_sketch"](spark, sf_dir).collect()}
+    assert set(q_ship) == set(q_gate)
+    lo_hi = {
+        r.event_type: (r.lo, r.hi)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for et, r in q_ship.items():
+        lo, hi = lo_hi[et]
+        assert lo <= r.p50 <= r.p90 <= r.p99 <= hi, (et, r)
+
+
 def test_hll_rollup_merge_equals_direct_and_bounds_error(spark, sf_dir):
     """Sketch mergeability (the reason sketch tables exist at 100 TB):
     union of per-day sketches must estimate EXACTLY what one sketch over
     the raw stream estimates, and both must sit within 5% of exact."""
-    for r in QUERIES["hll_sketch_rollup"](spark, sf_dir).collect():
-        assert r.est_merged == r.est_direct, r.event_type
+    # Re-derive the raw estimates (the registered query ships only the gate
+    # flags) and assert mergeability + the error bound independently.
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    raw = {r.event_type: r for r in merged.join(direct, "event_type").collect()}
+    gate = {r.event_type: r for r in QUERIES["hll_sketch_rollup"](spark, sf_dir).collect()}
+    assert set(gate) == set(raw)
+    for et, r in raw.items():
+        assert r.est_merged == r.est_direct, et
         assert abs(r.est_merged - r.exact_distinct) <= 0.05 * r.exact_distinct + 1, r
-        assert r.n_day_sketches >= 1
+        assert gate[et].exact_distinct == r.exact_distinct
+        assert gate[et].merge_consistent and gate[et].est_within_5pct, et
+        assert gate[et].n_day_sketches >= 1
 
 
 def test_prefix_cumsum_matches_naive_window(spark):
@@ -1819,6 +1896,13 @@ def test_mp4_synth_roundtrip_and_rejects_garbage():
     # child box whose size overruns its moov parent: break, not overread
     runaway = ftyp + _st.pack(">I", 16) + b"moov" + _st.pack(">I", 4096) + b"mvhd"
     assert parse_mp4(runaway) is None
+    # ADVICE r08: short mvhd (8 <= csize < 108) followed by sibling boxes
+    # inside a roomy moov — must reject, not parse sibling bytes as the
+    # timescale/duration/next_track fields
+    short_mvhd = _st.pack(">I", 16) + b"mvhd" + b"\x00" * 8
+    sibling = _st.pack(">I", 104) + b"free" + b"\x7f" * 96
+    crafted3 = ftyp + _st.pack(">I", 8 + 16 + 104) + b"moov" + short_mvhd + sibling
+    assert parse_mp4(crafted3) is None
 
 
 def test_burstiness_bounds_and_closed_form(spark, sf_dir):

@@ -44,6 +44,7 @@ EXTENSION_SURFACE = [
 NORTH_STAR_SURFACE = [
     "udaf_surface",
     "approx_distinct_users",
+    "approx_distinct_users_sketch",
     "cube_orders",
     "grouping_sets_orders",
     "window_tumbling_count",
@@ -98,6 +99,7 @@ NORTH_STAR_SURFACE = [
     "stream_foreachbatch_dedup",
     "join_skew_salted",
     "approx_quantiles_value",
+    "approx_quantiles_sketch",
     "udtf_surface",
     "stream_stream_join",
     "stream_dedup_stateful",
@@ -168,6 +170,7 @@ NORTH_STAR_SURFACE = [
     "value_bucketing",
     "dq_constraints",
     "hll_sketch_rollup",
+    "hll_rollup_sketch",
     "source_xml_roundtrip",
     "source_binaryfile_scan",
     "source_python_datasource",
@@ -270,21 +273,25 @@ NORTH_STAR_SURFACE = [
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.
-# Since round 8 this is STREAMING ONLY: every batch query has an exact
-# oracle. The approx-sketch trio (approx_distinct_users,
-# approx_quantiles_value, hll_sketch_rollup) left this set in round 8 by
-# re-registering as deterministic accuracy gates (exact columns +
-# within-bound flags the oracle asserts as the contract — the
-# dedup_mllib_minhash recipe); similarity_ivf/_ivf_pq left in round 7
-# (exact-replayable integer trainers, oracle_ivf.py);
-# quality_compression_ratio left in round 8 (committed zlib sidecar).
+# The approx-sketch trio (approx_distinct_users, approx_quantiles_value,
+# hll_sketch_rollup) left this set in round 8 by re-registering as
+# deterministic accuracy gates (exact columns + within-bound flags the
+# oracle asserts as the contract — the dedup_mllib_minhash recipe);
+# similarity_ivf/_ivf_pq left in round 7 (exact-replayable integer
+# trainers, oracle_ivf.py); quality_compression_ratio left in round 8
+# (committed zlib sidecar). Round 9: four streaming queries went EXACT
+# (complete-mode + AvailableNow ≡ batch twin — stream_event_count,
+# stream_url_count, stream_sliding_count, stream_enriched_counts),
+# leaving only the two applyInPandasWithState custom-stateful queries;
+# and the three sketch-only SHIP-PATH variants joined (raw HLL/GK
+# estimates are engine-specific — each is accuracy-pinned by its
+# exact-green gate twin plus tests/test_properties.py re-derivations).
 ROWS_ONLY_BY_DESIGN = {
-    "stream_event_count",
     "stream_sessionize",
     "stream_user_stats",
-    "stream_url_count",
-    "stream_enriched_counts",
-    "stream_sliding_count",  # streaming state; batch twin window_sliding_count
+    "approx_distinct_users_sketch",
+    "approx_quantiles_sketch",
+    "hll_rollup_sketch",
 }
 
 

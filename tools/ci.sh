@@ -21,3 +21,13 @@ python bench.py 2>/dev/null | tail -1
 
 echo "== leg 6: physical-plan audit (red flags fail the leg) =="
 python tools/plan_audit.py 2>/dev/null | tail -1
+
+echo "== leg 7: doc regen + regen guards (MUST be the last step before any"
+echo "   end-of-round commit — a registry edit can never ship with stale"
+echo "   docs/QUERIES.md or README counts again) =="
+python tools/gen_query_table.py
+python -m pytest tests/test_survey_coverage.py -q
+if ! git diff --quiet -- docs/QUERIES.md; then
+  echo "ERROR: docs/QUERIES.md was stale — regen changed it; commit the regen" >&2
+  exit 1
+fi

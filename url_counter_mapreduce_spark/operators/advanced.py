@@ -255,8 +255,12 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.99, 10000).alias("p99"),
     )
     j = ev.join(F.broadcast(est), "event_type")
+    # n counts NON-NULL values only: percentile_approx and the lt/le rank
+    # sums all ignore NULLs, so a count(*) n would inflate the target rank
+    # q·(n−1) past le+slack on a null-bearing corpus and flip the gate
+    # FALSE while the oracle asserts TRUE (ADVICE r08).
     g = j.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("value").cast("long").alias("n"),
         *[
             s
             for q, col in ((50, "p50"), (90, "p90"), (99, "p99"))
@@ -275,6 +279,46 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"p{tag}_rank_ok")
 
     return g.select("event_type", "n", ok(0.5, 50), ok(0.9, 90), ok(0.99, 99))
+
+
+def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB SHIP PATH for approx quantiles: percentile_approx alone
+    — map-side GK partial sketches and one small merge, WITHOUT the
+    rank-verification join-back that the gate twin
+    `approx_quantiles_value` performs (that second pass over the values
+    is the correctness artifact, not the production shape). Sketch VALUES
+    are engine-specific → rows-only oracle by design; the rank-error
+    bound is asserted by the exact-green gate twin and independently in
+    tests/test_properties.py::test_approx_quantiles_within_rank_error."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        )
+    )
+
+
+def hll_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB SHIP PATH for the sketch-rollup table: per-(type, day)
+    HLL sketches merged per type — estimate + day-sketch count only, no
+    exact countDistinct pass (the gate twin `hll_sketch_rollup` carries
+    exact + merge-consistency + error-bound flags as the correctness
+    artifact). At scale the daily frame below is the STORED pre-aggregate
+    and this query is the cheap re-aggregation that answers any coarser
+    grain without rescanning raw events. Estimates are engine-specific →
+    rows-only oracle by design; bounds are pinned by the gate twin and
+    tests/test_properties.py::test_hll_rollup_merge_equals_direct_and_bounds_error."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return daily.groupBy("event_type").agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk"))).cast("long").alias("est_users"),
+        F.count("day").cast("long").alias("n_day_sketches"),
+    )
 
 
 def url_count_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -573,9 +617,12 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
+    # F.count("day") (not count(*)): a NULL-ts slice would form a NULL-day
+    # sketch group that Spark's count(*) would include but the oracle's
+    # count(DISTINCT date_trunc('day', ts)) excludes (ADVICE r08).
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
-        F.count(F.lit(1)).cast("long").alias("n_day_sketches"),
+        F.count("day").cast("long").alias("n_day_sketches"),
     )
     direct = ev.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),

@@ -59,7 +59,19 @@ def _pairs_from_shingles(sh: DataFrame, distance_threshold: float) -> DataFrame:
     cv = CountVectorizer(
         inputCol="shingles", outputCol="features", vocabSize=1 << 22, minDF=1.0
     )
-    feats = cv.fit(clean).transform(clean).select("doc_id", "features")
+    model = cv.fit(clean)
+    # CountVectorizer silently TRUNCATES the vocabulary once the corpus
+    # exceeds vocabSize distinct shingles; dropped shingles perturb the
+    # post-LSH Jaccard and would break the precision-1 set-equality
+    # contract the parity oracle asserts. A full vocabulary is the
+    # binding signature (== vocabSize), so fail loudly instead of
+    # letting the gate degrade silently on larger corpora.
+    if len(model.vocabulary) >= (1 << 22):
+        raise ValueError(
+            "mllib_lsh: CountVectorizer vocabSize cap (1<<22) reached — "
+            "vocabulary truncated; raise vocabSize or pre-prune shingles"
+        )
+    feats = model.transform(clean).select("doc_id", "features")
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=NUM_HASH_TABLES, seed=SEED
     )

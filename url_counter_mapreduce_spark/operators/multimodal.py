@@ -630,10 +630,12 @@ def parse_mp4(blob: bytes):
                 if csize < 8 or j + csize > i + size:
                     break
                 if blob[j + 4 : j + 8] == b"mvhd":
-                    # a v0 mvhd payload spans j+8 .. j+108; a header that
-                    # abuts the buffer end (j + 8 == len) or a short body
-                    # is garbage — reject instead of IndexError
-                    if j + 108 > i + size:
+                    # a v0 mvhd payload spans j+8 .. j+108 and must lie
+                    # inside the mvhd box ITSELF: a short mvhd (csize <
+                    # 108) followed by sibling boxes inside a roomy moov
+                    # would otherwise have sibling bytes parsed as
+                    # timescale/duration/next_track — reject it
+                    if csize < 108 or j + 108 > i + size:
                         return None
                     if blob[j + 8] == 0:
                         timescale, duration = _st.unpack(">II", blob[j + 20 : j + 28])

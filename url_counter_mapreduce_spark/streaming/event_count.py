@@ -4,8 +4,9 @@ stateful count — verified against its batch twin
 (relational.window_tumbling_count) on the same data.
 
 Batch-testable via Trigger.AvailableNow + memory sink: the stream drains the
-parquet once and terminates, so the driver's rows-only check and the local
-batch-equivalence test both see a finished, deterministic result. At scale
+parquet once and terminates, so the result is finished and deterministic —
+since round 9 both queries here carry EXACT DuckDB oracles (their batch
+twins' SQL verbatim; complete mode means the watermark never drops output). At scale
 the same plan runs unmodified against a Kafka/file stream with the watermark
 bounding state (late events beyond 1h are dropped, state GC'd per window).
 """
