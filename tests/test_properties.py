@@ -2552,3 +2552,45 @@ def test_cdc_chunks_shift_robust_dedup(spark, tmp_path):
         assert s1.dedup_ratio == 1.0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_chunk_reuse_identical_docs_and_disjoint_docs(spark):
+    """dedup_chunk_reuse core contracts on a controlled corpus: two
+    byte-identical documents share their entire chunk bag (both ordered
+    pairs, chunk_containment exactly 1.0, shingle-confirmed — identical
+    docs have shingle containment 1 >= CONTAIN_T); a token-disjoint
+    document shares no chunk with them (no emitted pair — a df=1 chunk
+    cannot pair); and a doc embedding the base text keeps every interior
+    cut point (CDC shift-robustness), so its pair with the base survives
+    the 0.5 threshold."""
+    import os
+    import random
+    import tempfile
+
+    from url_counter_mapreduce_spark.operators.dedup import dedup_chunk_reuse
+
+    rng = random.Random(99)
+    base = " ".join(f"t{rng.randrange(500)}" for _ in range(80))
+    other = " ".join(f"z{rng.randrange(500)}" for _ in range(80))
+    rows = [
+        (0, base, "en", "s0", len(base)),
+        (1, base, "en", "s1", len(base)),
+        (2, base + " " + other, "en", "s0", len(base) + 1 + len(other)),
+        (3, other, "en", "s1", len(other)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = os.path.join(tempfile.gettempdir(), "chunk_reuse_props")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {(r.doc_src, r.doc_dst): r for r in dedup_chunk_reuse(spark, d).collect()}
+
+    assert (0, 1) in got and (1, 0) in got
+    for k in ((0, 1), (1, 0)):
+        assert got[k].chunk_containment == 1.0, got[k]
+        assert got[k].shingle_confirmed is True, got[k]
+    # doc 0 is a prefix of doc 2: every cut point strictly inside doc 0
+    # is content-defined, so at most the final chunk of doc 0 merges into
+    # doc 2's continuation — containment stays near 1, far above 0.5
+    assert (0, 2) in got and got[(0, 2)].chunk_containment > 0.5
+    assert not any({a, b} & {3} and {a, b} & {0, 1} for (a, b) in got), got.keys()

@@ -233,6 +233,7 @@ NORTH_STAR_SURFACE = [
     "dedup_prefix_filter",
     "dedup_containment_pairs",
     "dedup_cdc_chunks",
+    "dedup_chunk_reuse",
     "decontaminate_semantic",
     "agg_winsorized_pricing",
     "join_null_safe",

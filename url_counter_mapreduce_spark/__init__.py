@@ -20,16 +20,18 @@ from .registry import QUERIES, ORACLES
 def clear_caches() -> None:
     """Release every persisted per-(session, corpus) artifact the package
     memoizes (MinHash signature index, verified dup-pair table, substring
-    window table, IVF assignment tables). Long-lived sessions that sweep
+    window table, CDC chunk index, IVF assignment tables). Long-lived sessions that sweep
     many corpora should call this between corpora; the caches are also
     bounded internally (FIFO, oldest unpersisted)."""
     from .operators.dedup import (
+        clear_chunk_cache,
         clear_pairs_cache,
         clear_signature_cache,
         clear_wins_cache,
     )
     from .operators.similarity import clear_ivf_cache
 
+    clear_chunk_cache()
     clear_pairs_cache()
     clear_signature_cache()
     clear_wins_cache()

@@ -1614,32 +1614,53 @@ CDC_WINDOW = 3  # tokens per boundary-decision window
 CDC_DIVISOR = 8  # boundary when window-hash % CDC_DIVISOR == 0 (mean chunk ~8 tokens)
 
 
-def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined-chunking storage dedup report per source: split
-    every document into variable-size chunks at CONTENT-DEFINED
-    boundaries (a boundary closes after token i when the hash of the
-    CDC_WINDOW-token window ending at i lands on 0 mod CDC_DIVISOR — the
-    rolling-hash cut rule of LBFS/restic/borg/casync, token-granular),
-    then measure per source how much chunk-level storage dedup saves:
-    n_chunks, n_unique_chunks, bytes_total, bytes_unique, dedup_ratio.
-    Content-defined cuts are SHIFT-ROBUST — inserting one token early in
-    a doc moves every fixed-size block but leaves all later CDC cut
-    points (and so their chunk hashes) unchanged, which is why backup
-    stores and LLM-corpus blob stores chunk this way rather than by
-    offset.
+# (applicationId, sf_dir) → persisted CDC chunk index. The chunk table is
+# the third shared artifact of a production dedup pipeline (after the
+# shingle index and the verified-pair table): the storage report
+# (dedup_cdc_chunks) and the assembly detector (dedup_chunk_reuse) both
+# aggregate over it, and dedup_chunk_reuse alone reads it three times
+# (per-doc bags twice for the self-join, doc totals once) — without the
+# persist each read re-runs the explode + per-doc windows. Same bounded
+# FIFO + unpersist discipline as _SIG_CACHE.
+_CHUNK_CACHE: dict = {}
+_CHUNK_CACHE_MAX = 4
 
-    Exactness: boundaries come from md5 (identical in both engines,
-    integer-compared); chunk texts reassemble by per-doc position; all
-    counts/byte sums are exact BIGINTs; the ratio is one stable_round
-    division.
 
-    Plan shape at 100 TB: one explode (linear), per-doc lag/sum windows
-    (doc-partitioned — never a global sort), a (doc, chunk) reassembly
-    aggregate, a (source, chunk-hash) aggregate, and a |sources|-row
-    final rollup. Flagship-class shuffles only."""
+def clear_chunk_cache() -> None:
+    """Unpersist and drop every cached CDC chunk index."""
+    while _CHUNK_CACHE:
+        _, chunks = _CHUNK_CACHE.popitem()
+        try:
+            chunks.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
+def _chunk_index_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CHUNK_CACHE:
+        while len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+            oldest = next(iter(_CHUNK_CACHE))
+            try:
+                _CHUNK_CACHE.pop(oldest).unpersist()
+            except Exception:
+                pass
+        chunks = _cdc_chunk_frame(spark, sf_dir).persist()
+        chunks.count()  # materialize once
+        _CHUNK_CACHE[key] = chunks
+    return _CHUNK_CACHE[key]
+
+
+def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC chunk table (doc_id, source, chunk_id, h, nb): every
+    document split at content-defined boundaries (rolling window hash ≡ 0
+    mod CDC_DIVISOR), one row per chunk with its md5 and byte length —
+    the shared substrate of dedup_cdc_chunks (per-source storage report)
+    and dedup_chunk_reuse (cross-doc pair discovery). At 100 TB this
+    frame IS the blob-store chunk index a backup/corpus store maintains
+    incrementally; both consumers are aggregations over it (served here
+    from the per-(session, corpus) persisted index, _chunk_index_for)."""
     from pyspark.sql.window import Window
-
-    from ..functions.vector import stable_round
 
     docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id",
@@ -1665,7 +1686,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("b").over(wdoc.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
         ),
     )
-    chunks = chunked.groupBy("doc_id", "source", "chunk_id").agg(
+    return chunked.groupBy("doc_id", "source", "chunk_id").agg(
         F.md5(
             F.expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok))")
         ).alias("h"),
@@ -1674,6 +1695,34 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)))"
         ).cast("long").alias("nb"),
     )
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking storage dedup report per source: split
+    every document into variable-size chunks at CONTENT-DEFINED
+    boundaries (a boundary closes after token i when the hash of the
+    CDC_WINDOW-token window ending at i lands on 0 mod CDC_DIVISOR — the
+    rolling-hash cut rule of LBFS/restic/borg/casync, token-granular),
+    then measure per source how much chunk-level storage dedup saves:
+    n_chunks, n_unique_chunks, bytes_total, bytes_unique, dedup_ratio.
+    Content-defined cuts are SHIFT-ROBUST — inserting one token early in
+    a doc moves every fixed-size block but leaves all later CDC cut
+    points (and so their chunk hashes) unchanged, which is why backup
+    stores and LLM-corpus blob stores chunk this way rather than by
+    offset.
+
+    Exactness: boundaries come from md5 (identical in both engines,
+    integer-compared); chunk texts reassemble by per-doc position; all
+    counts/byte sums are exact BIGINTs; the ratio is one stable_round
+    division.
+
+    Plan shape at 100 TB: one explode (linear), per-doc lag/sum windows
+    (doc-partitioned — never a global sort), a (doc, chunk) reassembly
+    aggregate, a (source, chunk-hash) aggregate, and a |sources|-row
+    final rollup. Flagship-class shuffles only."""
+    from ..functions.vector import stable_round
+
+    chunks = _chunk_index_for(spark, sf_dir)
     # same hash => same text => same nb; min() just pins determinism
     per_hash = chunks.groupBy("source", "h").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"), F.min("nb").alias("nb")
@@ -1694,4 +1743,92 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             + stable_round("CAST(bytes_unique AS DOUBLE) / bytes_total", 6)
             + " END"
         ).alias("dedup_ratio"),
+    )
+
+
+CHUNK_REUSE_T = 0.5  # chunk-byte containment threshold shared_bytes / src_bytes
+
+
+def dedup_chunk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level ASSEMBLY twin of the CDC chunker (the round-8
+    storage report's missing other half): which documents are largely
+    REASSEMBLIES of bytes already stored for other documents? Pairs
+    (doc_src, doc_dst) where the fraction of doc_src's chunk BYTES also
+    present in doc_dst's chunk bag is >= CHUNK_REUSE_T — the chunk-level
+    analog of shingle containment (dedup_containment_pairs), computed on
+    the storage-dedup substrate instead of the similarity substrate, so
+    it surfaces partial copies stitched from shared spans even when
+    3-gram Jaccard/containment sits below its threshold. Each emitted
+    pair carries `shingle_confirmed`: did the shingle-containment
+    detector independently find it? FALSE rows are exactly the pairs
+    only chunk-reuse can see (cross-source syndication with heavy local
+    edits between the preserved spans) — the curation reviewer's queue.
+
+    Shared bytes are the MULTISET intersection of the two chunk bags:
+    sum over shared hashes of nb * min(cnt_src, cnt_dst) — a doc that
+    repeats a chunk 3 times only counts it against a dst holding it >= 3
+    times at full weight (the restic/borg accounting rule).
+
+    Exactness: chunk hashes/byte lengths are the md5/octet_length
+    integers of _cdc_chunk_frame; shared_bytes/n_shared_chunks are exact
+    BIGINTs; the containment ratio is one stable_round division; the
+    confirmation flag replays the exact containment-pair oracle.
+
+    Plan shape at 100 TB: two aggregations over the chunk index, a
+    df >= 2-pruned hash equi-join (a chunk in one doc can pair nothing —
+    same prune as the shingle posting join), a (src, dst) pair
+    aggregate, and a broadcast-scale left join against the containment
+    pairs. Hot boilerplate chunks skew the posting join exactly like hot
+    shingles; production corpora cap posting length (LSH bucket-cap
+    discipline, docs/SCALE.md S11.5); the fixture corpus needs no cap so
+    the oracle stays exact. Transitive group resolution composes
+    downstream via connected_components (the dedup_groups pattern) over
+    these pairs."""
+    from ..functions.vector import stable_round
+
+    chunks = _chunk_index_for(spark, sf_dir)
+    per_doc = chunks.groupBy("doc_id", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"), F.min("nb").alias("nb")
+    )
+    doc_bytes = per_doc.groupBy("doc_id").agg(
+        F.sum(F.expr("cnt * nb")).cast("long").alias("doc_bytes")
+    )
+    # a chunk held by a single document cannot contribute to any pair
+    shared_h = per_doc.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs")).filter(
+        F.col("ndocs") >= 2
+    ).select("h")
+    a = per_doc.join(shared_h, "h").select(
+        "h", F.col("doc_id").alias("doc_src"), F.col("cnt").alias("cnt_a"), "nb"
+    )
+    b = per_doc.join(shared_h, "h").select(
+        "h", F.col("doc_id").alias("doc_dst"), F.col("cnt").alias("cnt_b")
+    )
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_src") != F.col("doc_dst"))
+        .groupBy("doc_src", "doc_dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_chunks"),
+            F.sum(F.expr("least(cnt_a, cnt_b) * nb")).cast("long").alias("shared_bytes"),
+        )
+    )
+    confirmed = dedup_containment_pairs(spark, sf_dir).select(
+        "doc_src", "doc_dst", F.lit(True).alias("shingle_confirmed")
+    )
+    return (
+        pairs.join(doc_bytes.withColumnRenamed("doc_id", "doc_src"), "doc_src")
+        .withColumn(
+            "chunk_containment",
+            F.expr(stable_round("CAST(shared_bytes AS DOUBLE) / doc_bytes", 6)),
+        )
+        .filter(F.col("chunk_containment") >= CHUNK_REUSE_T)
+        .join(confirmed, ["doc_src", "doc_dst"], "left")
+        .select(
+            "doc_src",
+            "doc_dst",
+            "n_shared_chunks",
+            "shared_bytes",
+            "chunk_containment",
+            F.coalesce("shingle_confirmed", F.lit(False)).alias("shingle_confirmed"),
+        )
     )

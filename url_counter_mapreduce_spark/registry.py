@@ -4355,10 +4355,10 @@ _register(
     """,
 )
 
-_register(
-    "dedup_cdc_chunks",
-    dedup.dedup_cdc_chunks,
-    f"""
+# CDC chunk-table CTE chain (ends at `chunks`): shared by the
+# dedup_cdc_chunks storage report and the dedup_chunk_reuse assembly twin,
+# mirroring operators/dedup._cdc_chunk_frame.
+_CDC_CHUNKS_CTE = f"""
     WITH t AS (
         SELECT doc_id, coalesce(source, 'unknown') AS source,
                list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS toks
@@ -4386,7 +4386,14 @@ _register(
                md5(string_agg(tok, ' ' ORDER BY pos)) AS h,
                CAST(strlen(string_agg(tok, ' ' ORDER BY pos)) AS BIGINT) AS nb
         FROM chunked GROUP BY doc_id, source, chunk_id
-    ), per_hash AS (
+    )"""
+
+_register(
+    "dedup_cdc_chunks",
+    dedup.dedup_cdc_chunks,
+    _CDC_CHUNKS_CTE
+    + f"""
+    , per_hash AS (
         SELECT source, h, CAST(count(*) AS BIGINT) AS cnt, min(nb) AS nb
         FROM chunks GROUP BY source, h
     )
@@ -4399,6 +4406,45 @@ _register(
                {_stable_round_sql('CAST(sum(nb) AS DOUBLE) / sum(cnt * nb)')}
            END AS dedup_ratio
     FROM per_hash GROUP BY source
+    """,
+)
+
+# The assembly twin (round 9, VERDICT r08 item 8): chunk-bag multiset
+# containment pairs + reconciliation flag against the shingle-containment
+# detector (whose full oracle is replayed as a subquery — the
+# dedup_mllib_minhash composition trick).
+_register(
+    "dedup_chunk_reuse",
+    dedup.dedup_chunk_reuse,
+    _CDC_CHUNKS_CTE
+    + f"""
+    , per_doc AS (
+        SELECT doc_id, h, CAST(count(*) AS BIGINT) AS cnt, min(nb) AS nb
+        FROM chunks GROUP BY doc_id, h
+    ), doc_bytes AS (
+        SELECT doc_id, CAST(sum(cnt * nb) AS BIGINT) AS doc_bytes
+        FROM per_doc GROUP BY doc_id
+    ), shared_h AS (
+        SELECT h FROM per_doc GROUP BY h HAVING count(*) >= 2
+    ), pairs AS (
+        SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+               CAST(count(*) AS BIGINT) AS n_shared_chunks,
+               CAST(sum(least(a.cnt, b.cnt) * a.nb) AS BIGINT) AS shared_bytes
+        FROM per_doc a
+        JOIN shared_h USING (h)
+        JOIN per_doc b ON a.h = b.h AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_src, p.doc_dst, p.n_shared_chunks, p.shared_bytes,
+           {_stable_round_sql('CAST(p.shared_bytes AS DOUBLE) / d.doc_bytes')}
+               AS chunk_containment,
+           (cp.doc_src IS NOT NULL) AS shingle_confirmed
+    FROM pairs p
+    JOIN doc_bytes d ON d.doc_id = p.doc_src
+    LEFT JOIN ({ORACLES["dedup_containment_pairs"]}) cp
+           ON cp.doc_src = p.doc_src AND cp.doc_dst = p.doc_dst
+    WHERE {_stable_round_sql('CAST(p.shared_bytes AS DOUBLE) / d.doc_bytes')}
+          >= {dedup.CHUNK_REUSE_T}
     """,
 )
 
