@@ -2594,3 +2594,24 @@ def test_chunk_reuse_identical_docs_and_disjoint_docs(spark):
     # doc 2's continuation — containment stays near 1, far above 0.5
     assert (0, 2) in got and got[(0, 2)].chunk_containment > 0.5
     assert not any({a, b} & {3} and {a, b} & {0, 1} for (a, b) in got), got.keys()
+
+    # production knobs: confirm=False drops only the audit column (same
+    # pair set and metrics); a posting cap can only REMOVE pairs, never
+    # invent them, and a generous cap changes nothing here
+    bare = {(r.doc_src, r.doc_dst): r for r in dedup_chunk_reuse(spark, d, confirm=False).collect()}
+    assert set(bare) == set(got)
+    assert "shingle_confirmed" not in next(iter(bare.values())).asDict()
+    for k, r in bare.items():
+        assert (r.n_shared_chunks, r.shared_bytes, r.chunk_containment) == (
+            got[k].n_shared_chunks, got[k].shared_bytes, got[k].chunk_containment
+        )
+    capped = {
+        (r.doc_src, r.doc_dst)
+        for r in dedup_chunk_reuse(spark, d, posting_cap=2, confirm=False).collect()
+    }
+    assert capped <= set(got)
+    wide = {
+        (r.doc_src, r.doc_dst)
+        for r in dedup_chunk_reuse(spark, d, posting_cap=64, confirm=False).collect()
+    }
+    assert wide == set(got)

@@ -1749,7 +1749,12 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_REUSE_T = 0.5  # chunk-byte containment threshold shared_bytes / src_bytes
 
 
-def dedup_chunk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_chunk_reuse(
+    spark: SparkSession,
+    sf_dir: str,
+    posting_cap: int | None = None,
+    confirm: bool = True,
+) -> DataFrame:
     """Document-level ASSEMBLY twin of the CDC chunker (the round-8
     storage report's missing other half): which documents are largely
     REASSEMBLIES of bytes already stored for other documents? Pairs
@@ -1797,10 +1802,24 @@ def dedup_chunk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared_h = per_doc.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs")).filter(
         F.col("ndocs") >= 2
     ).select("h")
-    a = per_doc.join(shared_h, "h").select(
+    posting = per_doc.join(shared_h, "h")
+    if posting_cap is not None:
+        # the clone-corpus guard (SCALE.md S11.8): a chunk shared by P
+        # documents fans the self-join out P^2 rows; capping each posting
+        # at the posting_cap LOWEST doc_ids (deterministic) bounds the
+        # fan-out at cap^2 per hash, losing only pairs whose EVERY shared
+        # chunk rides a >cap posting — boilerplate-dominated pairs, the
+        # same tradeoff as the LSH bucket cap (S11.5). OFF by default so
+        # the registered query's DuckDB oracle stays exact.
+        from pyspark.sql.window import Window as _W
+
+        posting = posting.withColumn(
+            "_pr", F.row_number().over(_W.partitionBy("h").orderBy("doc_id"))
+        ).filter(F.col("_pr") <= posting_cap).drop("_pr")
+    a = posting.select(
         "h", F.col("doc_id").alias("doc_src"), F.col("cnt").alias("cnt_a"), "nb"
     )
-    b = per_doc.join(shared_h, "h").select(
+    b = posting.select(
         "h", F.col("doc_id").alias("doc_dst"), F.col("cnt").alias("cnt_b")
     )
     pairs = (
@@ -1812,9 +1831,17 @@ def dedup_chunk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("least(cnt_a, cnt_b) * nb")).cast("long").alias("shared_bytes"),
         )
     )
-    confirmed = dedup_containment_pairs(spark, sf_dir).select(
-        "doc_src", "doc_dst", F.lit(True).alias("shingle_confirmed")
-    )
+    # confirm=False drops the shingle-containment audit leg (and its whole
+    # subplan) — the production mode on clone-heavy corpora where the
+    # confirmation detector's own required output is quadratic in the
+    # clone count and dominates wall (measured, SCALE.md S11.8); the
+    # registered query keeps confirm=True so the oracle replays the flag.
+    if not confirm:
+        confirmed = None
+    else:
+        confirmed = dedup_containment_pairs(spark, sf_dir).select(
+            "doc_src", "doc_dst", F.lit(True).alias("shingle_confirmed")
+        )
     return (
         pairs.join(doc_bytes.withColumnRenamed("doc_id", "doc_src"), "doc_src")
         .withColumn(
@@ -1822,13 +1849,21 @@ def dedup_chunk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(stable_round("CAST(shared_bytes AS DOUBLE) / doc_bytes", 6)),
         )
         .filter(F.col("chunk_containment") >= CHUNK_REUSE_T)
-        .join(confirmed, ["doc_src", "doc_dst"], "left")
-        .select(
-            "doc_src",
-            "doc_dst",
-            "n_shared_chunks",
-            "shared_bytes",
-            "chunk_containment",
-            F.coalesce("shingle_confirmed", F.lit(False)).alias("shingle_confirmed"),
+        .transform(
+            lambda df: df.select(
+                "doc_src", "doc_dst", "n_shared_chunks", "shared_bytes",
+                "chunk_containment",
+            )
+            if confirmed is None
+            else df.join(confirmed, ["doc_src", "doc_dst"], "left").select(
+                "doc_src",
+                "doc_dst",
+                "n_shared_chunks",
+                "shared_bytes",
+                "chunk_containment",
+                F.coalesce("shingle_confirmed", F.lit(False)).alias(
+                    "shingle_confirmed"
+                ),
+            )
         )
     )

@@ -658,7 +658,7 @@ _register(
 # tumbling count, deterministically (the same single-batch argument that
 # made stream_stream_join / stream_dedup_stateful exact in round 7;
 # stream≡batch additionally asserted in
-# tests/test_properties.py::test_stream_count_matches_batch). The SQL is
+# tests/test_properties.py::test_stream_matches_batch). The SQL is
 # the batch twin window_tumbling_count's, verbatim.
 
 _register(
