@@ -2615,3 +2615,55 @@ def test_chunk_reuse_identical_docs_and_disjoint_docs(spark):
         for r in dedup_chunk_reuse(spark, d, posting_cap=64, confirm=False).collect()
     }
     assert wide == set(got)
+
+
+def test_stream_sessionize_append_emission_boundary(spark):
+    """Pins the append-mode emission rule stream_sessionize's EXACT oracle
+    replays: a session emits iff its end (last_ts + gap) is <= the final
+    watermark, where the watermark is the max event time FLOOR-TRUNCATED
+    TO MILLISECONDS minus the 1h delay. Three crafted corpora: end lands
+    exactly ON the watermark (must emit — the <= boundary), 1 ms inside
+    (emit), 1 ms beyond (hold open). Single parquet FILE per corpus (the
+    file-stream source does not recurse into a directory-shaped table)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from url_counter_mapreduce_spark.streaming.stateful import stream_sessionize
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def corpus(case, extra):
+        d = os.path.join(tempfile.gettempdir(), f"sess_boundary_{case}")
+        stage = os.path.join(d, "_stage")
+        rows = [
+            (1, t0, 1, 1.0),  # session end = t0 + 30min
+            (9, t0 + dt.timedelta(hours=1, minutes=30) + extra, 2, 1.0),  # wm driver
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+        df = df.select(
+            "event_id", "ts", "user_id",
+            df.user_id.cast("string").alias("event_type"),
+            "value", df.user_id.cast("string").alias("props"),
+        ).coalesce(1)
+        df.write.mode("overwrite").parquet(stage)
+        shutil.copy(glob.glob(os.path.join(stage, "part-*.parquet"))[0],
+                    os.path.join(d, "events.parquet"))
+        return d
+
+    emitted_on = [
+        (r.user_id, r.session_end)
+        for r in stream_sessionize(spark, corpus("eq", dt.timedelta(0))).collect()
+    ]
+    assert emitted_on == [(1, "2024-06-01 12:30:00.000000")], emitted_on
+
+    emitted_past = [
+        (r.user_id, r.session_end)
+        for r in stream_sessionize(spark, corpus("past", dt.timedelta(milliseconds=1))).collect()
+    ]
+    assert emitted_past == [(1, "2024-06-01 12:30:00.000000")], emitted_past
+
+    held = stream_sessionize(spark, corpus("hold", dt.timedelta(milliseconds=-1))).collect()
+    assert held == [], held

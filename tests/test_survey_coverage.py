@@ -280,16 +280,16 @@ NORTH_STAR_SURFACE = [
 # oracle asserts as the contract — the dedup_mllib_minhash recipe);
 # similarity_ivf/_ivf_pq left in round 7 (exact-replayable integer
 # trainers, oracle_ivf.py); quality_compression_ratio left in round 8
-# (committed zlib sidecar). Round 9: four streaming queries went EXACT
-# (complete-mode + AvailableNow ≡ batch twin — stream_event_count,
-# stream_url_count, stream_sliding_count, stream_enriched_counts),
-# leaving only the two applyInPandasWithState custom-stateful queries;
-# and the three sketch-only SHIP-PATH variants joined (raw HLL/GK
-# estimates are engine-specific — each is accuracy-pinned by its
-# exact-green gate twin plus tests/test_properties.py re-derivations).
+# (committed zlib sidecar). Round 9: ALL SIX remaining streaming queries
+# went EXACT — four via complete-mode + AvailableNow ≡ batch twin
+# (stream_event_count, stream_url_count, stream_sliding_count,
+# stream_enriched_counts), stream_user_stats via final-state ≡ batch
+# aggregate, and stream_sessionize via the probe-pinned append-emission
+# rule (session end <= final watermark). What remains rows-only is
+# exactly the three sketch-only SHIP-PATH variants (raw HLL/GK estimates
+# are engine-specific — each is accuracy-pinned by its exact-green gate
+# twin plus tests/test_properties.py re-derivations).
 ROWS_ONLY_BY_DESIGN = {
-    "stream_sessionize",
-    "stream_user_stats",
     "approx_distinct_users_sketch",
     "approx_quantiles_sketch",
     "hll_rollup_sketch",

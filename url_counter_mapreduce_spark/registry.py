@@ -747,9 +747,64 @@ _register(
     """,
 )
 
-# streaming stateful ops: not SQL-expressible → rows-only
-_register("stream_sessionize", stateful.stream_sessionize, None)
-_register("stream_user_stats", stateful.stream_user_stats, None)
+# Stateful streaming — EXACT oracles (round 9). Both are deterministic
+# under Trigger.AvailableNow:
+#
+# stream_sessionize (append-mode session_window): the emission set is
+# exactly the sessions whose end (last_ts + gap) is <= the final
+# watermark, where the watermark is floor-to-millisecond(max event ts)
+# minus the 1h delay — the <= boundary and the ms truncation are PINNED
+# BY PROBE (tests/test_properties.py::
+# test_stream_sessionize_append_emission_boundary builds a corpus whose
+# session end lands exactly ON the watermark and asserts it emits).
+# Session merge at exactly-gap is the same strict-> split the
+# session-window boundary probe pins. The oracle replays gap
+# sessionization + the watermark predicate.
+#
+# stream_user_stats (applyInPandasWithState running totals): one
+# AvailableNow batch folds every row of a user into state once; the
+# keep-final-state dedup yields exactly the batch per-user aggregate
+# (pandas/JVM/DuckDB double-sum agreement at round(·,4) verified at
+# sf0.001/0.01/0.1).
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+_SESSION_WM_US = 60 * 60 * 1_000_000
+
+_register(
+    "stream_sessionize",
+    stateful.stream_sessionize,
+    f"""
+    WITH e AS (SELECT user_id, value, epoch_us(ts) AS us FROM events),
+    mx AS (SELECT (max(us) // 1000) * 1000 - {_SESSION_WM_US} AS wm FROM e),
+    flagged AS (
+        SELECT user_id, us, value,
+               CASE WHEN us - lag(us) OVER w > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), numbered AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, sid, min(us) AS s_us, max(us) + {_SESSION_GAP_US} AS e_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           strftime(make_timestamp(s_us), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(make_timestamp(e_us), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           n_events, sum_value
+    FROM sess, mx WHERE e_us <= wm
+    """,
+)
+_register(
+    "stream_user_stats",
+    stateful.stream_user_stats,
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
 
 # --------------------------------------------------------------------------
 # Advanced relational shapes: range join, grouping sets, SQL surface

@@ -8,8 +8,12 @@ Two variants over the events stream:
     genuinely custom state (here: per-user running count/sum emitted per
     micro-batch, state carried as a tuple).
 
-Both are rows-only in the driver contract (streaming state is not
-SQL-expressible); tests check them against batch equivalents.
+Both carry EXACT oracles since round 9: under Trigger.AvailableNow the
+drained output is deterministic — sessionize emits exactly the sessions
+whose end is <= the final watermark (boundary + ms-truncation pinned by
+probe in tests/test_properties.py), and user_stats' final state per key
+equals the batch per-user aggregate. Tests additionally check both
+against their Spark batch equivalents.
 """
 
 from __future__ import annotations
