@@ -2667,3 +2667,93 @@ def test_stream_sessionize_append_emission_boundary(spark):
 
     held = stream_sessionize(spark, corpus("hold", dt.timedelta(milliseconds=-1))).collect()
     assert held == [], held
+
+
+def test_er_golden_record_invariants(spark, sf_dir):
+    """Entity resolution conservation + survivorship determinism: the
+    entity partition covers every part exactly once (Σ n_members =
+    |part|); entity_id is the component min so the golden key can never
+    undercut it; singletons are conflict-free (spread 0, golden = self);
+    the golden price is the entity max by the survivorship rule."""
+    out = QUERIES["er_golden_record"](spark, sf_dir).toPandas()
+    n_parts = load_table(spark, sf_dir, "part").count()
+    assert out["n_members"].sum() == n_parts
+    assert len(out) == out["entity_id"].nunique()
+    assert (out["golden_partkey"] >= out["entity_id"]).all()
+    singles = out[out["n_members"] == 1]
+    assert (singles["price_spread"] == 0).all()
+    assert (singles["golden_partkey"] == singles["entity_id"]).all()
+    assert (out["price_spread"] >= 0).all()
+
+
+def test_er_blocking_recall_equals_bruteforce(spark, sf_dir):
+    """The recall-1 claim behind er_golden_record's name-key blocking,
+    checked against an in-memory brute force over ALL pairs (the oracle
+    proves it at the entity level; this pins the EDGE set itself)."""
+    from url_counter_mapreduce_spark.operators.entity import er_match_edges
+
+    rec = load_table(spark, sf_dir, "part").toPandas()
+    rec["key"] = rec["p_name"].map(lambda s: " ".join(sorted(set(s.split(" ")))))
+    brute = set()
+    for _, grp in rec.groupby("key"):
+        rows = grp.sort_values("p_partkey").to_dict("records")
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                s = (
+                    500 * (a["p_brand"] == b["p_brand"])
+                    + 300 * (a["p_type"] == b["p_type"])
+                    + 2 * (10 - min(10, abs(a["p_size"] - b["p_size"])))
+                )
+                if s >= 700:
+                    brute.add((a["p_partkey"], b["p_partkey"]))
+    got = {(r.doc_a, r.doc_b) for r in er_match_edges(spark, sf_dir).collect()}
+    assert got == brute
+
+
+def test_er_snm_window_and_rank(spark, sf_dir):
+    """Sorted-neighborhood contract: the two-phase distributed global rank
+    equals the pandas global sort rank, and every emitted pair sits within
+    the SNM window in that order with its integer score reproduced."""
+    from url_counter_mapreduce_spark.operators.entity import SNM_WINDOW
+
+    rec = load_table(spark, sf_dir, "part").toPandas()
+    rec["snm_key"] = rec["p_name"].map(lambda s: " ".join(reversed(s.split(" "))))
+    rec = rec.sort_values(["snm_key", "p_partkey"]).reset_index(drop=True)
+    rec["rank"] = rec.index + 1
+    by_key = rec.set_index("p_partkey")
+    rank_of = by_key["rank"].to_dict()
+    out = QUERIES["er_sorted_neighborhood"](spark, sf_dir).toPandas()
+    assert len(out) == len(out.drop_duplicates(["partkey_a", "partkey_b"]))
+    for r in out.itertuples():
+        d = rank_of[r.partkey_b] - rank_of[r.partkey_a]
+        assert 1 <= d <= SNM_WINDOW - 1, (r, d)
+        a, b = by_key.loc[r.partkey_a], by_key.loc[r.partkey_b]
+        ta, tb = set(a["p_name"].split(" ")), set(b["p_name"].split(" "))
+        score = (
+            400000 * len(ta & tb) // len(ta | tb)
+            + 250000 * (a["p_brand"] == b["p_brand"])
+            + 200000 * (a["p_type"] == b["p_type"])
+            + 15000 * (10 - min(10, abs(a["p_size"] - b["p_size"])))
+        )
+        assert score == r.score_e6 and score >= 600000
+
+
+def test_audience_overlap_gate_and_sketch_agree(spark, sf_dir):
+    """Set-algebra sanity on the exact legs (overlap ≤ min audience,
+    union ≥ max audience, inclusion–exclusion consistency), every gate
+    flag TRUE, and the sketch ship variant's estimate within the same
+    bound the gate asserts — the exact leg it never computes."""
+    gate = QUERIES["audience_overlap"](spark, sf_dir).toPandas()
+    assert gate["est_within_bound"].all()
+    assert (gate["overlap_users"] <= gate[["audience_a", "audience_b"]].min(axis=1)).all()
+    assert (gate["union_users"] >= gate[["audience_a", "audience_b"]].max(axis=1)).all()
+    assert (
+        gate["union_users"]
+        == gate["audience_a"] + gate["audience_b"] - gate["overlap_users"]
+    ).all()
+    ship = QUERIES["audience_overlap_sketch"](spark, sf_dir).toPandas()
+    m = gate.merge(ship, on=["type_a", "type_b"])
+    assert len(m) == len(gate) == len(ship)
+    bound = (m["union_users"] * 0.05).clip(lower=5.0)
+    assert (abs(m["est_overlap_users"] - m["overlap_users"]) <= bound).all()

@@ -271,6 +271,12 @@ NORTH_STAR_SURFACE = [
     "dedup_rate_curve",
     "udf_iter_surface",
     "orders_lead_time",
+    # round-9 additions: entity resolution / record linkage + HLL
+    # set-algebra audience overlap
+    "er_golden_record",
+    "er_sorted_neighborhood",
+    "audience_overlap",
+    "audience_overlap_sketch",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.
@@ -293,6 +299,10 @@ ROWS_ONLY_BY_DESIGN = {
     "approx_distinct_users_sketch",
     "approx_quantiles_sketch",
     "hll_rollup_sketch",
+    # round 9 continuation: audience_overlap_sketch joined the same
+    # contract — sketch-only ship path, accuracy pinned by the
+    # exact-green audience_overlap gate + property test
+    "audience_overlap_sketch",
 }
 
 

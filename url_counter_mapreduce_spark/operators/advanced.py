@@ -640,6 +640,135 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engaged_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, user_id) membership table for the ENGAGED audience of
+    each type: users whose event count of that type is strictly above the
+    type's mean count. The predicate is integer-exact (cnt·n_users >
+    total), so membership is reproducible in any engine, and it scales
+    with data (a raw distinct-user audience is degenerate here — every
+    type reaches every user; engagement varies). One aggregation pass:
+    per-(type, user) counts (map-side partial) + a tiny per-type stats
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = ut.groupBy("event_type").agg(
+        F.sum("cnt").alias("tot"), F.count(F.lit(1)).alias("nu")
+    )
+    return (
+        ut.join(F.broadcast(stats), "event_type")
+        .filter(F.col("cnt") * F.col("nu") > F.col("tot"))
+        .select("event_type", "user_id")
+    )
+
+
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix with a sketch-algebra accuracy gate: for
+    every unordered pair of event types, the exact engaged-audience
+    intersection and union, plus a flag proving the HLL set-algebra
+    estimate (|A∩B| ≈ est(A) + est(B) − est(A ⊎ B), DataSketches lgK=12,
+    inclusion–exclusion over hll_union) lands within max(5%·union, 5).
+    This is the "campaign/audience overlap" query every event warehouse
+    runs: at 100 TB the per-type sketches are a tiny stored pre-aggregate
+    and ANY pair's overlap is answered by merging two sketches — no
+    re-scan, no user-level self-join. The exact legs here are the GATE
+    (the ship path is audience_overlap_sketch); the DuckDB oracle
+    recomputes the exact legs and asserts the flag as the contract, the
+    same pattern as hll_sketch_rollup."""
+    aud = _engaged_audience(spark, sf_dir).localCheckpoint(eager=False)
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # exact pairwise intersection: one self-equi-join on user_id over the
+    # (already deduplicated) membership table — shuffle ∝ members
+    ov = (
+        aud.alias("a")
+        .join(
+            aud.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap_users"))
+    )
+    sk = aud.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    est = (
+        sk.alias("a")
+        .join(sk.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            (
+                F.hll_sketch_estimate(F.col("a.sk"))
+                + F.hll_sketch_estimate(F.col("b.sk"))
+                - F.hll_sketch_estimate(F.hll_union(F.col("a.sk"), F.col("b.sk")))
+            ).alias("est_raw"),
+        )
+    )
+    pairs = (
+        sizes.alias("a")
+        .join(sizes.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("audience_a"),
+            F.col("b.n").alias("audience_b"),
+        )
+    )
+    return (
+        pairs.join(ov, ["type_a", "type_b"], "left")
+        .join(est, ["type_a", "type_b"])
+        .withColumn("overlap_users", F.coalesce("overlap_users", F.lit(0)))
+        .withColumn(
+            "union_users",
+            (F.col("audience_a") + F.col("audience_b") - F.col("overlap_users")),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "audience_a",
+            "audience_b",
+            "overlap_users",
+            "union_users",
+            (
+                F.abs(F.col("est_raw") - F.col("overlap_users"))
+                <= F.greatest(F.col("union_users") * 0.05, F.lit(5.0))
+            ).alias("est_within_bound"),
+        )
+    )
+
+
+def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-path twin of audience_overlap: sketch-only overlap estimates —
+    per-type HLL sketches (the stored pre-aggregate) merged pairwise via
+    hll_union, inclusion–exclusion, clamped at 0. No exact legs, no
+    user-level self-join: the cost profile a 100 TB deployment actually
+    pays. Raw DataSketches estimates are engine-specific → rows-only check
+    by design; accuracy is pinned by the exact-green audience_overlap gate
+    and the property test on the same pairs."""
+    aud = _engaged_audience(spark, sf_dir)
+    sk = aud.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    return (
+        sk.alias("a")
+        .join(sk.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.greatest(
+                F.lit(0),
+                F.round(
+                    F.hll_sketch_estimate(F.col("a.sk"))
+                    + F.hll_sketch_estimate(F.col("b.sk"))
+                    - F.hll_sketch_estimate(F.hll_union(F.col("a.sk"), F.col("b.sk")))
+                ).cast("long"),
+            ).alias("est_overlap_users"),
+        )
+    )
+
+
 def variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT surface: semi-structured event payloads carried as
     open-schema VARIANT (parse_json) and read back with typed-path

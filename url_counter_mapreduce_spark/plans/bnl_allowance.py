@@ -15,6 +15,12 @@ still trips the guard):
    every row — scalar-subquery data movement; Catalyst constant-folds a
    constant-key equi-join to a BNL-with-1-row-build, shuffle-free and
    safe at any scale.
+
+3. Per-group-key pairings: both sides are per-event-type pre-aggregates
+   (≤ |event types| rows — a fixed catalog cardinality, independent of
+   data volume) joined pairwise on `type_a < type_b`, which has no
+   equi-key by construction. The build side is bounded by the key
+   catalog, so the BNL is safe at any corpus scale.
 """
 
 BNL_ALLOWANCE = {
@@ -39,4 +45,7 @@ BNL_ALLOWANCE = {
     "token_entropy_rate": 1,
     "lm_perplexity_gate": 1,
     "orders_market_basket": 1,
+    # category 3: pairwise `<` joins over per-event-type pre-aggregates
+    "audience_overlap": 2,
+    "audience_overlap_sketch": 1,
 }

@@ -5881,6 +5881,131 @@ _register("approx_quantiles_sketch", advanced.approx_quantiles_sketch, None)
 _register("hll_rollup_sketch", advanced.hll_rollup_sketch, None)
 
 # --------------------------------------------------------------------------
+# Entity resolution / record linkage (operators/entity.py): blocking →
+# multi-attribute scoring → transitive closure → survivorship. The Spark
+# side generates candidates by name-key equality blocking (recall 1 by
+# construction: the match rule requires name-set equality); the oracle
+# enumerates ALL pairs and must land on identical entities — an
+# independent proof the blocking lost nothing. All score arithmetic is
+# integer-exact in both engines.
+# --------------------------------------------------------------------------
+
+from .operators import entity as _entity  # noqa: E402
+
+_ER_SCORE_SQL = """(CASE WHEN a.p_brand = b.p_brand THEN 500 ELSE 0 END
+         + CASE WHEN a.p_type = b.p_type THEN 300 ELSE 0 END
+         + (10 - least(10, abs(a.p_size - b.p_size))) * 2)"""
+
+_register(
+    "er_golden_record",
+    _entity.er_golden_record,
+    f"""
+    WITH RECURSIVE rec AS (
+        SELECT p_partkey, list_sort(list_distinct(string_split(p_name, ' '))) AS toks,
+               p_name, p_brand, p_type, p_size, p_retailprice
+        FROM part
+    ), pairs AS (
+        SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+        FROM rec a JOIN rec b ON a.p_partkey < b.p_partkey
+        WHERE a.toks = b.toks AND {_ER_SCORE_SQL} >= 700
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+        SELECT p_partkey AS src, p_partkey AS dst FROM part
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS p_partkey, min(dst) AS entity_id FROM reach GROUP BY src
+    ), mem AS (
+        SELECT c.entity_id, r.p_partkey, r.p_name, r.p_brand, r.p_retailprice
+        FROM comp c JOIN rec r ON c.p_partkey = r.p_partkey
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY entity_id
+                                     ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        FROM mem
+    ), stats AS (
+        SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+               floor((max(p_retailprice) - min(p_retailprice)) * 100 + 0.5) / 100
+                   AS price_spread
+        FROM mem GROUP BY entity_id
+    )
+    SELECT s.entity_id, s.n_members,
+           g.p_partkey AS golden_partkey, g.p_name AS golden_name,
+           g.p_brand AS golden_brand, g.p_retailprice AS golden_price,
+           s.price_spread
+    FROM stats s JOIN ranked g ON s.entity_id = g.entity_id AND g.rn = 1
+    """,
+)
+
+_register(
+    "er_sorted_neighborhood",
+    _entity.er_sorted_neighborhood,
+    f"""
+    WITH rec AS (
+        SELECT p_partkey,
+               list_sort(list_distinct(string_split(p_name, ' '))) AS toks,
+               concat_ws(' ', list_reverse(string_split(p_name, ' '))) AS snm_key,
+               p_brand, p_type, p_size
+        FROM part
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY snm_key ASC, p_partkey ASC) AS rnk
+        FROM rec
+    )
+    SELECT partkey_a, partkey_b, score_e6 FROM (
+        SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+               ((400000 * len(list_intersect(a.toks, b.toks)))
+                    // len(list_distinct(a.toks || b.toks))
+                + CASE WHEN a.p_brand = b.p_brand THEN 250000 ELSE 0 END
+                + CASE WHEN a.p_type = b.p_type THEN 200000 ELSE 0 END
+                + (10 - least(10, abs(a.p_size - b.p_size))) * 15000) AS score_e6
+        FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND {_entity.SNM_WINDOW - 1}
+    ) WHERE score_e6 >= 600000
+    """,
+)
+
+# --------------------------------------------------------------------------
+# Audience overlap: HLL set algebra (union → inclusion–exclusion
+# intersection) with the exact legs as the gate; the _sketch twin is the
+# one-pass ship path (rows-only by design, same contract as the other
+# sketch ship variants above).
+# --------------------------------------------------------------------------
+
+_register(
+    "audience_overlap",
+    advanced.audience_overlap,
+    """
+    WITH ut AS (
+        SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, sum(cnt) AS tot, count(*) AS nu FROM ut GROUP BY 1
+    ), aud AS (
+        SELECT ut.event_type, ut.user_id
+        FROM ut JOIN stats s ON ut.event_type = s.event_type
+        WHERE ut.cnt * s.nu > s.tot
+    ), sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM aud GROUP BY 1
+    ), ov AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS overlap_users
+        FROM aud a JOIN aud b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+           sa.n AS audience_a, sb.n AS audience_b,
+           coalesce(ov.overlap_users, 0) AS overlap_users,
+           sa.n + sb.n - coalesce(ov.overlap_users, 0) AS union_users,
+           TRUE AS est_within_bound
+    FROM sizes sa
+    JOIN sizes sb ON sa.event_type < sb.event_type
+    LEFT JOIN ov ON ov.type_a = sa.event_type AND ov.type_b = sb.event_type
+    """,
+)
+
+_register("audience_overlap_sketch", advanced.audience_overlap_sketch, None)
+
+# --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
 # ``udtf_surface`` at position 9 pushed position 51 out of the file). To make
