@@ -18,10 +18,24 @@ from url_counter_mapreduce_spark.tables import TABLES
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return con
+    # retry EMFILE-class flakes: transient host fd pressure (e.g. a heavy
+    # sibling JVM tearing down) has been observed to fail the very first
+    # parquet open with "Too many open files" and clear within a second
+    last: Exception | None = None
+    for _ in range(3):
+        try:
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+                )
+            return con
+        except duckdb.IOException as ex:  # pragma: no cover - host-dependent
+            last = ex
+            import time
+
+            time.sleep(1.0)
+    raise last
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:

@@ -2757,3 +2757,68 @@ def test_audience_overlap_gate_and_sketch_agree(spark, sf_dir):
     assert len(m) == len(gate) == len(ship)
     bound = (m["union_users"] * 0.05).clip(lower=5.0)
     assert (abs(m["est_overlap_users"] - m["overlap_users"]) <= bound).all()
+
+
+def test_er_fellegi_sunter_em_contract(spark, sf_dir):
+    """FS-EM invariants: the pattern histogram covers exactly the SNM
+    candidate pairs (4N−10 for window 5 over N≥4 ranked records),
+    posteriors are valid micro-unit probabilities, the integer EM agrees
+    with an independent FLOAT reference implementation to ~1e-3 (the
+    quantization error bound), and the decision column is the pure
+    threshold function of the posterior."""
+    import math
+
+    from url_counter_mapreduce_spark.operators.entity import (
+        FS_EM_ITERS,
+        FS_INIT,
+        SNM_WINDOW,
+    )
+
+    out = QUERIES["er_fellegi_sunter"](spark, sf_dir).toPandas()
+    n_parts = load_table(spark, sf_dir, "part").count()
+    w = SNM_WINDOW - 1
+    expected_pairs = n_parts * w - w * (w + 1) // 2
+    assert out["n_pairs"].sum() == expected_pairs
+    assert out["posterior_e6"].between(0, 1_000_000).all()
+    for r in out.itertuples():
+        want = (
+            "link"
+            if r.posterior_e6 >= 900_000
+            else ("non_link" if r.posterior_e6 <= 100_000 else "possible")
+        )
+        assert r.decision == want
+
+    # independent float EM over the same histogram
+    hist = [
+        ((r.name_eq, r.brand_eq, r.type_eq, r.size_close), r.n_pairs)
+        for r in out.itertuples()
+    ]
+    p0, m0, u0 = FS_INIT
+    p, m, u = p0 / 1e6, [m0 / 1e6] * 4, [u0 / 1e6] * 4
+
+    def estep(p, m, u):
+        res = []
+        for flags, n in hist:
+            pm = math.prod(m[k] if flags[k] else 1 - m[k] for k in range(4))
+            pu = math.prod(u[k] if flags[k] else 1 - u[k] for k in range(4))
+            res.append((flags, n, p * pm / (p * pm + (1 - p) * pu)))
+        return res
+
+    for _ in range(FS_EM_ITERS):
+        ws = estep(p, m, u)
+        big_w = sum(n * wi for _, n, wi in ws)
+        big_nw = sum(n * (1 - wi) for _, n, wi in ws)
+        n_tot = sum(n for _, n, _ in ws)
+        p = min(0.999999, max(1e-6, big_w / n_tot))
+        for k in range(4):
+            a = sum(n * wi for flags, n, wi in ws if flags[k])
+            b = sum(n * (1 - wi) for flags, n, wi in ws if flags[k])
+            if big_w > 0:
+                m[k] = min(0.999999, max(1e-6, a / big_w))
+            if big_nw > 0:
+                u[k] = min(0.999999, max(1e-6, b / big_nw))
+    ref = {flags: wi for flags, _, wi in estep(p, m, u)}
+    for r in out.itertuples():
+        got = r.posterior_e6 / 1e6
+        want = ref[(r.name_eq, r.brand_eq, r.type_eq, r.size_close)]
+        assert abs(got - want) < 2e-3, (r, want)

@@ -275,6 +275,7 @@ NORTH_STAR_SURFACE = [
     # set-algebra audience overlap
     "er_golden_record",
     "er_sorted_neighborhood",
+    "er_fellegi_sunter",
     "audience_overlap",
     "audience_overlap_sketch",
 ]

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Scaling probe for the round-9 entity-resolution and audience-overlap
+operators (SCALE.md §11.9): replicate the record/event tables K× in the
+growth mode each operator actually faces and time the full queries.
+
+Two `part` replication modes (the §11.7-vs-§11.8 distinction applied to
+records):
+- growth: replica r>0 prefixes the name's first token with a replica tag
+  → new name keys, so BLOCK COUNT grows K× while block sizes stay fixed —
+  genuine catalog growth; expectation: ~linear.
+- clone: replicas keep identical names → every name-key block is K× deep,
+  intra-block candidate pairs grow K², matched edges grow ~K² inside
+  clusters — the boilerplate-key stress case the ``block_cap`` knob
+  guards; the probe also times the capped run and reports edge recall
+  under the cap.
+
+`events` replicate along the user dimension (scale_smoke.replicated_dir):
+K× users, per-user profiles fixed — audience_overlap's exact self-join and
+the sketch ship path both face K× members.
+
+Usage: [ER_FACTORS=1,4,16] [ER_BLOCK_CAP=8] python tools/er_scale_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from url_counter_mapreduce_spark import QUERIES, get_spark  # noqa: E402
+from url_counter_mapreduce_spark.operators.entity import (  # noqa: E402
+    er_golden_record,
+    er_match_edges,
+)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTORS = [int(f) for f in os.environ.get("ER_FACTORS", "1,4,16").split(",")]
+CAP = int(os.environ.get("ER_BLOCK_CAP", "8"))
+
+
+def _part_dir(spark, factor: int, mode: str) -> str:
+    """Directory with a K×-replicated part table (mode: growth|clone) and
+    symlinks to the source for every other table."""
+    import hashlib
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    tag = hashlib.md5(f"{SRC}|{mode}".encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_er_{uid}_{tag}_{factor}x")
+    marker = os.path.join(d, "part.parquet", "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        part = spark.read.parquet(os.path.join(SRC, "part.parquet"))
+        rep = part.withColumn(
+            "replica", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        ).withColumn("p_partkey", F.col("p_partkey") * factor + F.col("replica"))
+        if mode == "growth":
+            rep = rep.withColumn(
+                "p_name",
+                F.when(F.col("replica") == 0, F.col("p_name")).otherwise(
+                    F.concat(F.lit("r"), F.col("replica").cast("string"), F.lit("_"), F.col("p_name"))
+                ),
+            )
+        rep.drop("replica").repartition(32).write.mode("overwrite").parquet(
+            os.path.join(d, "part.parquet")
+        )
+        for t in (
+            "region nation customer supplier orders lineitem events documents embeddings"
+        ).split():
+            link = os.path.join(d, f"{t}.parquet")
+            if not os.path.exists(link):
+                os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+    return d
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    import scale_smoke  # tools/ sibling: user-dimension events replicas
+
+    spark = get_spark("er-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup
+    QUERIES["url_count"](spark, SRC).write.format("noop").mode("overwrite").save()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    print(f"factors={FACTORS} src={SRC} block_cap={CAP}")
+    for factor in FACTORS:
+        dg = _part_dir(spark, factor, "growth")
+        t_growth = _time(lambda: noop(er_golden_record(spark, dg)))
+        dc = _part_dir(spark, factor, "clone")
+        t_clone = _time(lambda: noop(er_golden_record(spark, dc)))
+        t_capped = _time(lambda: noop(er_golden_record(spark, dc, block_cap=CAP)))
+        full_edges = er_match_edges(spark, dc).count()
+        kept_edges = er_match_edges(spark, dc, block_cap=CAP).count()
+        recall = kept_edges / full_edges if full_edges else float("nan")
+        de = scale_smoke.replicated_dir(spark, factor)
+        t_overlap = _time(lambda: noop(QUERIES["audience_overlap"](spark, de)))
+        t_sketch = _time(lambda: noop(QUERIES["audience_overlap_sketch"](spark, de)))
+        snm = _time(lambda: noop(QUERIES["er_sorted_neighborhood"](spark, dg)))
+        print(
+            f"{factor:>3}x  er_growth={t_growth:.2f}s  er_clone={t_clone:.2f}s "
+            f"er_clone_cap{CAP}={t_capped:.2f}s edge_recall={recall:.4f} "
+            f"({kept_edges}/{full_edges})  snm_growth={snm:.2f}s  "
+            f"audience_overlap={t_overlap:.2f}s  overlap_sketch={t_sketch:.2f}s"
+        )
+
+
+if __name__ == "__main__":
+    main()

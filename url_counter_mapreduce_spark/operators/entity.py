@@ -52,9 +52,11 @@ SNM_WINDOW = 5
 
 # er_golden_record block-size guard (default off — the oracle is exact):
 # a boilerplate name key at corpus scale ("unknown unknown") would make
-# one block quadratic; capping drops blocks LARGER than the cap entirely
-# (the standard blocking-key frequency prune), trading recall on
-# degenerate keys for a bounded per-block cost.
+# one block quadratic; the cap keeps the ``block_cap`` LOWEST partkeys of
+# each oversize block (the dedup posting_cap discipline — deterministic,
+# not a sample), bounding per-block pair cost at cap² while keeping every
+# block represented; members beyond the cap lose their in-block edges
+# (measured recall tradeoff: tools/er_scale_probe.py).
 ER_BLOCK_CAP: int | None = None
 
 
@@ -98,10 +100,11 @@ def er_match_edges(
         "name_key", F.concat_ws(" ", F.col("toks"))
     )
     if block_cap is not None:
-        sizes = rec.groupBy("name_key").agg(F.count(F.lit(1)).alias("_bn"))
-        rec = rec.join(
-            F.broadcast(sizes.filter(F.col("_bn") <= block_cap).select("name_key")),
-            "name_key",
+        wcap = Window.partitionBy("name_key").orderBy(F.col("p_partkey").asc())
+        rec = (
+            rec.withColumn("_bi", F.row_number().over(wcap))
+            .filter(F.col("_bi") <= block_cap)
+            .drop("_bi")
         )
     a, b = rec.alias("a"), rec.alias("b")
     return (
@@ -118,7 +121,9 @@ def er_match_edges(
     )
 
 
-def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+def er_golden_record(
+    spark: SparkSession, sf_dir: str, block_cap: int | None = ER_BLOCK_CAP
+) -> DataFrame:
     """Golden records: every part resolved to an entity (transitive closure
     of the match rule; entity_id = min member partkey — singletons keep
     their own key), then one survivor per entity by deterministic
@@ -132,7 +137,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     all C(n,2) pairs in DuckDB and must land on identical entities —
     an independent proof the blocking lost nothing."""
     rec = _part_records(spark, sf_dir)
-    edges = er_match_edges(spark, sf_dir)
+    edges = er_match_edges(spark, sf_dir, block_cap=block_cap)
     labels = connected_components(
         rec.select(F.col("p_partkey").alias("doc_id")), edges
     ).select(F.col("doc_id").alias("p_partkey"), F.col("group_id").alias("entity_id"))
@@ -207,6 +212,32 @@ def _global_rank(df: DataFrame, order_cols: list) -> DataFrame:
     )
 
 
+def _snm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pair frame shared by the scored SNM
+    query and the Fellegi–Sunter trainer: records ordered by the
+    noun-first permuted key via the two-phase global rank, every pair
+    within SNM_WINDOW joined through exploded neighbor ranks (shuffle ∝
+    N·(w−1), never quadratic). Columns: a-side attrs (pk_a, toks_a,
+    brand_a, type_a, size_a) + b-side record columns."""
+    rec = _part_records(spark, sf_dir).withColumn(
+        "snm_key", F.concat_ws(" ", F.reverse(F.split(F.col("p_name"), " ")))
+    )
+    ranked = _global_rank(
+        rec, [F.col("snm_key").asc(), F.col("p_partkey").asc()]
+    ).select("p_partkey", "toks", "p_brand", "p_type", "p_size", "rank")
+    left = ranked.select(
+        F.col("p_partkey").alias("pk_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + (SNM_WINDOW - 1))
+        ).alias("nbr_rank"),
+    )
+    return left.join(ranked, left.nbr_rank == ranked.rank)
+
+
 def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted Neighborhood candidate pairs with their full weighted match
     score. Sort key is the NOUN-FIRST permuted name ("small ring" sorts as
@@ -224,23 +255,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the auto-merge set. The window join is an equi-join on exploded
     neighbor ranks: shuffle ∝ N·(w−1), never quadratic; recall is by
     definition the window's (the oracle replays rank + window exactly)."""
-    rec = _part_records(spark, sf_dir).withColumn(
-        "snm_key", F.concat_ws(" ", F.reverse(F.split(F.col("p_name"), " ")))
-    )
-    ranked = _global_rank(
-        rec, [F.col("snm_key").asc(), F.col("p_partkey").asc()]
-    ).select("p_partkey", "toks", "p_brand", "p_type", "p_size", "rank")
-    left = ranked.select(
-        F.col("p_partkey").alias("pk_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("p_brand").alias("brand_a"),
-        F.col("p_type").alias("type_a"),
-        F.col("p_size").alias("size_a"),
-        F.explode(
-            F.sequence(F.col("rank") + 1, F.col("rank") + (SNM_WINDOW - 1))
-        ).alias("nbr_rank"),
-    )
-    cand = left.join(ranked, left.nbr_rank == ranked.rank)
+    cand = _snm_candidates(spark, sf_dir)
     i = F.size(F.array_intersect(F.col("toks_a"), F.col("toks")))
     u = F.size(F.array_union(F.col("toks_a"), F.col("toks")))
     m = F.least(F.lit(10), F.abs(F.col("size_a") - F.col("p_size")))
@@ -260,4 +275,120 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").alias("partkey_b"),
             "score_e6",
         )
+    )
+
+
+# Fellegi–Sunter EM: iteration count is fixed (deterministic contract, the
+# integer-Lloyd convention from similarity.py); 20 rounds converges the
+# 16-cell histogram to well past micro-unit resolution.
+FS_EM_ITERS = 20
+# size agreement band for the size field's comparison vector entry
+FS_SIZE_BAND = 2
+# initial parameters, micro-units: P(match) prior, per-field
+# P(agree | match) and P(agree | unmatch)
+FS_INIT = (100000, 900000, 100000)
+
+
+def _fs_em(hist: list[tuple[tuple[bool, ...], int]], iters: int):
+    """Pure-INTEGER Fellegi–Sunter EM over the agreement-pattern histogram
+    (conditional independence across the 4 comparison fields; Winkler's EM
+    formulation). Probabilities live in micro-units (1e6); every E-step
+    posterior is a rounded integer ratio of exact integer products, every
+    M-step a rounded integer ratio of exact integer sums — no floating
+    point anywhere, so any engine replaying the same integer ops (the
+    DuckDB oracle's HUGEINT CTE chain) lands on bit-identical parameters.
+    Returns (params, weights): final (p, m[4], u[4]) and the final E-step
+    posterior per pattern, micro-units."""
+    p0, m0, u0 = FS_INIT
+    p, m, u = p0, [m0] * 4, [u0] * 4
+
+    def estep(p, m, u):
+        out = []
+        for flags, n in hist:
+            pm = pu = 1
+            for k in range(4):
+                pm *= m[k] if flags[k] else 1_000_000 - m[k]
+                pu *= u[k] if flags[k] else 1_000_000 - u[k]
+            num = p * pm
+            den = num + (1_000_000 - p) * pu
+            out.append((flags, n, (2 * num * 1_000_000 + den) // (2 * den)))
+        return out
+
+    def clamp(x):
+        return max(1, min(999_999, x))
+
+    for _ in range(iters):
+        w = estep(p, m, u)
+        big_w = sum(n * wi for _, n, wi in w)
+        big_nw = sum(n * (1_000_000 - wi) for _, n, wi in w)
+        n_tot = sum(n for _, n, _ in w)
+        p = clamp((2 * big_w + n_tot) // (2 * n_tot))
+        for k in range(4):
+            a_k = sum(n * wi for flags, n, wi in w if flags[k])
+            b_k = sum(n * (1_000_000 - wi) for flags, n, wi in w if flags[k])
+            if big_w > 0:
+                m[k] = clamp((2 * a_k * 1_000_000 + big_w) // (2 * big_w))
+            if big_nw > 0:
+                u[k] = clamp((2 * b_k * 1_000_000 + big_nw) // (2 * big_nw))
+    return (p, m, u), estep(p, m, u)
+
+
+def er_fellegi_sunter(
+    spark: SparkSession, sf_dir: str, iters: int = FS_EM_ITERS
+) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter, JASA 1969) with
+    EM-estimated match weights (Winkler 1988): over the SNM candidate
+    pairs, build the agreement-pattern histogram for 4 comparison fields
+    (name token-set equality, brand, type, |Δsize| ≤ FS_SIZE_BAND), fit
+    the two-class mixture P(pattern) = p·Πm + (1−p)·Πu by EM, and emit
+    each observed pattern with its pair count, EM posterior match
+    probability (micro-units) and the classic three-way decision
+    (link ≥ 0.9 / non-link ≤ 0.1 / possible — the clerical-review band).
+
+    Architecture for 100 TB: the DISTRIBUTED work is candidate generation
+    + one aggregation down to the agreement histogram (≤ 2⁴ rows — a
+    fixed-size sufficient statistic, the same reduction every production
+    linker (Splink et al.) performs); EM then runs driver-side on that
+    histogram — the BPE/CC driver-path precedent, except this state is
+    CONSTANT-sized, not merely bounded. The EM itself is pure integer
+    arithmetic (micro-unit probabilities, exact integer products and
+    rounded integer ratios), so the DuckDB oracle replays all
+    ``FS_EM_ITERS`` rounds as a HUGEINT CTE chain and must match
+    bit-for-bit — an exact oracle for an iterative EM fit."""
+    cand = _snm_candidates(spark, sf_dir)
+    pat = (
+        cand.select(
+            (F.col("toks_a") == F.col("toks")).alias("name_eq"),
+            (F.col("brand_a") == F.col("p_brand")).alias("brand_eq"),
+            (F.col("type_a") == F.col("p_type")).alias("type_eq"),
+            (F.abs(F.col("size_a") - F.col("p_size")) <= FS_SIZE_BAND).alias(
+                "size_close"
+            ),
+        )
+        .groupBy("name_eq", "brand_eq", "type_eq", "size_close")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hist = [
+        ((bool(r.name_eq), bool(r.brand_eq), bool(r.type_eq), bool(r.size_close)), int(r.n))
+        for r in pat.collect()
+    ]
+    _, weights = _fs_em(hist, iters)
+    rows = [
+        (
+            flags[0],
+            flags[1],
+            flags[2],
+            flags[3],
+            n,
+            w,
+            "link" if w >= 900_000 else ("non_link" if w <= 100_000 else "possible"),
+        )
+        for flags, n, w in weights
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "name_eq boolean, brand_eq boolean, type_eq boolean, size_close boolean, "
+            "n_pairs long, posterior_e6 long, decision string"
+        ),
     )

@@ -5939,10 +5939,8 @@ _register(
     """,
 )
 
-_register(
-    "er_sorted_neighborhood",
-    _entity.er_sorted_neighborhood,
-    f"""
+# rank replay shared by the SNM pair query and the Fellegi–Sunter oracle
+_SNM_RANKED_CTE = """
     WITH rec AS (
         SELECT p_partkey,
                list_sort(list_distinct(string_split(p_name, ' '))) AS toks,
@@ -5953,6 +5951,13 @@ _register(
         SELECT *, row_number() OVER (ORDER BY snm_key ASC, p_partkey ASC) AS rnk
         FROM rec
     )
+"""
+
+_register(
+    "er_sorted_neighborhood",
+    _entity.er_sorted_neighborhood,
+    _SNM_RANKED_CTE
+    + f"""
     SELECT partkey_a, partkey_b, score_e6 FROM (
         SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
                ((400000 * len(list_intersect(a.toks, b.toks)))
@@ -5963,6 +5968,102 @@ _register(
         FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND {_entity.SNM_WINDOW - 1}
     ) WHERE score_e6 >= 600000
     """,
+)
+
+
+def _fs_oracle_sql(iters: int) -> str:
+    """Exact replay of the integer Fellegi–Sunter EM (entity._fs_em) as a
+    DuckDB CTE chain: the agreement-pattern histogram over the SNM
+    candidate pairs, then ``iters`` (E-step, M-step) rounds in HUGEINT —
+    exact integer products and round-half-up integer ratios, the
+    bit-identical arithmetic the Python driver loop performs. The
+    oracle-replayed-trainer convention of oracle_ivf.py / _bpe_cte_chain,
+    applied to an EM mixture fit."""
+    p0, m0, u0 = _entity.FS_INIT
+    flags = ["name_eq", "brand_eq", "type_eq", "size_close"]
+
+    def estep(prev: str) -> str:
+        pm = " * ".join(
+            f"(CASE WHEN {f} THEN {prev}.m{k + 1} ELSE 1000000 - {prev}.m{k + 1} END)"
+            for k, f in enumerate(flags)
+        )
+        pu = " * ".join(
+            f"(CASE WHEN {f} THEN {prev}.u{k + 1} ELSE 1000000 - {prev}.u{k + 1} END)"
+            for k, f in enumerate(flags)
+        )
+        num = f"({prev}.p * ({pm}))"
+        den = f"({num} + (1000000 - {prev}.p) * ({pu}))"
+        return f"(2 * {num} * 1000000 + {den}) // (2 * {den})"
+
+    parts = [
+        _SNM_RANKED_CTE,
+        f"""
+    , pat AS MATERIALIZED (
+        SELECT name_eq, brand_eq, type_eq, size_close, CAST(count(*) AS HUGEINT) AS n
+        FROM (
+            SELECT a.toks = b.toks AS name_eq,
+                   a.p_brand = b.p_brand AS brand_eq,
+                   a.p_type = b.p_type AS type_eq,
+                   abs(a.p_size - b.p_size) <= {_entity.FS_SIZE_BAND} AS size_close
+            FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND {_entity.SNM_WINDOW - 1}
+        ) GROUP BY 1, 2, 3, 4
+    ), p0 AS MATERIALIZED (
+        SELECT CAST({p0} AS HUGEINT) AS p,
+               """
+        + ",\n               ".join(f"CAST({m0} AS HUGEINT) AS m{k + 1}" for k in range(4))
+        + ",\n               "
+        + ",\n               ".join(f"CAST({u0} AS HUGEINT) AS u{k + 1}" for k in range(4))
+        + "\n    )",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"p{i - 1}"
+        a_cols = ",\n                   ".join(
+            f"sum(CASE WHEN {f} THEN n * w ELSE 0 END) AS a{k + 1},"
+            f" sum(CASE WHEN {f} THEN n * (1000000 - w) ELSE 0 END) AS b{k + 1}"
+            for k, f in enumerate(flags)
+        )
+        m_updates = ",\n               ".join(
+            f"CASE WHEN s.big_w = 0 THEN pr.m{k + 1} ELSE greatest(1, least(999999,"
+            f" (2 * s.a{k + 1} * 1000000 + s.big_w) // (2 * s.big_w))) END AS m{k + 1}"
+            for k in range(4)
+        )
+        u_updates = ",\n               ".join(
+            f"CASE WHEN s.big_nw = 0 THEN pr.u{k + 1} ELSE greatest(1, least(999999,"
+            f" (2 * s.b{k + 1} * 1000000 + s.big_nw) // (2 * s.big_nw))) END AS u{k + 1}"
+            for k in range(4)
+        )
+        parts.append(f"""
+    , w{i} AS MATERIALIZED (
+        SELECT pat.*, {estep(prev)} AS w FROM pat, {prev} {prev}
+    ), p{i} AS MATERIALIZED (
+        SELECT greatest(1, least(999999, (2 * s.big_w + s.n_tot) // (2 * s.n_tot))) AS p,
+               {m_updates},
+               {u_updates}
+        FROM (
+            SELECT sum(n * w) AS big_w, sum(n * (1000000 - w)) AS big_nw,
+                   sum(n) AS n_tot,
+                   {a_cols}
+            FROM w{i}
+        ) s, {prev} pr
+    )""")
+    parts.append(f"""
+    , wf AS MATERIALIZED (
+        SELECT pat.*, {estep(f"p{iters}")} AS w FROM pat, p{iters} p{iters}
+    )
+    SELECT name_eq, brand_eq, type_eq, size_close,
+           CAST(n AS BIGINT) AS n_pairs, CAST(w AS BIGINT) AS posterior_e6,
+           CASE WHEN w >= 900000 THEN 'link'
+                WHEN w <= 100000 THEN 'non_link'
+                ELSE 'possible' END AS decision
+    FROM wf
+    """)
+    return "".join(parts)
+
+
+_register(
+    "er_fellegi_sunter",
+    _entity.er_fellegi_sunter,
+    _fs_oracle_sql(_entity.FS_EM_ITERS),
 )
 
 # --------------------------------------------------------------------------
