@@ -2822,3 +2822,35 @@ def test_er_fellegi_sunter_em_contract(spark, sf_dir):
         got = r.posterior_e6 / 1e6
         want = ref[(r.name_eq, r.brand_eq, r.type_eq, r.size_close)]
         assert abs(got - want) < 2e-3, (r, want)
+
+
+def test_incremental_join_maintain_equals_direct(spark, sf_dir):
+    """The IVM correctness statement, in-engine: base + delta-join
+    maintenance must equal a direct recompute of the view from the new
+    snapshot (the DuckDB oracle asserts the same cross-engine; this pins
+    it within Spark so a maintenance-rule bug can't hide behind a
+    matching oracle bug)."""
+    maintained = {
+        r.nation: (r.n_orders, r.sum_cents)
+        for r in QUERIES["incremental_join_maintain"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    mod = F.col("o_orderkey") % 10
+    new_snap = orders.filter(mod != 3).select(
+        "o_custkey",
+        (
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            + F.when(mod == 5, 100).otherwise(0)
+        ).alias("c"),
+    )
+    direct = {
+        r.n_name: (r.n, r.s)
+        for r in new_snap.join(cust, new_snap.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+        .collect()
+    }
+    assert maintained == direct

@@ -278,6 +278,7 @@ NORTH_STAR_SURFACE = [
     "er_fellegi_sunter",
     "audience_overlap",
     "audience_overlap_sketch",
+    "incremental_join_maintain",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -6106,6 +6106,30 @@ _register(
 
 _register("audience_overlap_sketch", advanced.audience_overlap_sketch, None)
 
+# join-view IVM: the oracle recomputes the view DIRECTLY from the new
+# snapshot — equality with the Spark side's base+delta maintenance is the
+# IVM correctness statement (integer cents ⇒ associativity-free)
+_register(
+    "incremental_join_maintain",
+    advanced.incremental_join_maintain,
+    """
+    WITH new_snap AS (
+        SELECT o_custkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN o_orderkey % 10 = 5 THEN 100 ELSE 0 END AS c
+        FROM orders WHERE o_orderkey % 10 != 3
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(c) AS BIGINT) AS sum_cents,
+           CAST(sum(c) AS DOUBLE) / 100.0 AS revenue
+    FROM new_snap s
+    JOIN customer cu ON s.o_custkey = cu.c_custkey
+    JOIN nation n ON cu.c_nationkey = n.n_nationkey
+    GROUP BY 1 HAVING count(*) > 0
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
