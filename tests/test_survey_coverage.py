@@ -279,6 +279,7 @@ NORTH_STAR_SURFACE = [
     "audience_overlap",
     "audience_overlap_sketch",
     "incremental_join_maintain",
+    "stream_hll_uniques",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -6106,6 +6106,23 @@ _register(
 
 _register("audience_overlap_sketch", advanced.audience_overlap_sketch, None)
 
+# streaming sketch state: complete-mode HLL aggregation drained under
+# AvailableNow; gate columns are exact + reproducible flags (the
+# hll_sketch_rollup contract) so the oracle is exact
+from .streaming import sketch as _stream_sketch  # noqa: E402
+
+_register(
+    "stream_hll_uniques",
+    _stream_sketch.stream_hll_uniques,
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS stream_matches_batch,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+
 # join-view IVM: the oracle recomputes the view DIRECTLY from the new
 # snapshot — equality with the Spark side's base+delta maintenance is the
 # IVM correctness statement (integer cents ⇒ associativity-free)
