@@ -2854,3 +2854,47 @@ def test_incremental_join_maintain_equals_direct(spark, sf_dir):
         .collect()
     }
     assert maintained == direct
+
+
+def test_scc_strategies_equivalent_and_correct(spark, sf_dir):
+    """SCC contract: the driver Tarjan path and the distributed coloring
+    loop (forced via collect_max_edges=0) must produce the identical
+    labeling, checked on a crafted graph whose SCC chain forces MULTIPLE
+    outer coloring rounds (upstream colors flood downstream components),
+    plus the registered host graph. Expected labels are stated by hand."""
+    from url_counter_mapreduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    # a-cycle -> b-cycle -> c (sink), d isolated, e-cycle -> a-cycle;
+    # names chosen so the e-cycle (largest ids) feeds the a-cycle and the
+    # a-color floods b and c: b/c resolve only in later outer rounds
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        ("a1", "b1"), ("b1", "b2"), ("b2", "b1"),
+        ("b2", "c"),
+        ("e1", "e2"), ("e2", "e3"), ("e3", "e4"), ("e4", "e1"),
+        ("e1", "a2"),
+    ]
+    node_ids = sorted({n for e in edges for n in e} | {"d"})
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    expect = {
+        "a1": "a1", "a2": "a1", "a3": "a1",
+        "b1": "b1", "b2": "b1",
+        "c": "c", "d": "d",
+        "e1": "e1", "e2": "e1", "e3": "e1", "e4": "e1",
+    }
+    tarjan = {r.id: r.scc_id for r in strongly_connected_components(nodes, edf).collect()}
+    assert tarjan == expect
+    dist = {
+        r.id: r.scc_id
+        for r in strongly_connected_components(nodes, edf, collect_max_edges=0).collect()
+    }
+    assert dist == expect
+
+    base = {r.host: r.scc_id for r in QUERIES["host_scc"](spark, sf_dir).collect()}
+    assert base  # registered graph resolves
+    # every label is a member of its own component (root labels itself)
+    roots = set(base.values())
+    assert all(base[r] == r for r in roots)

@@ -280,6 +280,7 @@ NORTH_STAR_SURFACE = [
     "audience_overlap_sketch",
     "incremental_join_maintain",
     "stream_hll_uniques",
+    "host_scc",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -1038,3 +1038,235 @@ def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority").desc(), F.col("host").asc())
         .limit(HITS_TOP)
     )
+
+
+def _tarjan_scc_labels(pairs: list[tuple[str, str]], nodes: list[str]) -> dict[str, str]:
+    """Iterative Tarjan over string node ids (explicit stack — no
+    recursion limit), labeling every node with the lexicographic MIN
+    member of its strongly connected component. The driver-side strategy
+    behind strongly_connected_components for edge sets under the measured
+    gate — the union-find/CC precedent applied to the directed case."""
+    adj: dict[str, list[str]] = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    label: dict[str, str] = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            neighbors = adj.get(v, ())
+            while pi < len(neighbors):
+                w = neighbors[pi]
+                pi += 1
+                work[-1] = (v, pi)
+                if w not in index:
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                rep = min(comp)
+                for w in comp:
+                    label[w] = rep
+    return label
+
+
+MAX_SCC_OUTER_ITERS = 64
+
+
+def strongly_connected_components(
+    nodes: DataFrame, edges: DataFrame, collect_max_edges: int = CC_COLLECT_MAX_EDGES
+) -> DataFrame:
+    """(id) nodes + directed (src, dst) edges → (id, scc_id) where scc_id
+    is the MIN member id of the node's strongly connected component
+    (singletons label themselves). The directed twin of
+    connected_components, same two-strategy contract:
+
+    - edge set ≤ ``collect_max_edges``: driver-side iterative Tarjan
+      (linear time; a verified link graph's edge set is collect-sized
+      long before the corpus is).
+    - larger: the Orzan-style coloring loop (Orzan 2004; the Pregel SCC
+      recipe): (1) forward min-label propagation to fixpoint — color(v) =
+      min id that reaches v within the remaining subgraph; (2) every
+      color's root (id == color) back-propagates along reverse edges
+      WITHIN its color — the reached set is exactly SCC(root), because
+      members reach the root (backward walk) and the root reaches them
+      (same color); (3) found SCCs are removed and the loop repeats on
+      the remainder. All colors resolve in parallel per outer round;
+      rounds ∝ the longest chain of DOWNSTREAM SCCs sharing an upstream
+      color (real link graphs: shallow). Per-round cost is joins keyed on
+      node ids, shuffle ∝ edges — never an all-pairs product.
+
+    The root of every color is the min member of its SCC (the root
+    reaches all nodes it colors, mutual reachability pulls it into the
+    component, and nothing smaller remains), so both strategies land on
+    the identical labeling — equivalence-tested by forcing the gate."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    if edges.count() <= collect_max_edges:
+        pdf = edges.toPandas()
+        node_list = [r["id"] for r in nodes.select("id").collect()]
+        label = _tarjan_scc_labels(
+            list(zip(pdf["src"], pdf["dst"])), sorted(node_list)
+        )
+        spark = nodes.sparkSession
+        import pandas as pd
+
+        labels = spark.createDataFrame(
+            pd.DataFrame(
+                {"_lbl_id": list(label) or [None], "scc_id": list(label.values()) or [None]}
+            ).dropna(),
+            schema="_lbl_id string, scc_id string",
+        )
+        return (
+            nodes.select("id")
+            .join(F.broadcast(labels), nodes.id == F.col("_lbl_id"), "left")
+            .select("id", F.coalesce("scc_id", F.col("id")).alias("scc_id"))
+        )
+    return _scc_distributed(nodes, edges)
+
+
+def _scc_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Coloring-loop SCC — the scale path behind
+    strongly_connected_components (see its docstring for the algorithm)."""
+    spark = nodes.sparkSession
+    remaining = nodes.select("id").localCheckpoint(eager=False)
+    done: DataFrame | None = None
+    for _ in range(MAX_SCC_OUTER_ITERS):
+        if remaining.count() == 0:
+            break
+        er = (
+            edges.join(remaining.select(F.col("id").alias("src")), "src")
+            .join(remaining.select(F.col("id").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        # (1) forward min-label propagation to fixpoint
+        labels = remaining.select("id", F.col("id").alias("color")).localCheckpoint(
+            eager=False
+        )
+        for _round in range(MAX_CC_ITERS):
+            stepped = (
+                er.join(labels.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), "color")
+                .unionAll(labels)
+                .groupBy("id")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint(eager=False)
+            )
+            changed = (
+                stepped.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .count()
+            )
+            labels = stepped
+            if changed == 0:
+                break
+        else:  # pragma: no cover - diameter beyond cap indicates a bug
+            raise RuntimeError("SCC forward coloring did not converge")
+        # (2) backward closure within color from each root (id == color)
+        scc = labels.filter(F.col("id") == F.col("color")).localCheckpoint(eager=False)
+        ec = (
+            er.join(labels.withColumnRenamed("id", "src").withColumnRenamed("color", "c_src"), "src")
+            .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("color", "c_dst"), "dst")
+            .filter(F.col("c_src") == F.col("c_dst"))
+            .select("src", "dst", F.col("c_src").alias("color"))
+            .localCheckpoint(eager=False)
+        )
+        prev_n = scc.count()
+        for _round in range(MAX_CC_ITERS):
+            grown = (
+                ec.join(
+                    scc.select(F.col("id").alias("dst"), F.col("color").alias("c_m")),
+                    "dst",
+                )
+                .filter(F.col("color") == F.col("c_m"))
+                .select(F.col("src").alias("id"), "color")
+                .unionAll(scc)
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            n = grown.count()
+            scc = grown
+            if n == prev_n:
+                break
+            prev_n = n
+        else:  # pragma: no cover
+            raise RuntimeError("SCC backward closure did not converge")
+        found = scc.select("id", F.col("color").alias("scc_id"))
+        done = found if done is None else done.unionAll(found)
+        done = done.localCheckpoint(eager=False)
+        remaining = (
+            remaining.join(found.select(F.col("id").alias("_f")), remaining.id == F.col("_f"), "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    else:  # pragma: no cover
+        raise RuntimeError("SCC outer loop did not converge")
+    if done is None:
+        return nodes.select("id", F.col("id").alias("scc_id")).limit(0)
+    return nodes.select("id").join(done, "id").select("id", "scc_id")
+
+
+def host_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED host adjacency graph
+    (consecutive-host pairs, the host_reciprocity edge domain): every host
+    labeled with the lexicographic min member of its mutually-reachable
+    group — the condensation prerequisite (link farms show up as
+    non-trivial SCCs; the DAG of SCCs is the crawl-frontier ordering).
+    Oracle: mutual-reachability closure as a recursive CTE (scc_id =
+    min{u : v →* u AND u →* v})."""
+    from .text import URL_HOST_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.expr(
+            "transform(filter(split(coalesce(text, ''), ' '), x -> x != ''),"
+            f" t -> coalesce(nullif(regexp_extract(lower(t), '{URL_HOST_RE}', 1), ''),"
+            " lower(t)))"
+        ).alias("hosts")
+    ).localCheckpoint(eager=False)
+    nodes = hosts.select(F.explode("hosts").alias("id")).distinct()
+    edges = (
+        hosts.filter(F.expr("size(hosts) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(hosts) - 2),"
+                    " i -> named_struct('src', hosts[i], 'dst', hosts[i + 1]))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return strongly_connected_components(nodes, edges).select(
+        F.col("id").alias("host"), "scc_id"
+    )

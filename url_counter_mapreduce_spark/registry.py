@@ -6106,6 +6106,35 @@ _register(
 
 _register("audience_overlap_sketch", advanced.audience_overlap_sketch, None)
 
+# directed-graph SCC: Spark runs Tarjan-under-the-gate / Orzan coloring;
+# the oracle states the DEFINITION — mutual-reachability closure — as a
+# recursive CTE (scc_id = min{u : v reaches u AND u reaches v})
+_register(
+    "host_scc",
+    _graph.host_scc,
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT list_transform({{toks}},
+                   tk -> COALESCE(nullif(regexp_extract(lower(tk), '{{host_re}}', 1), ''),
+                                  lower(tk))) AS hosts
+        FROM documents
+    ), nodes AS (
+        SELECT DISTINCT unnest(hosts) AS host FROM t
+    ), e AS (
+        SELECT DISTINCT hosts[i] AS src, hosts[i + 1] AS dst
+        FROM (SELECT hosts, unnest(range(1, len(hosts))) AS i FROM t WHERE len(hosts) >= 2)
+        WHERE hosts[i] <> hosts[i + 1]
+    ), reach AS (
+        SELECT host AS a, host AS b FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+    )
+    SELECT f.a AS host, min(f.b) AS scc_id
+    FROM reach f JOIN reach g ON g.a = f.b AND g.b = f.a
+    GROUP BY f.a
+    """.replace("{toks}", _TOKS_SAFE_SQL).replace("{host_re}", text.URL_HOST_RE),
+)
+
 # streaming sketch state: complete-mode HLL aggregation drained under
 # AvailableNow; gate columns are exact + reproducible flags (the
 # hll_sketch_rollup contract) so the oracle is exact
