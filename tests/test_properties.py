@@ -2898,3 +2898,15 @@ def test_scc_strategies_equivalent_and_correct(spark, sf_dir):
     # every label is a member of its own component (root labels itself)
     roots = set(base.values())
     assert all(base[r] == r for r in roots)
+
+
+def test_host_condensation_invariants(spark, sf_dir):
+    """Condensation contract: one row per SCC of host_scc, member counts
+    conserve the host set, at least one source (level 0) exists, and
+    every level is below the SCC count (a DAG's longest path is)."""
+    scc = QUERIES["host_scc"](spark, sf_dir).toPandas()
+    cond = QUERIES["host_condensation"](spark, sf_dir).toPandas()
+    assert set(cond["scc_id"]) == set(scc["scc_id"].unique())
+    assert cond["n_members"].sum() == len(scc)
+    assert (cond["level"] == 0).any()
+    assert (cond["level"] < len(cond)).all()

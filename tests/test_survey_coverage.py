@@ -281,6 +281,7 @@ NORTH_STAR_SURFACE = [
     "incremental_join_maintain",
     "stream_hll_uniques",
     "host_scc",
+    "host_condensation",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

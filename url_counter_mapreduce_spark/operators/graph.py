@@ -1270,3 +1270,85 @@ def host_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(nodes, edges).select(
         F.col("id").alias("host"), "scc_id"
     )
+
+
+MAX_DAG_LEVEL_ITERS = 64
+
+
+def host_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation of the directed host graph: collapse every SCC (from
+    host_scc's labeling) to one node, keep the distinct cross-SCC edges —
+    by construction a DAG — and assign each SCC its LONGEST-PATH level
+    (0 = source; level(v) = 1 + max level over predecessors), the
+    topological layering that orders crawl/refresh scheduling and makes
+    link-farm SCCs visible as heavy nodes at a level. Output per SCC:
+    scc_id, n_members, level.
+
+    Levels are computed by iterative max-relaxation over the CONDENSED
+    edge set (fixpoint in longest-path-length rounds — the condensed DAG
+    of a web-scale graph is shallow; each round is one join + one max
+    aggregate keyed on SCC ids, shuffle ∝ condensed edges). The DuckDB
+    oracle enumerates path depths with a recursive CTE over the same
+    condensation and takes the max per node — definitionally the same
+    level."""
+    from .text import URL_HOST_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.expr(
+            "transform(filter(split(coalesce(text, ''), ' '), x -> x != ''),"
+            f" t -> coalesce(nullif(regexp_extract(lower(t), '{URL_HOST_RE}', 1), ''),"
+            " lower(t)))"
+        ).alias("hosts")
+    ).localCheckpoint(eager=False)
+    nodes = hosts.select(F.explode("hosts").alias("id")).distinct()
+    edges = (
+        hosts.filter(F.expr("size(hosts) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(hosts) - 2),"
+                    " i -> named_struct('src', hosts[i], 'dst', hosts[i + 1]))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = strongly_connected_components(nodes, edges).localCheckpoint(eager=False)
+    members = labels.groupBy("scc_id").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    cond = (
+        edges.join(labels.select(F.col("id").alias("src"), F.col("scc_id").alias("c_src")), "src")
+        .join(labels.select(F.col("id").alias("dst"), F.col("scc_id").alias("c_dst")), "dst")
+        .filter(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    levels = members.select("scc_id", F.lit(0).cast("long").alias("level")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(MAX_DAG_LEVEL_ITERS):
+        stepped = (
+            cond.join(levels.withColumnRenamed("scc_id", "src"), "src")
+            .select(F.col("dst").alias("scc_id"), (F.col("level") + 1).alias("level"))
+            .unionAll(levels)
+            .groupBy("scc_id")
+            .agg(F.max("level").alias("level"))
+            .localCheckpoint(eager=False)
+        )
+        # levels are monotone non-decreasing and bounded by the longest
+        # condensed path, so an unchanged sum proves the fixpoint
+        changed = (
+            stepped.alias("n")
+            .join(levels.alias("o"), "scc_id")
+            .filter(F.col("n.level") != F.col("o.level"))
+            .count()
+        )
+        levels = stepped
+        if changed == 0:
+            break
+    else:  # pragma: no cover - a cycle would mean the SCC labeling is wrong
+        raise RuntimeError("condensation level relaxation did not converge (cycle?)")
+    return members.join(levels, "scc_id").select("scc_id", "n_members", "level")

@@ -6135,6 +6135,46 @@ _register(
     """.replace("{toks}", _TOKS_SAFE_SQL).replace("{host_re}", text.URL_HOST_RE),
 )
 
+# condensation DAG: SCC collapse + longest-path levels; the oracle
+# enumerates path depths over the same condensation recursively
+_register(
+    "host_condensation",
+    _graph.host_condensation,
+    f"""
+    WITH RECURSIVE t AS (
+        SELECT list_transform({{toks}},
+                   tk -> COALESCE(nullif(regexp_extract(lower(tk), '{{host_re}}', 1), ''),
+                                  lower(tk))) AS hosts
+        FROM documents
+    ), nodes AS (
+        SELECT DISTINCT unnest(hosts) AS host FROM t
+    ), e AS (
+        SELECT DISTINCT hosts[i] AS src, hosts[i + 1] AS dst
+        FROM (SELECT hosts, unnest(range(1, len(hosts))) AS i FROM t WHERE len(hosts) >= 2)
+        WHERE hosts[i] <> hosts[i + 1]
+    ), reach AS (
+        SELECT host AS a, host AS b FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+    ), scc AS MATERIALIZED (
+        SELECT f.a AS host, min(f.b) AS scc_id
+        FROM reach f JOIN reach g ON g.a = f.b AND g.b = f.a
+        GROUP BY f.a
+    ), cond AS MATERIALIZED (
+        SELECT DISTINCT s1.scc_id AS src, s2.scc_id AS dst
+        FROM e JOIN scc s1 ON e.src = s1.host JOIN scc s2 ON e.dst = s2.host
+        WHERE s1.scc_id <> s2.scc_id
+    ), depths AS (
+        SELECT scc_id AS v, 0 AS d FROM scc
+        UNION
+        SELECT c.dst, p.d + 1 FROM depths p JOIN cond c ON c.src = p.v
+    )
+    SELECT m.scc_id, m.n_members, CAST(l.level AS BIGINT) AS level
+    FROM (SELECT scc_id, CAST(count(*) AS BIGINT) AS n_members FROM scc GROUP BY 1) m
+    JOIN (SELECT v AS scc_id, max(d) AS level FROM depths GROUP BY 1) l USING (scc_id)
+    """.replace("{toks}", _TOKS_SAFE_SQL).replace("{host_re}", text.URL_HOST_RE),
+)
+
 # streaming sketch state: complete-mode HLL aggregation drained under
 # AvailableNow; gate columns are exact + reproducible flags (the
 # hll_sketch_rollup contract) so the oracle is exact
