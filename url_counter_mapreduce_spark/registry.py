@@ -6186,8 +6186,8 @@ _register(
     """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           TRUE AS stream_matches_batch,
-           TRUE AS est_within_5pct
+           TRUE AS stream_within_5pct,
+           TRUE AS batch_within_5pct
     FROM events GROUP BY 1
     """,
 )

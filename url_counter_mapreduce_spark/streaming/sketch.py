@@ -8,11 +8,17 @@ state shape is hll_sketch_rollup's stored pre-aggregate.
 
 Verification follows the round-9 streaming contract (complete mode +
 Trigger.AvailableNow ⇒ the drained result is a pure function of the
-bounded input): HLL register state is insertion-order-insensitive (max
-per register), so the drained streaming sketch must estimate EXACTLY
-what a batch sketch over the same rows estimates — asserted as a flag —
-and the registered output is the deterministic accuracy gate (exact
-distinct + within-bound flags), DuckDB-oracled like the other gates.
+bounded input). A measured subtlety shapes the gate: in the SPARSE
+(coupon-exact) regime the drained stream sketch estimates exactly what
+a batch sketch over the same rows does (sf0.001/0.01 here), but once
+the sketch goes DENSE (sf0.1: 1500 uniques/type) the stream's
+per-micro-batch/state-store merge TOPOLOGY differs from the batch
+aggregate's partition-partial merges and the two estimates diverge by a
+few counts — register updates are order-insensitive, union promotion
+paths are not. So the registered flags assert what is actually
+guaranteed at every scale: the STREAM estimate and the BATCH estimate
+each land within the HLL error bound of the exact answer (lgK=12 ⇒
+rsd ≈ 1.3%; gate 5%·exact + 1). DuckDB-oracled like the other gates.
 """
 
 from __future__ import annotations
@@ -27,10 +33,11 @@ from .event_count import _events_stream
 def stream_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type, maintained as streaming HLL sketch
     state and gated against the exact batch answer: emits per type the
-    exact distinct count plus two reproducible flags — stream_matches_batch
-    (drained stream sketch estimate ≡ batch sketch estimate over the same
-    rows; true by register-state order-insensitivity) and est_within_5pct
-    (|est − exact| ≤ 5%·exact + 1; lgK=12 ⇒ rsd ≈ 1.3%)."""
+    exact distinct count plus two reproducible flags —
+    stream_within_5pct and batch_within_5pct (each estimate within
+    5%·exact + 1 of the exact distinct; see module docstring for why
+    stream ≡ batch equality is NOT the contract once the sketch goes
+    dense)."""
     sk = (
         _events_stream(spark, sf_dir)
         .groupBy("event_type")
@@ -58,12 +65,14 @@ def stream_hll_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    bound = F.col("n_users") * 0.05 + 1
     return batch.join(stream_est, "event_type").select(
         "event_type",
         "n_users",
-        (F.col("est_stream") == F.col("est_batch")).alias("stream_matches_batch"),
-        (
-            F.abs(F.col("est_stream") - F.col("n_users"))
-            <= F.col("n_users") * 0.05 + 1
-        ).alias("est_within_5pct"),
+        (F.abs(F.col("est_stream") - F.col("n_users")) <= bound).alias(
+            "stream_within_5pct"
+        ),
+        (F.abs(F.col("est_batch") - F.col("n_users")) <= bound).alias(
+            "batch_within_5pct"
+        ),
     )
