@@ -282,6 +282,7 @@ NORTH_STAR_SURFACE = [
     "stream_hll_uniques",
     "host_scc",
     "host_condensation",
+    "events_cumulative_uniques",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -524,3 +524,26 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("lift_micro")
     )
+
+
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs cumulative distinct users per day — the growth-curve query
+    behind every "total users to date" chart, in its SCALABLE shape: a
+    naive cumulative COUNT(DISTINCT) re-scans the whole prefix per day
+    (quadratic in days at 100 TB); instead, distinct is reduced to
+    FIRST-SEEN-HOUR per user (one aggregate ∝ users; hour grain so the
+    synthetic corpus, whose users all arrive on day one, still draws a
+    curve), hourly new-user counts follow, and the cumulative total is an
+    unbounded-preceding window over the HOURLY series — bounded at any
+    corpus scale,
+    so the unpartitioned sort is the rolling_daily_avg deliberate
+    no-hazard."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.date_trunc("hour", "ts")).alias("d"))
+    hourly = first.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n_new_users"))
+    w = Window.orderBy(F.col("d").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        F.date_format("d", "yyyy-MM-dd HH:00").alias("hour"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("n_cum_users"),
+    )

@@ -1234,14 +1234,9 @@ def _scc_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return nodes.select("id").join(done, "id").select("id", "scc_id")
 
 
-def host_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strongly connected components of the DIRECTED host adjacency graph
-    (consecutive-host pairs, the host_reciprocity edge domain): every host
-    labeled with the lexicographic min member of its mutually-reachable
-    group — the condensation prerequisite (link farms show up as
-    non-trivial SCCs; the DAG of SCCs is the crawl-frontier ordering).
-    Oracle: mutual-reachability closure as a recursive CTE (scc_id =
-    min{u : v →* u AND u →* v})."""
+def _host_directed_graph(spark: SparkSession, sf_dir: str):
+    """(nodes, edges) of the directed host adjacency graph — shared by
+    host_scc and host_condensation."""
     from .text import URL_HOST_RE
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1267,9 +1262,51 @@ def host_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    return strongly_connected_components(nodes, edges).select(
-        F.col("id").alias("host"), "scc_id"
-    )
+    return nodes, edges
+
+
+# per-(session, corpus) SCC label cache — host_scc and host_condensation
+# share the labeling, so the second caller pays one cache hit instead of
+# a full Tarjan/coloring pass (the _CHUNK_CACHE FIFO discipline)
+_SCC_CACHE: dict = {}
+_SCC_CACHE_MAX = 4
+
+
+def clear_scc_cache() -> None:
+    """Unpersist and drop every cached SCC labeling."""
+    while _SCC_CACHE:
+        _, labels = _SCC_CACHE.popitem()
+        try:
+            labels.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
+def _scc_labels_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SCC_CACHE:
+        while len(_SCC_CACHE) >= _SCC_CACHE_MAX:
+            oldest = next(iter(_SCC_CACHE))
+            try:
+                _SCC_CACHE.pop(oldest).unpersist()
+            except Exception:
+                pass
+        nodes, edges = _host_directed_graph(spark, sf_dir)
+        labels = strongly_connected_components(nodes, edges).persist()
+        labels.count()  # materialize once under this key
+        _SCC_CACHE[key] = labels
+    return _SCC_CACHE[key]
+
+
+def host_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED host adjacency graph
+    (consecutive-host pairs, the host_reciprocity edge domain): every host
+    labeled with the lexicographic min member of its mutually-reachable
+    group — the condensation prerequisite (link farms show up as
+    non-trivial SCCs; the DAG of SCCs is the crawl-frontier ordering).
+    Oracle: mutual-reachability closure as a recursive CTE (scc_id =
+    min{u : v →* u AND u →* v})."""
+    return _scc_labels_for(spark, sf_dir).select(F.col("id").alias("host"), "scc_id")
 
 
 MAX_DAG_LEVEL_ITERS = 64
@@ -1291,32 +1328,8 @@ def host_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle enumerates path depths with a recursive CTE over the same
     condensation and takes the max per node — definitionally the same
     level."""
-    from .text import URL_HOST_RE
-
-    docs = load_table(spark, sf_dir, "documents")
-    hosts = docs.select(
-        F.expr(
-            "transform(filter(split(coalesce(text, ''), ' '), x -> x != ''),"
-            f" t -> coalesce(nullif(regexp_extract(lower(t), '{URL_HOST_RE}', 1), ''),"
-            " lower(t)))"
-        ).alias("hosts")
-    ).localCheckpoint(eager=False)
-    nodes = hosts.select(F.explode("hosts").alias("id")).distinct()
-    edges = (
-        hosts.filter(F.expr("size(hosts) >= 2"))
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(hosts) - 2),"
-                    " i -> named_struct('src', hosts[i], 'dst', hosts[i + 1]))"
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    labels = strongly_connected_components(nodes, edges).localCheckpoint(eager=False)
+    _nodes, edges = _host_directed_graph(spark, sf_dir)
+    labels = _scc_labels_for(spark, sf_dir)
     members = labels.groupBy("scc_id").agg(F.count(F.lit(1)).cast("long").alias("n_members"))
     cond = (
         edges.join(labels.select(F.col("id").alias("src"), F.col("scc_id").alias("c_src")), "src")

@@ -6106,6 +6106,25 @@ _register(
 
 _register("audience_overlap_sketch", advanced.audience_overlap_sketch, None)
 
+# first-seen-day reduction of cumulative COUNT(DISTINCT): the window runs
+# over the daily series, never the corpus prefix
+_register(
+    "events_cumulative_uniques",
+    analytic.events_cumulative_uniques,
+    """
+    WITH f AS (
+        SELECT user_id, min(date_trunc('hour', ts)) AS d FROM events GROUP BY 1
+    ), hourly AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n_new_users FROM f GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d %H:00') AS hour, n_new_users,
+           CAST(sum(n_new_users) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_cum_users
+    FROM hourly
+    """,
+)
+
 # directed-graph SCC: Spark runs Tarjan-under-the-gate / Orzan coloring;
 # the oracle states the DEFINITION — mutual-reachability closure — as a
 # recursive CTE (scc_id = min{u : v reaches u AND u reaches v})
