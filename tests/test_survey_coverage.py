@@ -283,6 +283,7 @@ NORTH_STAR_SURFACE = [
     "host_scc",
     "host_condensation",
     "events_cumulative_uniques",
+    "events_cohort_ltv",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

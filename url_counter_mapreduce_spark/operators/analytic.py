@@ -547,3 +547,41 @@ def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_users",
         F.sum("n_new_users").over(w).cast("long").alias("n_cum_users"),
     )
+
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: users grouped by signup cohort
+    (first-seen day), each cohort's cumulative event value tracked by age
+    in days — the standard LTV/retention-revenue matrix. Scalable shape:
+    first-seen-day per user (one aggregate), every event keyed to
+    (cohort, age) — one join against the per-user cohort (broadcastable:
+    ∝ users, not events) — then a cumulative window PER COHORT (partitioned,
+    never global). Value is summed as half-up integer cents so the
+    cumulative sums are associativity-free and the DuckDB twin matches
+    bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("cohort"))
+    keyed = (
+        ev.join(first, "user_id")
+        .select(
+            "cohort",
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort")).alias("age_days"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("c"),
+        )
+        .groupBy("cohort", "age_days")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("c").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy(F.col("age_days").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return keyed.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "age_days",
+        "n_events",
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("cum_value"),
+    )

@@ -6125,6 +6125,31 @@ _register(
     """,
 )
 
+# cohort LTV triangle: per-cohort cumulative window (partitioned),
+# integer-cents value so both engines' cumulative sums agree exactly
+_register(
+    "events_cohort_ltv",
+    analytic.events_cohort_ltv,
+    """
+    WITH f AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY 1
+    ), keyed AS (
+        SELECT f.cohort,
+               CAST(date_diff('day', CAST(f.cohort AS DATE),
+                              CAST(date_trunc('day', e.ts) AS DATE)) AS INT) AS age_days,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort, age_days, n_events,
+           CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+               AS cum_value
+    FROM keyed
+    """,
+)
+
 # directed-graph SCC: Spark runs Tarjan-under-the-gate / Orzan coloring;
 # the oracle states the DEFINITION — mutual-reachability closure — as a
 # recursive CTE (scc_id = min{u : v reaches u AND u reaches v})
