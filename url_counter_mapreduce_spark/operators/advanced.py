@@ -607,12 +607,16 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw Apache DataSketches estimates are engine-specific (DuckDB
     cannot replay them), so the registered output is the deterministic
     ACCURACY GATE: exact distinct + day-sketch count, plus two
-    reproducible flags — merge_consistent (union of per-day partials
-    estimates EXACTLY what one sketch over the raw stream estimates; true
-    by the sketch-merge algebra) and est_within_5pct (|est − exact| ≤
-    5%·exact + 1; lgK=12 ⇒ rsd ≈ 1.3%, and small sets sit in exact
-    list/set mode). Both are pure functions of the input set, so the
-    DuckDB oracle asserts them as the expected contract."""
+    reproducible flags — merged_within_5pct and direct_within_5pct
+    (each estimate within 5%·exact + 1; lgK=12 ⇒ rsd ≈ 1.3%). NOTE the
+    contract deliberately does NOT assert merged == direct: in the
+    sketch's SPARSE (coupon-exact) regime the union of per-day partials
+    estimates exactly what one sketch over the raw stream does (asserted
+    in the property test at sparse scale), but once sketches go dense
+    (sf0.1: 1500 uniques/type) the union gadget's estimator and the
+    direct sketch's estimator diverge by a few counts — the same measured
+    finding as stream_hll_uniques. Both flags are pure functions of the
+    input set, so the DuckDB oracle asserts them as the contract."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -628,15 +632,17 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
         F.countDistinct("user_id").cast("long").alias("exact_distinct"),
     )
+    bound = F.col("exact_distinct") * 0.05 + 1
     return merged.join(direct, "event_type").select(
         "event_type",
         "exact_distinct",
         "n_day_sketches",
-        (F.col("est_merged") == F.col("est_direct")).alias("merge_consistent"),
-        (
-            F.abs(F.col("est_direct") - F.col("exact_distinct"))
-            <= F.col("exact_distinct") * 0.05 + 1
-        ).alias("est_within_5pct"),
+        (F.abs(F.col("est_merged") - F.col("exact_distinct")) <= bound).alias(
+            "merged_within_5pct"
+        ),
+        (F.abs(F.col("est_direct") - F.col("exact_distinct")) <= bound).alias(
+            "direct_within_5pct"
+        ),
     )
 
 

@@ -2897,7 +2897,7 @@ _register(
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
            CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_day_sketches,
-           TRUE AS merge_consistent, TRUE AS est_within_5pct
+           TRUE AS merged_within_5pct, TRUE AS direct_within_5pct
     FROM events GROUP BY event_type
     """,
 )
