@@ -2905,6 +2905,56 @@ def test_scc_strategies_equivalent_and_correct(spark, sf_dir):
     assert all(base[r] == r for r in roots)
 
 
+def test_scc_singleton_flood_both_strategies(spark, sf_dir):
+    """Scale-shape regression for the round-9 `weak`: a fixture with FAR
+    more singleton (edge-less) nodes than edge-endpoint nodes, run through
+    BOTH strategies (driver Tarjan under the gate, coloring loop via
+    collect_max_edges=0). The driver path must label every singleton as
+    itself WITHOUT collecting the node set (it builds Tarjan's node list
+    from edge endpoints only — graph.py strongly_connected_components);
+    the distributed path must iterate only edge endpoints and attach
+    singletons by left join. Both must agree exactly."""
+    import inspect
+
+    from url_counter_mapreduce_spark.operators import graph as graph_mod
+    from url_counter_mapreduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    n_singletons = 5000
+    singles = spark.range(n_singletons).select(
+        F.concat(F.lit("s"), F.format_string("%05d", F.col("id"))).alias("id")
+    )
+    edges = [("x1", "x2"), ("x2", "x1"), ("x2", "y"), ("y", "z"), ("z", "y")]
+    endpoint_nodes = spark.createDataFrame(
+        [(n,) for n in sorted({v for e in edges for v in e})], "id string"
+    )
+    nodes = singles.unionAll(endpoint_nodes)
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    expect_endpoints = {"x1": "x1", "x2": "x1", "y": "y", "z": "y"}
+
+    for cap in (CC_COLLECT_MAX_EDGES_DEFAULT := 1_000_000, 0):
+        got = {
+            r.id: r.scc_id
+            for r in strongly_connected_components(
+                nodes, edf, collect_max_edges=cap
+            ).collect()
+        }
+        assert len(got) == n_singletons + len(expect_endpoints)
+        for k, v in expect_endpoints.items():
+            assert got[k] == v, (cap, k)
+        # every singleton labels itself
+        assert all(
+            got[f"s{i:05d}"] == f"s{i:05d}" for i in range(n_singletons)
+        ), cap
+
+    # source-level guard: the gated branch must not collect the node set
+    src = inspect.getsource(strongly_connected_components)
+    assert "nodes.select(\"id\").collect" not in src
+    src_dist = inspect.getsource(graph_mod._scc_distributed)
+    assert "nodes.select(\"id\").localCheckpoint" not in src_dist
+
+
 def test_host_condensation_invariants(spark, sf_dir):
     """Condensation contract: one row per SCC of host_scc, member counts
     conserve the host set, at least one source (level 0) exists, and

@@ -1100,6 +1100,14 @@ def _tarjan_scc_labels(pairs: list[tuple[str, str]], nodes: list[str]) -> dict[s
 
 MAX_SCC_OUTER_ITERS = 64
 
+# The SCC coloring/closure loops are plain one-hop-per-round propagation
+# (no pointer halving — labels must follow actual edges so the backward
+# closure stays within a color), so rounds ∝ the longest simple path in
+# the remaining subgraph, NOT log(diameter). Give them their own
+# diameter-scale cap instead of borrowing MAX_CC_ITERS, whose "50 covers
+# astronomically large diameters" comment only holds for the halving loop.
+MAX_SCC_PROP_ITERS = 2_000
+
 
 def strongly_connected_components(
     nodes: DataFrame, edges: DataFrame, collect_max_edges: int = CC_COLLECT_MAX_EDGES
@@ -1131,10 +1139,15 @@ def strongly_connected_components(
     edges = edges.select("src", "dst").localCheckpoint(eager=False)
     if edges.count() <= collect_max_edges:
         pdf = edges.toPandas()
-        node_list = [r["id"] for r in nodes.select("id").collect()]
-        label = _tarjan_scc_labels(
-            list(zip(pdf["src"], pdf["dst"])), sorted(node_list)
-        )
+        # Tarjan runs over EDGE-ENDPOINT nodes only, so driver memory is
+        # bounded by the same gate that admitted the edge collect. Hosts
+        # with no edges — potentially the overwhelming majority of a
+        # sparse 100 TB corpus — never reach the driver; they are
+        # trivially their own SCC and label themselves through the
+        # left-join coalesce below (the connected_components singleton
+        # pattern at graph.py:~130).
+        node_list = sorted(set(pdf["src"]).union(pdf["dst"]))
+        label = _tarjan_scc_labels(list(zip(pdf["src"], pdf["dst"])), node_list)
         spark = nodes.sparkSession
         import pandas as pd
 
@@ -1154,9 +1167,20 @@ def strongly_connected_components(
 
 def _scc_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Coloring-loop SCC — the scale path behind
-    strongly_connected_components (see its docstring for the algorithm)."""
+    strongly_connected_components (see its docstring for the algorithm).
+
+    The loop runs ONLY over edge-endpoint nodes (the CC-twin discipline,
+    `_connected_components_distributed`): non-edge nodes are trivially
+    singleton SCCs, so iterating them would shuffle the whole corpus once
+    per round for no reason. They are attached at the end with one left
+    join + coalesce."""
     spark = nodes.sparkSession
-    remaining = nodes.select("id").localCheckpoint(eager=False)
+    remaining = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     done: DataFrame | None = None
     for _ in range(MAX_SCC_OUTER_ITERS):
         if remaining.count() == 0:
@@ -1171,7 +1195,7 @@ def _scc_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         labels = remaining.select("id", F.col("id").alias("color")).localCheckpoint(
             eager=False
         )
-        for _round in range(MAX_CC_ITERS):
+        for _round in range(MAX_SCC_PROP_ITERS):
             stepped = (
                 er.join(labels.withColumnRenamed("id", "src"), "src")
                 .select(F.col("dst").alias("id"), "color")
@@ -1201,7 +1225,7 @@ def _scc_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         prev_n = scc.count()
-        for _round in range(MAX_CC_ITERS):
+        for _round in range(MAX_SCC_PROP_ITERS):
             grown = (
                 ec.join(
                     scc.select(F.col("id").alias("dst"), F.col("color").alias("c_m")),
@@ -1230,8 +1254,13 @@ def _scc_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     else:  # pragma: no cover
         raise RuntimeError("SCC outer loop did not converge")
     if done is None:
-        return nodes.select("id", F.col("id").alias("scc_id")).limit(0)
-    return nodes.select("id").join(done, "id").select("id", "scc_id")
+        # no edges at all: every node is a singleton SCC
+        return nodes.select("id", F.col("id").alias("scc_id"))
+    return (
+        nodes.select("id")
+        .join(done.withColumnRenamed("id", "_lbl_id"), nodes.id == F.col("_lbl_id"), "left")
+        .select("id", F.coalesce("scc_id", F.col("id")).alias("scc_id"))
+    )
 
 
 def _host_directed_graph(spark: SparkSession, sf_dir: str):
