@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table, spread
+from ..session_cache import SessionFrameCache
 
 # number of minhash functions and band layout (4 bands x 2 rows)
 MINHASH_K = 8
@@ -129,38 +130,23 @@ def _signatures_with_shingles(docs: DataFrame) -> DataFrame:
 # per corpus snapshot and shared by every consumer (pair mining, cluster
 # resolution, incremental checks) — memoizing per session+corpus models
 # exactly that and stops each registry query from re-hashing the corpus.
-# Bounded (LRU-ish FIFO, oldest unpersisted on overflow) so a long-lived
-# session touching many corpora can't accumulate unbounded cached storage;
+# Bounded LRU (least-recently-USED unpersisted on overflow — the recall
+# harness caches sampled variants beside the full-corpus table, and FIFO
+# would evict the hot full-corpus entry just for being built first);
 # clear_signature_cache() gives long-lived callers an explicit release.
-_SIG_CACHE: dict = {}
-_SIG_CACHE_MAX = 4
+_SIG_CACHE = SessionFrameCache("minhash-signatures", max_entries=4)
 
 
 def clear_signature_cache() -> None:
     """Unpersist and drop every cached signature table."""
-    while _SIG_CACHE:
-        _, sigs = _SIG_CACHE.popitem()
-        try:
-            sigs.unpersist()
-        except Exception:
-            pass  # session already stopped
+    _SIG_CACHE.clear()
 
 
 def _cached_signatures(key: tuple, build_fn) -> DataFrame:
-    """Single FIFO-eviction + persist lifecycle for _SIG_CACHE entries —
+    """Single eviction + persist lifecycle for _SIG_CACHE entries —
     shared by the full-corpus and recall-sample signature tables so the
     eviction/unpersist discipline can't drift between them."""
-    if key not in _SIG_CACHE:
-        while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
-            oldest = next(iter(_SIG_CACHE))
-            try:
-                _SIG_CACHE.pop(oldest).unpersist()
-            except Exception:
-                pass
-        sigs = build_fn().persist()
-        sigs.count()  # materialize once
-        _SIG_CACHE[key] = sigs
-    return _SIG_CACHE[key]
+    return _SIG_CACHE.get_or_build(key, build_fn)
 
 
 def _signatures_for(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,38 +162,25 @@ def _signatures_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table. The verified dup-pair set is the OTHER shared artifact of a
 # production dedup pipeline (pair mining feeds the pair report, cluster
 # resolution, AND the leakage-safe split — each would otherwise re-run the
-# band join + Jaccard verify). Same bounded-FIFO discipline as _SIG_CACHE.
-_PAIRS_CACHE: dict = {}
-_PAIRS_CACHE_MAX = 4
+# band join + Jaccard verify). Same bounded-LRU discipline as _SIG_CACHE.
+_PAIRS_CACHE = SessionFrameCache("verified-pairs", max_entries=4)
 
 
 def clear_pairs_cache() -> None:
     """Unpersist and drop every cached verified-pair table."""
-    while _PAIRS_CACHE:
-        _, pairs = _PAIRS_CACHE.popitem()
-        try:
-            pairs.unpersist()
-        except Exception:
-            pass  # session already stopped
+    _PAIRS_CACHE.clear()
 
 
 def _verified_pairs_for(
     spark: SparkSession, sf_dir: str, threshold: float, bucket_cap: int | None = None
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, threshold, bucket_cap)
-    if key not in _PAIRS_CACHE:
-        while len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
-            oldest = next(iter(_PAIRS_CACHE))
-            try:
-                _PAIRS_CACHE.pop(oldest).unpersist()
-            except Exception:
-                pass
-        pairs = _verified_pairs_from_sigs(
+    return _PAIRS_CACHE.get_or_build(
+        key,
+        lambda: _verified_pairs_from_sigs(
             _signatures_for(spark, sf_dir), threshold, bucket_cap=bucket_cap
-        ).persist()
-        pairs.count()  # materialize once
-        _PAIRS_CACHE[key] = pairs
-    return _PAIRS_CACHE[key]
+        ),
+    )
 
 
 def _band_keys(sigs: DataFrame, carry: list[str]) -> DataFrame:
@@ -501,20 +474,14 @@ SUBSTR_NGRAM = 8
 # materialization/cleaning, and the corpus audit report all consume the
 # same window table; at 100 TB it is a once-per-snapshot materialized
 # table, not a per-query recomputation — the md5-per-window hashing is
-# the dominant cost of the modality). Same bounded-FIFO discipline as
+# the dominant cost of the modality). Same bounded-LRU discipline as
 # _SIG_CACHE / _PAIRS_CACHE.
-_WINS_CACHE: dict = {}
-_WINS_CACHE_MAX = 4
+_WINS_CACHE = SessionFrameCache("substring-windows", max_entries=4)
 
 
 def clear_wins_cache() -> None:
     """Unpersist and drop every cached positional-window table."""
-    while _WINS_CACHE:
-        _, wins = _WINS_CACHE.popitem()
-        try:
-            wins.unpersist()
-        except Exception:
-            pass  # session already stopped
+    _WINS_CACHE.clear()
 
 
 def _substring_windows_for(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,19 +490,13 @@ def _substring_windows_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows — identical to the un-coalesced form, where size(NULL) = -1
     is filtered the same way, but explicit so both consumers and their
     oracles share one NULL story)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _WINS_CACHE:
-        while len(_WINS_CACHE) >= _WINS_CACHE_MAX:
-            oldest = next(iter(_WINS_CACHE))
-            try:
-                _WINS_CACHE.pop(oldest).unpersist()
-            except Exception:
-                pass
+
+    def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         toks = spread(docs.select("doc_id", "text")).withColumn(
             "toks", F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")
         )
-        wins = (
+        return (
             toks.filter(F.expr(f"size(toks) >= {SUBSTR_NGRAM}"))
             .select(
                 "doc_id",
@@ -548,11 +509,10 @@ def _substring_windows_for(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("w"),
             )
             .select("doc_id", "w.pos", "w.h")
-            .persist()
         )
-        wins.count()  # materialize once
-        _WINS_CACHE[key] = wins
-    return _WINS_CACHE[key]
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _WINS_CACHE.get_or_build(key, build)
 
 
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1621,34 +1581,18 @@ CDC_DIVISOR = 8  # boundary when window-hash % CDC_DIVISOR == 0 (mean chunk ~8 t
 # aggregate over it, and dedup_chunk_reuse alone reads it three times
 # (per-doc bags twice for the self-join, doc totals once) — without the
 # persist each read re-runs the explode + per-doc windows. Same bounded
-# FIFO + unpersist discipline as _SIG_CACHE.
-_CHUNK_CACHE: dict = {}
-_CHUNK_CACHE_MAX = 4
+# LRU + unpersist discipline as _SIG_CACHE.
+_CHUNK_CACHE = SessionFrameCache("cdc-chunks", max_entries=4)
 
 
 def clear_chunk_cache() -> None:
     """Unpersist and drop every cached CDC chunk index."""
-    while _CHUNK_CACHE:
-        _, chunks = _CHUNK_CACHE.popitem()
-        try:
-            chunks.unpersist()
-        except Exception:
-            pass  # session already stopped
+    _CHUNK_CACHE.clear()
 
 
 def _chunk_index_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CHUNK_CACHE:
-        while len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
-            oldest = next(iter(_CHUNK_CACHE))
-            try:
-                _CHUNK_CACHE.pop(oldest).unpersist()
-            except Exception:
-                pass
-        chunks = _cdc_chunk_frame(spark, sf_dir).persist()
-        chunks.count()  # materialize once
-        _CHUNK_CACHE[key] = chunks
-    return _CHUNK_CACHE[key]
+    return _CHUNK_CACHE.get_or_build(key, lambda: _cdc_chunk_frame(spark, sf_dir))
 
 
 def _cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .dedup import _verified_pairs_for
+from ..session_cache import SessionFrameCache
 
 # with pointer halving each round roughly halves remaining path lengths:
 # 50 rounds covers components of astronomically large diameter; hitting the
@@ -1296,35 +1297,22 @@ def _host_directed_graph(spark: SparkSession, sf_dir: str):
 
 # per-(session, corpus) SCC label cache — host_scc and host_condensation
 # share the labeling, so the second caller pays one cache hit instead of
-# a full Tarjan/coloring pass (the _CHUNK_CACHE FIFO discipline)
-_SCC_CACHE: dict = {}
-_SCC_CACHE_MAX = 4
+# a full Tarjan/coloring pass (the shared SessionFrameCache LRU discipline)
+_SCC_CACHE = SessionFrameCache("scc-labels", max_entries=4)
 
 
 def clear_scc_cache() -> None:
     """Unpersist and drop every cached SCC labeling."""
-    while _SCC_CACHE:
-        _, labels = _SCC_CACHE.popitem()
-        try:
-            labels.unpersist()
-        except Exception:
-            pass  # session already stopped
+    _SCC_CACHE.clear()
 
 
 def _scc_labels_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _SCC_CACHE:
-        while len(_SCC_CACHE) >= _SCC_CACHE_MAX:
-            oldest = next(iter(_SCC_CACHE))
-            try:
-                _SCC_CACHE.pop(oldest).unpersist()
-            except Exception:
-                pass
+    def build() -> DataFrame:
         nodes, edges = _host_directed_graph(spark, sf_dir)
-        labels = strongly_connected_components(nodes, edges).persist()
-        labels.count()  # materialize once under this key
-        _SCC_CACHE[key] = labels
-    return _SCC_CACHE[key]
+        return strongly_connected_components(nodes, edges)
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _SCC_CACHE.get_or_build(key, build)
 
 
 def host_scc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vector import cosine_expr, finite_norm_pred, sign_bucket_expr, stable_round
 from ..tables import load_table, spread
+from ..session_cache import SessionFrameCache
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -406,16 +407,14 @@ def build_ivf_index_q(
     computation reuses it. Memoized like build_ivf_index."""
     full_key = (cache_key, "q", n_cells, iters) if cache_key is not None else None
     if full_key is not None and full_key in _IVF_INDEX:
-        return _IVF_INDEX[full_key]
+        return _IVF_INDEX.get(full_key)
     embq = emb.withColumn("xq", F.expr(_xq_expr("embedding"))).persist()
     cents = _kmeans_centroids_q(embq.select("vec_id", "xq"), n_cells, iters)
     assigned = embq.withColumn("cell", F.expr(_int_best_cell_sql(cents, "xq"))).persist()
     assigned.count()  # materialize the index; training cache no longer needed
     embq.unpersist()
     if full_key is not None:
-        while len(_IVF_INDEX) >= _IVF_INDEX_MAX:
-            _unpersist_index_entry(_IVF_INDEX.pop(next(iter(_IVF_INDEX))))
-        _IVF_INDEX[full_key] = (cents, assigned)
+        _IVF_INDEX.put(full_key, (cents, assigned))
     return cents, assigned
 
 
@@ -461,25 +460,19 @@ def _kmeans_centroids(
 # deployment has, instead of rebuilding the quantizer per query. Bounded
 # like dedup._SIG_CACHE so many-corpus sessions can't pile up cached
 # assignment tables; clear_ivf_cache() is the explicit release.
-_IVF_INDEX: dict = {}
-_IVF_INDEX_MAX = 4
-
-
 def _unpersist_index_entry(entry: tuple) -> None:
     """Release the persisted DataFrame of a cached index entry — entries
     are (centroids, assigned_df) for IVF and (coarse, books, subdim,
     encoded_df) for IVF-PQ; the DataFrame is the last element of both."""
-    try:
-        entry[-1].unpersist()
-    except Exception:
-        pass  # session already stopped
+    entry[-1].unpersist()
+
+
+_IVF_INDEX = SessionFrameCache("ivf-index", max_entries=4, evict_fn=_unpersist_index_entry)
 
 
 def clear_ivf_cache() -> None:
     """Unpersist and drop every cached IVF / IVF-PQ index."""
-    while _IVF_INDEX:
-        _, entry = _IVF_INDEX.popitem()
-        _unpersist_index_entry(entry)
+    _IVF_INDEX.clear()
 
 
 def build_ivf_index(
@@ -497,16 +490,14 @@ def build_ivf_index(
     share one copy."""
     full_key = (cache_key, n_cells, iters) if cache_key is not None else None
     if full_key is not None and full_key in _IVF_INDEX:
-        return _IVF_INDEX[full_key]
+        return _IVF_INDEX.get(full_key)
     emb = emb.persist()
     cents = _kmeans_centroids(emb, n_cells, iters)
     assigned = emb.withColumn("cell", F.expr(_best_cell_sql(cents, "embedding"))).persist()
     assigned.count()  # materialize the index; training cache no longer needed
     emb.unpersist()
     if full_key is not None:
-        while len(_IVF_INDEX) >= _IVF_INDEX_MAX:
-            _unpersist_index_entry(_IVF_INDEX.pop(next(iter(_IVF_INDEX))))
-        _IVF_INDEX[full_key] = (cents, assigned)
+        _IVF_INDEX.put(full_key, (cents, assigned))
     return cents, assigned
 
 
@@ -608,7 +599,7 @@ def build_pq_index(
     dequantized (cq/1e6) codewords."""
     key = (cache_key, "q", n_cells, iters, PQ_M, PQ_KS) if cache_key is not None else None
     if key is not None and key in _IVF_INDEX:
-        return _IVF_INDEX[key]
+        return _IVF_INDEX.get(key)
     dim = len(emb.select("embedding").first()["embedding"])
     if dim % PQ_M != 0:
         raise ValueError(f"embedding dim {dim} not divisible by PQ_M={PQ_M}")
@@ -639,9 +630,7 @@ def build_pq_index(
     embq.unpersist()
     index = (coarse, books, subdim, encoded)
     if key is not None:
-        while len(_IVF_INDEX) >= _IVF_INDEX_MAX:
-            _unpersist_index_entry(_IVF_INDEX.pop(next(iter(_IVF_INDEX))))
-        _IVF_INDEX[key] = index
+        _IVF_INDEX.put(key, index)
     return index
 
 
