@@ -23,6 +23,7 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # parquet open with "Too many open files" and clear within a second
     last: Exception | None = None
     for _ in range(3):
+        con = None
         try:
             con = duckdb.connect()
             for t in TABLES:
@@ -32,6 +33,10 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
             return con
         except duckdb.IOException as ex:  # pragma: no cover - host-dependent
             last = ex
+            if con is not None:
+                # close the half-initialized connection before sleeping —
+                # leaking it would worsen the fd pressure being retried around
+                con.close()
             import time
 
             time.sleep(1.0)

@@ -2829,6 +2829,18 @@ def test_er_fellegi_sunter_em_contract(spark, sf_dir):
         assert abs(got - want) < 2e-3, (r, want)
 
 
+def test_fs_em_empty_histogram_returns_priors():
+    """Empty candidate-pair histogram (empty part table) must follow the
+    empty-input contract — return the priors and no patterns — instead of
+    ZeroDivisionError on n_tot == 0 in the first M-step."""
+    from url_counter_mapreduce_spark.operators.entity import FS_INIT, _fs_em
+
+    params, weights = _fs_em([], iters=20)
+    p0, m0, u0 = FS_INIT
+    assert params == (p0, [m0] * 4, [u0] * 4)
+    assert weights == []
+
+
 def test_incremental_join_maintain_equals_direct(spark, sf_dir):
     """The IVM correctness statement, in-engine: base + delta-join
     maintenance must equal a direct recompute of the view from the new

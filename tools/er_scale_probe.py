@@ -54,6 +54,12 @@ def _part_dir(spark, factor: int, mode: str) -> str:
     uid = os.getuid() if hasattr(os, "getuid") else 0
     tag = hashlib.md5(f"{SRC}|{mode}".encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"spark_graft_er_{uid}_{tag}_{factor}x")
+    # own done-marker written AFTER the symlink loop: the parquet _SUCCESS
+    # alone could pass while a crash between write and symlinks left the
+    # sibling-table links missing, breaking every later run until cleaned
+    done = os.path.join(d, "_GRAFT_DONE")
+    if os.path.exists(done):
+        return d
     marker = os.path.join(d, "part.parquet", "_SUCCESS")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
@@ -71,12 +77,16 @@ def _part_dir(spark, factor: int, mode: str) -> str:
         rep.drop("replica").repartition(32).write.mode("overwrite").parquet(
             os.path.join(d, "part.parquet")
         )
-        for t in (
-            "region nation customer supplier orders lineitem events documents embeddings"
-        ).split():
-            link = os.path.join(d, f"{t}.parquet")
-            if not os.path.exists(link):
-                os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+    # (re)create symlinks even when the parquet marker exists — a crash
+    # between the write and this loop must not leave a half-built dir
+    for t in (
+        "region nation customer supplier orders lineitem events documents embeddings"
+    ).split():
+        link = os.path.join(d, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+    with open(done, "w") as fh:
+        fh.write("ok\n")
     return d
 
 

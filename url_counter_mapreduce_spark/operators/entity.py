@@ -301,6 +301,11 @@ def _fs_em(hist: list[tuple[tuple[bool, ...], int]], iters: int):
     posterior per pattern, micro-units."""
     p0, m0, u0 = FS_INIT
     p, m, u = p0, [m0] * 4, [u0] * 4
+    if not hist:
+        # empty candidate-pair histogram (e.g. empty part table): return the
+        # priors and no patterns, matching the empty-input contract of the
+        # other operators instead of dividing by n_tot == 0 below
+        return (p, m, u), []
 
     def estep(p, m, u):
         out = []
