@@ -456,11 +456,16 @@ def test_readme_surface_counts_match_registry():
     )
 
 
-def test_bench_covers_every_nonstreaming_query():
-    """The bench exclusion set is exactly the stream_* queries (their batch
-    twins are benched); everything else in the registry must be timed."""
+def test_bench_covers_every_query():
+    """Every registry query is benched: batch queries via BENCH_QUERIES
+    (warmup + median-of-3), stream_* queries via STREAM_QUERIES (one
+    AvailableNow drain each) — the union must be the whole registry with
+    no overlap or duplicates."""
     import bench
 
-    excluded = {q for q in QUERIES if q.startswith(bench.BENCH_EXCLUDED_PREFIX)}
-    assert set(bench.BENCH_QUERIES) == set(QUERIES) - excluded
+    assert set(bench.STREAM_QUERIES) == {
+        q for q in QUERIES if q.startswith(bench.STREAM_PREFIX)
+    }
+    assert set(bench.BENCH_QUERIES) | set(bench.STREAM_QUERIES) == set(QUERIES)
+    assert not set(bench.BENCH_QUERIES) & set(bench.STREAM_QUERIES)
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))

@@ -31,3 +31,17 @@ if ! git diff --quiet -- docs/QUERIES.md; then
   echo "ERROR: docs/QUERIES.md was stale — regen changed it; commit the regen" >&2
   exit 1
 fi
+
+echo "== leg 8: bench coverage — every registered query must be benched =="
+python - <<'EOF'
+import json, sys
+sys.path.insert(0, ".")
+from url_counter_mapreduce_spark import QUERIES
+with open("BENCH_FULL.json") as fh:
+    benched = set(json.load(fh)["queries"])
+missing = sorted(set(QUERIES) - benched)
+if missing:
+    print(f"ERROR: registered but unbenched: {missing}", file=sys.stderr)
+    raise SystemExit(1)
+print(f"bench coverage OK: {len(benched)} benched / {len(QUERIES)} registered")
+EOF
