@@ -1,0 +1,129 @@
+"""The auto-engaging skew cap (operators/skew_guard.py): decision unit
+tests on controlled size frames, plus an end-to-end force-engage on a
+clone corpus proving the "auto" default = the documented hand-set cap
+exactly when the corpus is pathological, and = uncapped when it isn't."""
+
+import os
+import random
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from url_counter_mapreduce_spark.operators.skew_guard import (
+    AUTO_POSTING_CAP,
+    SKEW_COST_BUDGET,
+    resolve_cap,
+)
+
+
+def _sizes(spark, counts):
+    return spark.createDataFrame(
+        [(i, int(n)) for i, n in enumerate(counts)], "k long, n long"
+    )
+
+
+def test_resolve_cap_passthrough(spark):
+    df = _sizes(spark, [1, 2, 3])
+    assert resolve_cap(None, df, "n", 8, name="t") is None
+    assert resolve_cap(17, df, "n", 8, name="t") == 17
+
+
+def test_resolve_cap_healthy_corpus_stays_off(spark):
+    # 100 keys of depth 2: fan-out 100 pairs over 200 rows — ratio 0.5
+    df = _sizes(spark, [2] * 100)
+    assert resolve_cap("auto", df, "n", 8, name="t") is None
+
+
+def test_resolve_cap_engages_on_quadratic_fanout(spark):
+    # one key of depth 200: 19900 pairs over 200 rows — ratio 99.5 > 64
+    df = _sizes(spark, [200])
+    assert resolve_cap("auto", df, "n", 8, name="t") == 8
+
+
+def test_resolve_cap_boundary_is_budget_times_rows(spark):
+    # depth d has ratio (d-1)/2; budget 64 ⟹ engage strictly above d=129
+    at = _sizes(spark, [129])   # pairs = 8256 = 64*129 → NOT engaged (<=)
+    over = _sizes(spark, [130])  # pairs = 8385 > 64*130=8320 → engaged
+    assert resolve_cap("auto", at, "n", 8, name="t") is None
+    assert resolve_cap("auto", over, "n", 8, name="t") == 8
+    assert SKEW_COST_BUDGET == 64  # docstring table is stated against 64
+
+
+def test_resolve_cap_empty_sizes(spark):
+    df = _sizes(spark, []).filter(F.col("n") > 0)
+    assert resolve_cap("auto", df, "n", 8, name="t") is None
+
+
+def test_chunk_reuse_auto_engages_on_clone_corpus(spark):
+    """150 byte-identical clones: every shared chunk's posting is 150 deep
+    (ratio (150−1)/2 ≈ 74.5 > 64), so posting_cap="auto" must engage and
+    produce EXACTLY the hand-set AUTO_POSTING_CAP result — while a healthy
+    4-doc corpus under "auto" must equal the uncapped result."""
+    from url_counter_mapreduce_spark.operators.dedup import dedup_chunk_reuse
+
+    rng = random.Random(7)
+    base = " ".join(f"c{rng.randrange(400)}" for _ in range(80))
+    n_clones = 150
+    rows = [(i, base, "en", f"s{i % 3}", len(base)) for i in range(n_clones)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = os.path.join(tempfile.gettempdir(), "skew_guard_clones")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    auto = {
+        (r.doc_src, r.doc_dst): r.shared_bytes
+        for r in dedup_chunk_reuse(spark, d, confirm=False).collect()
+    }
+    hand = {
+        (r.doc_src, r.doc_dst): r.shared_bytes
+        for r in dedup_chunk_reuse(
+            spark, d, posting_cap=AUTO_POSTING_CAP, confirm=False
+        ).collect()
+    }
+    assert auto == hand
+    # the cap really bit: only the AUTO_POSTING_CAP lowest doc_ids survive
+    # the posting, so every emitted endpoint is < AUTO_POSTING_CAP, and
+    # pair volume is cap·(cap−1), not 150·149
+    assert 0 < len(auto) == AUTO_POSTING_CAP * (AUTO_POSTING_CAP - 1)
+    assert all(a < AUTO_POSTING_CAP and b < AUTO_POSTING_CAP for a, b in auto)
+
+    uncapped = {
+        (r.doc_src, r.doc_dst): r.shared_bytes
+        for r in dedup_chunk_reuse(spark, d, posting_cap=None, confirm=False).collect()
+    }
+    assert len(uncapped) == n_clones * (n_clones - 1)
+    assert set(hand) < set(uncapped)
+
+
+def test_minhash_auto_equals_uncapped_on_healthy_corpus(spark, sf_dir):
+    """On the fixture corpus the LSH band fan-out sits far under the
+    budget (0.05–0.08× measured), so the "auto" default must return the
+    byte-identical pair set as bucket_cap=None — the property that keeps
+    every registered-query oracle exact."""
+    from url_counter_mapreduce_spark.operators.dedup import dedup_minhash_pairs
+
+    auto = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_pairs(spark, sf_dir).collect()
+    }
+    off = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_minhash_pairs(spark, sf_dir, bucket_cap=None).collect()
+    }
+    assert auto == off
+
+
+def test_er_auto_equals_uncapped_on_fixture(spark, sf_dir):
+    """Name-key blocks on the fixture catalog are 1–2 deep — the ER auto
+    trigger must stay off, keeping er_match_edges identical to the
+    uncapped brute-block edge set the oracle proves recall-1 against."""
+    from url_counter_mapreduce_spark.operators.entity import er_match_edges
+
+    auto = {(r.doc_a, r.doc_b) for r in er_match_edges(spark, sf_dir).collect()}
+    off = {
+        (r.doc_a, r.doc_b)
+        for r in er_match_edges(spark, sf_dir, block_cap=None).collect()
+    }
+    assert auto == off

@@ -45,11 +45,31 @@ def main() -> None:
     t_full = 0.0
     if not SKIP_FULL:
         t0 = time.perf_counter()
+        # posting_cap=None is now explicit: the operator default is "auto",
+        # which on THIS corpus engages the cap — the very behavior the
+        # auto leg below measures
         full = {
             (r.doc_src, r.doc_dst)
-            for r in dedup_chunk_reuse(spark, d, confirm=CONFIRM).collect()
+            for r in dedup_chunk_reuse(
+                spark, d, posting_cap=None, confirm=CONFIRM
+            ).collect()
         }
         t_full = time.perf_counter() - t0
+
+    # auto leg: no hand-set knob — the skew guard's cost trigger must
+    # engage on the clone corpus and reproduce the AUTO_POSTING_CAP result
+    from url_counter_mapreduce_spark.operators.skew_guard import AUTO_POSTING_CAP
+
+    t0 = time.perf_counter()
+    auto = {
+        (r.doc_src, r.doc_dst)
+        for r in dedup_chunk_reuse(spark, d, confirm=CONFIRM).collect()
+    }
+    t_auto = time.perf_counter() - t0
+    print(
+        f"factor={FACTOR}x AUTO: {len(auto)} pairs {t_auto:.1f}s "
+        f"(engaged cap {AUTO_POSTING_CAP}; trigger probe included in wall)"
+    )
 
     t0 = time.perf_counter()
     capped = {
@@ -63,6 +83,9 @@ def main() -> None:
             f"factor={FACTOR}x cap={CAP}: capped {len(capped)} pairs "
             f"{t_cap:.1f}s (uncapped skipped — see SCALE.md S11.8)"
         )
+        if CAP == AUTO_POSTING_CAP:
+            agree = "IDENTICAL" if auto == capped else "DIFFERENT"
+            print(f"  auto-vs-hand-set: {agree}")
         return
 
     kept = len(full & capped)
@@ -82,6 +105,9 @@ def main() -> None:
         f"pair recall {recall:.3f}; doc coverage {coverage:.3f}; "
         f"spurious extras {extra}"
     )
+    if CAP == AUTO_POSTING_CAP:
+        agree = "IDENTICAL" if auto == capped else "DIFFERENT"
+        print(f"  auto-vs-hand-set: {agree}")
 
 
 if __name__ == "__main__":

@@ -172,7 +172,7 @@ def clear_pairs_cache() -> None:
 
 
 def _verified_pairs_for(
-    spark: SparkSession, sf_dir: str, threshold: float, bucket_cap: int | None = None
+    spark: SparkSession, sf_dir: str, threshold: float, bucket_cap: int | str | None = None
 ) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, threshold, bucket_cap)
     return _PAIRS_CACHE.get_or_build(
@@ -294,7 +294,7 @@ def _capped_bands(bands: DataFrame, cap: int) -> DataFrame:
 
 
 def _pairs_rejoin(
-    sigs_sh: DataFrame, band_fn=_band_keys, bucket_cap: int | None = None
+    sigs_sh: DataFrame, band_fn=_band_keys, bucket_cap: int | str | None = None
 ) -> DataFrame:
     """Candidate pairs via id-only band join + shingle RE-JOIN: the banded
     shuffle carries only (doc_id, band, key), then the deduped pair list
@@ -314,6 +314,16 @@ def _pairs_rejoin(
     else:
         sigs_sh = sigs_sh.persist()
     bands = band_fn(sigs_sh, carry=[])
+    if bucket_cap == "auto":
+        from .skew_guard import AUTO_BUCKET_CAP, resolve_cap
+
+        bucket_cap = resolve_cap(
+            bucket_cap,
+            bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n")),
+            "n",
+            AUTO_BUCKET_CAP,
+            name="lsh-bucket",
+        )
     if bucket_cap is not None:
         bands = _capped_bands(bands, bucket_cap)
     a, b = bands.alias("a"), bands.alias("b")
@@ -342,7 +352,7 @@ def verified_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
 
 
 def _verified_pairs_from_sigs(
-    sigs_sh: DataFrame, threshold: float, bucket_cap: int | None = None
+    sigs_sh: DataFrame, threshold: float, bucket_cap: int | str | None = None
 ) -> DataFrame:
     return (
         _pairs_rejoin(sigs_sh, bucket_cap=bucket_cap)
@@ -353,21 +363,24 @@ def _verified_pairs_from_sigs(
 
 
 def verified_jaccard_pairs_rejoin(
-    docs: DataFrame, threshold: float, bucket_cap: int | None = None
+    docs: DataFrame, threshold: float, bucket_cap: int | str | None = "auto"
 ) -> DataFrame:
     """Re-join formulation of verified_jaccard_pairs — identical result,
     different shuffle economics (benchmarked in tools/bench_variants.py).
     ``bucket_cap`` enables the skew guard (docs/SCALE.md §4 mitigation 2):
     band buckets larger than the cap are dropped before pair generation.
-    Default off so results stay exact (the registry oracles assume no
-    cap); production boilerplate-heavy corpora should set it."""
+    Default ``"auto"``: the measured cost trigger (operators/skew_guard.py)
+    probes the banded join's fan-out and engages the cap only when
+    candidate pairs exceed 64× the posting rows — off on oracle-scale
+    corpora (results stay exact), self-engaging on boilerplate/clone-heavy
+    ones."""
     return _verified_pairs_from_sigs(
         _signatures_with_shingles(docs), threshold, bucket_cap=bucket_cap
     )
 
 
 def dedup_minhash_pairs(
-    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+    spark: SparkSession, sf_dir: str, bucket_cap: int | str | None = "auto"
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates verified by exact
     3-gram-shingle Jaccard ≥ 0.5. (May be empty on dup-free corpora — the
@@ -383,8 +396,10 @@ def dedup_minhash_pairs(
     table comes from the per-(session, corpus) index (_signatures_for), the
     persisted artifact every dedup consumer shares.
 
-    ``bucket_cap`` (default off — oracles are exact) enables the LSH
-    bucket-size skew guard; see verified_jaccard_pairs_rejoin."""
+    ``bucket_cap`` (default ``"auto"`` — the measured cost trigger stays
+    off at oracle scale, so oracles remain exact, and self-engages on
+    clone/boilerplate-heavy corpora) enables the LSH bucket-size skew
+    guard; see verified_jaccard_pairs_rejoin and operators/skew_guard.py."""
     return _verified_pairs_for(spark, sf_dir, 0.5, bucket_cap=bucket_cap)
 
 
@@ -1696,7 +1711,7 @@ CHUNK_REUSE_T = 0.5  # chunk-byte containment threshold shared_bytes / src_bytes
 def dedup_chunk_reuse(
     spark: SparkSession,
     sf_dir: str,
-    posting_cap: int | None = None,
+    posting_cap: int | str | None = "auto",
     confirm: bool = True,
 ) -> DataFrame:
     """Document-level ASSEMBLY twin of the CDC chunker (the round-8
@@ -1743,18 +1758,33 @@ def dedup_chunk_reuse(
         F.sum(F.expr("cnt * nb")).cast("long").alias("doc_bytes")
     )
     # a chunk held by a single document cannot contribute to any pair
-    shared_h = per_doc.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs")).filter(
-        F.col("ndocs") >= 2
-    ).select("h")
+    ndocs_per_h = per_doc.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    shared_h = ndocs_per_h.filter(F.col("ndocs") >= 2).select("h")
     posting = per_doc.join(shared_h, "h")
+    if posting_cap == "auto":
+        from .skew_guard import AUTO_POSTING_CAP, resolve_cap
+
+        # the posting frame's per-hash depth IS ndocs (posting = per_doc
+        # ⋈ shared hashes), so the probe reuses the ndocs aggregate
+        # instead of re-running the join
+        posting_cap = resolve_cap(
+            posting_cap,
+            ndocs_per_h.filter(F.col("ndocs") >= 2),
+            "ndocs",
+            AUTO_POSTING_CAP,
+            name="chunk-posting",
+        )
     if posting_cap is not None:
         # the clone-corpus guard (SCALE.md S11.8): a chunk shared by P
         # documents fans the self-join out P^2 rows; capping each posting
         # at the posting_cap LOWEST doc_ids (deterministic) bounds the
         # fan-out at cap^2 per hash, losing only pairs whose EVERY shared
         # chunk rides a >cap posting — boilerplate-dominated pairs, the
-        # same tradeoff as the LSH bucket cap (S11.5). OFF by default so
-        # the registered query's DuckDB oracle stays exact.
+        # same tradeoff as the LSH bucket cap (S11.5). Default "auto":
+        # the measured cost trigger (skew_guard.resolve_cap) keeps it off
+        # at oracle scale, so the registered query's DuckDB oracle stays
+        # exact, and engages it on clone-heavy corpora without a hand-set
+        # knob.
         from pyspark.sql.window import Window as _W
 
         posting = posting.withColumn(

@@ -50,14 +50,18 @@ from .graph import connected_components
 # order are non-candidates), so the oracle replays the same window.
 SNM_WINDOW = 5
 
-# er_golden_record block-size guard (default off — the oracle is exact):
-# a boilerplate name key at corpus scale ("unknown unknown") would make
-# one block quadratic; the cap keeps the ``block_cap`` LOWEST partkeys of
-# each oversize block (the dedup posting_cap discipline — deterministic,
-# not a sample), bounding per-block pair cost at cap² while keeping every
-# block represented; members beyond the cap lose their in-block edges
-# (measured recall tradeoff: tools/er_scale_probe.py).
-ER_BLOCK_CAP: int | None = None
+# er_golden_record block-size guard: a boilerplate name key at corpus
+# scale ("unknown unknown") would make one block quadratic; the cap keeps
+# the ``block_cap`` LOWEST partkeys of each oversize block (the dedup
+# posting_cap discipline — deterministic, not a sample), bounding
+# per-block pair cost at cap² while keeping every block represented;
+# members beyond the cap lose their in-block edges (measured recall
+# tradeoff: tools/er_scale_probe.py). Default "auto": the measured cost
+# trigger (operators/skew_guard.resolve_cap) keeps the cap off at oracle
+# scale — name-key blocks on the fixture catalog are 1–2 deep, so the
+# oracles stay exact — and engages AUTO_BLOCK_CAP on block-skewed
+# catalogs without a hand-set knob.
+ER_BLOCK_CAP: int | str | None = "auto"
 
 
 def _part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +94,7 @@ def _secondary_score(a: str, b: str):
 
 
 def er_match_edges(
-    spark: SparkSession, sf_dir: str, block_cap: int | None = ER_BLOCK_CAP
+    spark: SparkSession, sf_dir: str, block_cap: int | str | None = ER_BLOCK_CAP
 ) -> DataFrame:
     """Matched record pairs (doc_a, doc_b) under the golden-record rule:
     identical name token set AND secondary score ≥ 700. Candidate
@@ -99,6 +103,16 @@ def er_match_edges(
     rec = _part_records(spark, sf_dir).withColumn(
         "name_key", F.concat_ws(" ", F.col("toks"))
     )
+    if block_cap == "auto":
+        from .skew_guard import AUTO_BLOCK_CAP, resolve_cap
+
+        block_cap = resolve_cap(
+            block_cap,
+            rec.groupBy("name_key").agg(F.count(F.lit(1)).alias("n")),
+            "n",
+            AUTO_BLOCK_CAP,
+            name="er-block",
+        )
     if block_cap is not None:
         wcap = Window.partitionBy("name_key").orderBy(F.col("p_partkey").asc())
         rec = (
@@ -122,7 +136,7 @@ def er_match_edges(
 
 
 def er_golden_record(
-    spark: SparkSession, sf_dir: str, block_cap: int | None = ER_BLOCK_CAP
+    spark: SparkSession, sf_dir: str, block_cap: int | str | None = ER_BLOCK_CAP
 ) -> DataFrame:
     """Golden records: every part resolved to an entity (transitive closure
     of the match rule; entity_id = min member partkey — singletons keep

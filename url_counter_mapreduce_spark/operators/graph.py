@@ -199,7 +199,7 @@ def _connected_components_distributed(nodes: DataFrame, edges: DataFrame) -> Dat
 
 
 def dedup_groups(
-    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+    spark: SparkSession, sf_dir: str, bucket_cap: int | str | None = "auto"
 ) -> DataFrame:
     """Near-duplicate clusters over the whole corpus: every document labeled
     with its cluster representative (min doc_id connected via MinHash-LSH-
@@ -207,10 +207,15 @@ def dedup_groups(
     operator whose output actually drives deletion: keep rows where
     doc_id = group_id. Edges come from the shared per-(session, corpus)
     signature index, so pair mining here never re-hashes the corpus.
-    ``bucket_cap`` (default off — the oracle is exact) enables the LSH
-    bucket-size skew guard for boilerplate-heavy corpora; capping only
-    prunes edges WITHIN oversize buckets, and cluster membership survives
-    as long as any small-bucket path connects the docs."""
+    ``bucket_cap`` defaults to ``"auto"`` — the measured cost trigger
+    (operators/skew_guard.py) engages the LSH bucket-size skew guard only
+    when the banded join's candidate fan-out exceeds 64× its input rows,
+    so oracle-scale corpora stay exact while boilerplate/clone-heavy
+    corpora self-defend; capping only prunes edges WITHIN oversize
+    buckets, and cluster membership survives as long as any small-bucket
+    path connects the docs. The same default keeps this operator sharing
+    one cached pair table with dedup_minhash_pairs (the cache is keyed on
+    the knob)."""
     docs = load_table(spark, sf_dir, "documents")
     edges = _verified_pairs_for(spark, sf_dir, 0.5, bucket_cap=bucket_cap).select(
         "doc_a", "doc_b"
