@@ -166,3 +166,74 @@ def test_framesample_query_matches_generator(spark, sf_dir):
             assert r.width == 8 + doc_id % 9
             assert r.height == 8 + (doc_id * 3) % 9
             assert (r.frame_left, r.frame_top) == (r.frame_idx % 4, (2 * r.frame_idx) % 4)
+
+
+def test_dhash_brightness_invariance_and_variant_distance():
+    """The dHash contracts the pair join relies on, proven on raw bytes:
+    (a) same-group docs differing only by the global brightness offset
+    decode to IDENTICAL fingerprints; (b) the variant doc's local edit
+    flips at most 2 bits; (c) the decoder recovers the generator's exact
+    dimensions; (d) non-PNG bytes and filtered pixel streams return None
+    instead of a wrong fingerprint."""
+    from url_counter_mapreduce_spark.operators.multimodal import (
+        dhash_from_png,
+        pattern_png_bytes,
+    )
+
+    for base in (0, 4, 400, 2888):  # several groups, several sizes
+        g = base // 4
+        w0, h0, hi0, lo0 = dhash_from_png(pattern_png_bytes(base))
+        assert (w0, h0) == (18 + g % 5, 16 + g % 3)
+        for k in (1, 2):  # brightness-only siblings
+            w, h, hi, lo = dhash_from_png(pattern_png_bytes(base + k))
+            assert (w, h, hi, lo) == (w0, h0, hi0, lo0)
+        _, _, hi3, lo3 = dhash_from_png(pattern_png_bytes(base + 3))  # variant
+        d = bin(hi0 ^ hi3).count("1") + bin(lo0 ^ lo3).count("1")
+        assert d <= 2, (base, d)
+
+    assert dhash_from_png(b"not a png at all") is None
+    # a sub-filtered (type 1) row must be refused, not mis-decoded
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    w, h = 9, 8
+    raw = b"".join(b"\x01" + bytes(w) for _ in range(h))
+    filtered = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert dhash_from_png(filtered) is None
+
+
+def test_dhash_pairs_recall_and_band_guarantee(spark, sf_dir):
+    """Every within-group pair must be found: in-group Hamming distance is
+    <= 2 (generator contract) and 4x16-bit bands guarantee a shared band
+    for any distance <= 3 by pigeonhole — so the banded join's recall on
+    the true pair set is exactly 1, not approximate."""
+    from url_counter_mapreduce_spark.operators.multimodal import (
+        PHASH_GROUP,
+        dedup_image_dhash_pairs,
+        image_dhash,
+    )
+
+    n_docs = image_dhash(spark, sf_dir).count()
+    pairs = dedup_image_dhash_pairs(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    per_group = PHASH_GROUP * (PHASH_GROUP - 1) // 2
+    want = {
+        (g * PHASH_GROUP + i, g * PHASH_GROUP + j)
+        for g in range(n_docs // PHASH_GROUP)
+        for i in range(PHASH_GROUP)
+        for j in range(i + 1, PHASH_GROUP)
+    }
+    assert want <= got
+    assert all(r.hamming <= 2 for r in pairs if (r.doc_a, r.doc_b) in want)
+    assert len(want) == (n_docs // PHASH_GROUP) * per_group

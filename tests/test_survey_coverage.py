@@ -284,6 +284,9 @@ NORTH_STAR_SURFACE = [
     "host_condensation",
     "events_cumulative_uniques",
     "events_cohort_ltv",
+    # round-10: perceptual image dedup
+    "image_dhash",
+    "dedup_image_dhash_pairs",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

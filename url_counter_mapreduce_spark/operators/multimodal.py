@@ -846,3 +846,253 @@ def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " ELSE NULL END"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual image dedup: dHash fingerprints + banded Hamming pairs
+# --------------------------------------------------------------------------
+#
+# Pattern-PNG generator formulas (the contract the DuckDB oracle replays
+# closed-form — same discipline as synth_media_payloads: the Spark side
+# must recover these values from ACTUAL DECODED PIXELS, so a decode or
+# fingerprint bug breaks the oracle, not just a unit test):
+#   g       = doc_id div 4              (4 docs per perceptual group)
+#   W, H    = 18 + g % 5, 16 + g % 3    (per-group image size)
+#   cell c  = by*9 + bx over a 9x8 grid; pixel boundaries bx*W//9, by*H//8
+#   p(g,c)  = xorshift-multiply finalizer, all closed-form BIGINT ops:
+#               v  = (((g % 59999)*72 + c) * 2654435761) % 2^32
+#               v ^= v >> 16 ; v = (v * 40503) % 2^32 ; p = (v >> 15) & 1
+#             (max product ~1.7e14 << BIGINT, exact in both engines).
+#             Two simpler mixes were measured and REJECTED: a polynomial
+#             mod a small prime collapses to g mod that prime (97
+#             distinct patterns → thousands of cross-group dup pairs),
+#             and a single multiplicative hash keeps affine structure —
+#             group pairs whose Δ·MUL mod 2^32 is small get phase-
+#             shifted, near-identical bit patterns. With the finalizer:
+#             0 cross-group matches over 1250 groups (simulated), and
+#             the variant edit's distance is ≤ 2 bits.
+#   variant: docs with doc_id % 4 == 3 flip p at cell c* = g % 72
+#             (a LOCAL edit: flips at most 2 dHash bits)
+#   pixel   = 64 + 128*p + doc_id % 7   (global brightness offset —
+#             dHash is invariant to it by construction; max 198, no clamp)
+#   dHash bit i (i = by*8 + bx, bx 0..7): [mean(cell right) > mean(cell)]
+#   fp_lo/fp_hi: bits 0..31 / 32..63 as two NONNEGATIVE 32-bit halves
+#             (a single BIGINT would go negative at bit 63 and the two
+#             engines print signed/unsigned differently)
+PHASH_GROUP = 4
+PHASH_MOD = 59999
+PHASH_MUL = 2654435761
+HAMMING_T = 4
+
+
+def _phash_p(g: int, c: int) -> int:
+    v = (((g % PHASH_MOD) * 72 + c) * PHASH_MUL) % 4294967296
+    v ^= v >> 16
+    v = (v * 40503) % 4294967296
+    return (v >> 15) & 1
+
+
+def pattern_png_bytes(doc_id: int) -> bytes:
+    """Deterministic patterned grayscale PNG for doc_id (formulas above)."""
+    import struct
+    import zlib
+
+    g = doc_id // PHASH_GROUP
+    w, h = 18 + g % 5, 16 + g % 3
+    flip = g % 72 if doc_id % PHASH_GROUP == 3 else -1
+    off = doc_id % 7
+    xb = [bx * w // 9 for bx in range(10)]
+    yb = [by * h // 8 for by in range(9)]
+    rows = []
+    for y in range(h):
+        by = next(i for i in range(8) if yb[i] <= y < yb[i + 1])
+        row = bytearray(w)
+        for bx in range(9):
+            c = by * 9 + bx
+            p = _phash_p(g, c)
+            if c == flip:
+                p = 1 - p
+            row[xb[bx] : xb[bx + 1]] = bytes([64 + 128 * p + off]) * (xb[bx + 1] - xb[bx])
+        rows.append(b"\x00" + bytes(row))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_pattern_png_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patterned-PNG corpus keyed on doc_id: groups of PHASH_GROUP docs
+    share a block pattern; within a group, docs differ by a global
+    brightness offset (perceptually identical) and one doc carries a
+    single-cell local edit (perceptually NEAR-identical) — the three
+    regimes a perceptual dedup must separate from cross-group images."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: pattern_png_bytes(int(i))),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def dhash_from_png(blob: bytes):
+    """(width, height, fp_hi, fp_lo) — REAL pixel decode: zlib-decompress
+    the IDAT stream, strip the per-row filter bytes (filter 0), block-
+    average to a 9x8 grid with integer floor boundaries (the standard
+    dHash downsample), then compare horizontally adjacent cell means.
+    Returns None for non-PNG / unsupported (filtered) pixel streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(blob) < 24 or blob[:8] != b"\x89PNG\r\n\x1a\n" or blob[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", blob[16:24])
+    # walk chunks for the IDAT payload (single IDAT in our containers, but
+    # concatenate defensively — the spec allows splitting)
+    pos, idat = 8, b""
+    while pos + 8 <= len(blob):
+        (size,) = struct.unpack(">I", blob[pos : pos + 4])
+        typ = blob[pos + 4 : pos + 8]
+        if typ == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + size]
+        if typ == b"IEND":
+            break
+        pos += 12 + size
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (w + 1):
+        return None
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    if px[:, 0].any():  # only filter type 0 is decoded here
+        return None
+    img = px[:, 1:].astype(np.float64)
+    xb = [bx * w // 9 for bx in range(10)]
+    yb = [by * h // 8 for by in range(9)]
+    means = [
+        [img[yb[by] : yb[by + 1], xb[bx] : xb[bx + 1]].mean() for bx in range(9)]
+        for by in range(8)
+    ]
+    lo = hi = 0
+    for by in range(8):
+        for bx in range(8):
+            if means[by][bx + 1] > means[by][bx]:
+                i = by * 8 + bx
+                if i < 32:
+                    lo |= 1 << i
+                else:
+                    hi |= 1 << (i - 32)
+    return int(w), int(h), hi, lo
+
+
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual fingerprint stage: decode every patterned PNG's pixels
+    and emit its 64-bit dHash as two nonnegative 32-bit halves. The
+    DuckDB oracle replays the generator's closed form bit-for-bit, so the
+    WHOLE pixel path — container walk, inflate, filter strip, block
+    means, comparisons, bit packing — must be exact. Scale shape: one
+    shuffle-free mapInPandas over the blob column (numpy per Arrow
+    batch); at 100 TB this is the embarrassingly parallel stage before
+    the banded join."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [dhash_from_png(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f[0] if f else None for f in feats],
+                    "height": [f[1] if f else None for f in feats],
+                    "fp_hi": [f[2] if f else None for f in feats],
+                    "fp_lo": [f[3] if f else None for f in feats],
+                }
+            )
+
+    return synth_pattern_png_payloads(spark, sf_dir).mapInPandas(
+        extract, schema="doc_id long, width int, height int, fp_hi long, fp_lo long"
+    )
+
+
+def dedup_image_dhash_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: "int | str | None" = "auto"
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: banded Hamming join over the
+    dHash fingerprints — the image twin of dedup_simhash_pairs, never
+    all-pairs. The 64-bit fingerprint splits into 4x16-bit bands; two
+    images are CANDIDATES iff they collide on at least one band
+    (guaranteed for Hamming distance <= 3 by pigeonhole, and the
+    generator's in-group edits flip at most 2 bits), then the exact
+    distance bit_count(xor) filters at HAMMING_T. Everything after the
+    fingerprint stage is JVM-side codegen: explode to (band, key), one
+    equi-join shuffle keyed by 16-bit band values, xor + bit_count.
+
+    The oracle replays the SAME band-candidate rule (not brute force), so
+    the result is exact by construction, not recall-approximate.
+    ``bucket_cap`` (default "auto") applies the measured skew-guard
+    trigger to the band buckets — a corpus of near-identical images makes
+    one band bucket corpus-deep, the same pathology as the LSH mega-
+    bucket (docs/SCALE.md §11.10); off at oracle scale."""
+    fp = image_dhash(spark, sf_dir).select("doc_id", "fp_hi", "fp_lo")
+    bands = fp.select(
+        "doc_id",
+        "fp_hi",
+        "fp_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.expr("fp_lo & 65535").alias("key")),
+                F.struct(F.lit(1).alias("band"), F.expr("(fp_lo >> 16) & 65535").alias("key")),
+                F.struct(F.lit(2).alias("band"), F.expr("fp_hi & 65535").alias("key")),
+                F.struct(F.lit(3).alias("band"), F.expr("(fp_hi >> 16) & 65535").alias("key")),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp_hi", "fp_lo", "bk.band", "bk.key")
+    if bucket_cap == "auto":
+        from .skew_guard import AUTO_BUCKET_CAP, resolve_cap
+
+        bucket_cap = resolve_cap(
+            bucket_cap,
+            bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n")),
+            "n",
+            AUTO_BUCKET_CAP,
+            name="dhash-band",
+        )
+    if bucket_cap is not None:
+        from pyspark.sql.window import Window as _W
+
+        wcap = _W.partitionBy("band", "key")
+        bands = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(wcap))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "CAST(bit_count(a.fp_hi ^ b.fp_hi) + bit_count(a.fp_lo ^ b.fp_lo) AS BIGINT)"
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_T)
+    )

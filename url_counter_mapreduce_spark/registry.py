@@ -6260,6 +6260,71 @@ _register(
     """,
 )
 
+# DuckDB mirror of the pattern-PNG dHash (operators/multimodal.py): the
+# generator formulas replayed closed-form — the Spark side must recover
+# the identical bits from ACTUAL decoded pixels (inflate + filter strip +
+# block means), so any decode/fingerprint defect breaks this hash match.
+_DHASH_FP_SQL = """
+WITH d AS (
+    SELECT doc_id, doc_id // 4 AS g, (doc_id % 4 = 3) AS is_var
+    FROM documents
+), bits AS (
+    SELECT d.doc_id, i.range AS i,
+           ((i.range // 8) * 9 + (i.range % 8)) AS cl,
+           cl + 1 AS cr,
+           xor((((d.g % 59999) * 72 + cl) * 2654435761) % 4294967296,
+               ((((d.g % 59999) * 72 + cl) * 2654435761) % 4294967296) >> 16) AS vl1,
+           ((vl1 * 40503) % 4294967296 >> 15) & 1 AS pl0,
+           xor((((d.g % 59999) * 72 + cr) * 2654435761) % 4294967296,
+               ((((d.g % 59999) * 72 + cr) * 2654435761) % 4294967296) >> 16) AS vr1,
+           ((vr1 * 40503) % 4294967296 >> 15) & 1 AS pr0,
+           CASE WHEN d.is_var AND cl = d.g % 72 THEN 1 - pl0 ELSE pl0 END AS pl,
+           CASE WHEN d.is_var AND cr = d.g % 72 THEN 1 - pr0 ELSE pr0 END AS pr,
+           CASE WHEN pr > pl THEN 1 ELSE 0 END AS bit
+    FROM d, range(64) i
+)
+SELECT doc_id,
+       CAST(18 + (doc_id // 4) % 5 AS INTEGER) AS width,
+       CAST(16 + (doc_id // 4) % 3 AS INTEGER) AS height,
+       CAST(SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+       CAST(SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS fp_lo
+FROM bits GROUP BY doc_id
+"""
+
+_register(
+    "image_dhash",
+    multimodal.image_dhash,
+    _DHASH_FP_SQL,
+)
+
+_register(
+    "dedup_image_dhash_pairs",
+    multimodal.dedup_image_dhash_pairs,
+    f"""
+    WITH fp AS ({_DHASH_FP_SQL}),
+    bands AS (
+        SELECT doc_id, fp_hi, fp_lo, b.range AS band,
+               CASE b.range
+                   WHEN 0 THEN fp_lo & 65535
+                   WHEN 1 THEN (fp_lo >> 16) & 65535
+                   WHEN 2 THEN fp_hi & 65535
+                   ELSE (fp_hi >> 16) & 65535
+               END AS key
+        FROM fp, range(4) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.fp_hi AS ha, a.fp_lo AS la, b.fp_hi AS hb, b.fp_lo AS lb
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= {multimodal.HAMMING_T}
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
