@@ -237,3 +237,33 @@ def test_dhash_pairs_recall_and_band_guarantee(spark, sf_dir):
     assert want <= got
     assert all(r.hamming <= 2 for r in pairs if (r.doc_a, r.doc_b) in want)
     assert len(want) == (n_docs // PHASH_GROUP) * per_group
+
+
+def test_audio_envelope_gain_invariance_and_variant_distance():
+    """Audio twin of the dHash byte-level contracts: (a) uniform gain
+    preserves every envelope comparison, so same-group clips at gains
+    1/2/3 decode to IDENTICAL fingerprints; (b) the variant's one-segment
+    edit flips at most 2 bits; (c) sample counts match the generator;
+    (d) non-WAV and non-64-divisible streams return None."""
+    from url_counter_mapreduce_spark.operators.multimodal import (
+        AUDIO_N_SEG,
+        envelope_fp_from_wav,
+        envelope_wav_bytes,
+        wav_bytes,
+    )
+
+    for base in (0, 8, 444, 3120):
+        g = base // 4
+        r0, n0, hi0, lo0 = envelope_fp_from_wav(envelope_wav_bytes(base))
+        assert (r0, n0) == (8000, AUDIO_N_SEG * (20 + g % 9))
+        for k in (1, 2):  # gain-only siblings
+            assert envelope_fp_from_wav(envelope_wav_bytes(base + k)) == (
+                r0, n0, hi0, lo0,
+            )
+        _, _, hi3, lo3 = envelope_fp_from_wav(envelope_wav_bytes(base + 3))
+        d = bin(hi0 ^ hi3).count("1") + bin(lo0 ^ lo3).count("1")
+        assert d <= 2, (base, d)
+
+    assert envelope_fp_from_wav(b"RIFFxxxxNOPE") is None
+    # a 100-frame silent WAV: 100 % 64 != 0 → refused, not mis-segmented
+    assert envelope_fp_from_wav(wav_bytes(8000, 1, 100)) is None

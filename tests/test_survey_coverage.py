@@ -284,9 +284,13 @@ NORTH_STAR_SURFACE = [
     "host_condensation",
     "events_cumulative_uniques",
     "events_cohort_ltv",
-    # round-10: perceptual image dedup
+    # round-10: perceptual image/audio dedup + privacy audit
     "image_dhash",
     "dedup_image_dhash_pairs",
+    "image_dedup_groups",
+    "audio_fingerprint",
+    "dedup_audio_pairs",
+    "privacy_k_anonymity",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

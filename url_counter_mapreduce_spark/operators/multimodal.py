@@ -998,6 +998,68 @@ def dhash_from_png(blob: bytes):
     return int(w), int(h), hi, lo
 
 
+def _banded_hamming_pairs(
+    fp: DataFrame, bucket_cap: "int | str | None", name: str
+) -> DataFrame:
+    """Shared banded-Hamming candidate join over a (doc_id, fp_hi, fp_lo)
+    fingerprint frame: 4x16-bit bands -> equi-join candidates -> exact
+    bit_count(xor) distance filtered at HAMMING_T. Pigeonhole guarantees
+    a shared band for any distance <= 3, so recall on the generators'
+    in-group edits (<= 2 flipped bits) is exactly 1. Band buckets are
+    skew-guarded: a corpus of near-identical assets makes one bucket
+    corpus-deep, the LSH mega-bucket pathology (docs/SCALE.md §11.10)."""
+    bands = fp.select(
+        "doc_id",
+        "fp_hi",
+        "fp_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.expr("fp_lo & 65535").alias("key")),
+                F.struct(F.lit(1).alias("band"), F.expr("(fp_lo >> 16) & 65535").alias("key")),
+                F.struct(F.lit(2).alias("band"), F.expr("fp_hi & 65535").alias("key")),
+                F.struct(F.lit(3).alias("band"), F.expr("(fp_hi >> 16) & 65535").alias("key")),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp_hi", "fp_lo", "bk.band", "bk.key")
+    if bucket_cap == "auto":
+        from .skew_guard import AUTO_BUCKET_CAP, resolve_cap
+
+        bucket_cap = resolve_cap(
+            bucket_cap,
+            bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n")),
+            "n",
+            AUTO_BUCKET_CAP,
+            name=name,
+        )
+    if bucket_cap is not None:
+        from pyspark.sql.window import Window as _W
+
+        wcap = _W.partitionBy("band", "key")
+        bands = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(wcap))
+            .filter(F.col("_bn") <= bucket_cap)
+            .drop("_bn")
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "CAST(bit_count(a.fp_hi ^ b.fp_hi) + bit_count(a.fp_lo ^ b.fp_lo) AS BIGINT)"
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_T)
+    )
+
+
 def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual fingerprint stage: decode every patterned PNG's pixels
     and emit its 64-bit dHash as two nonnegative 32-bit halves. The
@@ -1045,54 +1107,191 @@ def dedup_image_dhash_pairs(
     trigger to the band buckets — a corpus of near-identical images makes
     one band bucket corpus-deep, the same pathology as the LSH mega-
     bucket (docs/SCALE.md §11.10); off at oracle scale."""
-    fp = image_dhash(spark, sf_dir).select("doc_id", "fp_hi", "fp_lo")
-    bands = fp.select(
-        "doc_id",
-        "fp_hi",
-        "fp_lo",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), F.expr("fp_lo & 65535").alias("key")),
-                F.struct(F.lit(1).alias("band"), F.expr("(fp_lo >> 16) & 65535").alias("key")),
-                F.struct(F.lit(2).alias("band"), F.expr("fp_hi & 65535").alias("key")),
-                F.struct(F.lit(3).alias("band"), F.expr("(fp_hi >> 16) & 65535").alias("key")),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "fp_hi", "fp_lo", "bk.band", "bk.key")
-    if bucket_cap == "auto":
-        from .skew_guard import AUTO_BUCKET_CAP, resolve_cap
+    return _banded_hamming_pairs(
+        image_dhash(spark, sf_dir).select("doc_id", "fp_hi", "fp_lo"),
+        bucket_cap,
+        name="dhash-band",
+    )
 
-        bucket_cap = resolve_cap(
-            bucket_cap,
-            bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n")),
-            "n",
-            AUTO_BUCKET_CAP,
-            name="dhash-band",
-        )
-    if bucket_cap is not None:
-        from pyspark.sql.window import Window as _W
 
-        wcap = _W.partitionBy("band", "key")
-        bands = (
-            bands.withColumn("_bn", F.count(F.lit(1)).over(wcap))
-            .filter(F.col("_bn") <= bucket_cap)
-            .drop("_bn")
-        )
-    a, b = bands.alias("a"), bands.alias("b")
+def image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image CLUSTERS: transitive closure over the banded
+    dHash pairs, every image labeled with its cluster representative
+    (min doc_id) plus the cluster size and an is_canonical keep flag —
+    the operator an image-dedup pipeline actually deletes from, exactly
+    like dedup_groups for text. Reuses graph.connected_components (driver
+    union-find under the measured edge gate, pointer-halved label
+    propagation above it); singletons label themselves via the left-join
+    pattern, never a node collect."""
+    from pyspark.sql.window import Window
+
+    from .graph import connected_components
+
+    fps = image_dhash(spark, sf_dir).select("doc_id")
+    edges = dedup_image_dhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(fps, edges)
+    w = Window.partitionBy("group_id")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr(
-                "CAST(bit_count(a.fp_hi ^ b.fp_hi) + bit_count(a.fp_lo ^ b.fp_lo) AS BIGINT)"
-            ).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= HAMMING_T)
+        labels.withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("group_id"))
+        .select("doc_id", "group_id", "n_members", "is_canonical")
+    )
+
+
+# --------------------------------------------------------------------------
+# Perceptual AUDIO dedup: energy-envelope fingerprints over decoded PCM
+# --------------------------------------------------------------------------
+#
+# Envelope-WAV generator formulas (the oracle contract — the Spark side
+# recovers the bits from DECODED int16 samples):
+#   g        = doc_id div 4; member m = doc_id % 4
+#   SEG(g)   = 20 + g % 9 samples per segment, AUDIO_N_SEG = 64 segments
+#   level(s) = 100 or 300 by p(g,s), where p is the xorshift-multiply
+#              finalizer over k = (g % 59999) * 97 + s (the dHash mix
+#              with an audio-domain stride)
+#   gain     = 1 + m for m in 0..2 (perceptually identical: a uniform
+#              gain preserves every envelope comparison); m = 3 is the
+#              variant at gain 1 with level FLIPPED at segment g % 64
+#              (a local edit: flips at most 2 envelope bits)
+#   samples  = per segment, alternating +amp/−amp (|sample| constant =
+#              level·gain; max 900 << int16), mono 16-bit, rate 8000
+#   fp bit s (s = 0..62) = [Σ|samples(seg s+1)| > Σ|samples(seg s)|]
+#              — 63 bits packed fp_lo = bits 0..31, fp_hi = bits 32..62
+AUDIO_GROUP = 4
+AUDIO_N_SEG = 64
+AUDIO_RATE = 8000
+AUDIO_LOW, AUDIO_HIGH = 100, 300
+
+
+def _audio_p(g: int, s: int) -> int:
+    v = (((g % PHASH_MOD) * 97 + s) * PHASH_MUL) % 4294967296
+    v ^= v >> 16
+    v = (v * 40503) % 4294967296
+    return (v >> 15) & 1
+
+
+def envelope_wav_bytes(doc_id: int) -> bytes:
+    """Deterministic segmented square-wave WAV for doc_id (formulas above)."""
+    import struct
+
+    g, m = doc_id // AUDIO_GROUP, doc_id % AUDIO_GROUP
+    seg = 20 + g % 9
+    gain = 1 + m if m < 3 else 1
+    flip = g % AUDIO_N_SEG if m == 3 else -1
+    out = bytearray()
+    for s in range(AUDIO_N_SEG):
+        p = _audio_p(g, s)
+        if s == flip:
+            p = 1 - p
+        amp = (AUDIO_HIGH if p else AUDIO_LOW) * gain
+        for i in range(seg):
+            out += struct.pack("<h", amp if i % 2 == 0 else -amp)
+    data = bytes(out)
+    fmt = struct.pack("<HHIIHH", 1, 1, AUDIO_RATE, AUDIO_RATE * 2, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_envelope_wav_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope-WAV corpus keyed on doc_id: groups of AUDIO_GROUP clips
+    share a loudness envelope; siblings differ by uniform gain
+    (perceptually identical), one clip per group carries a one-segment
+    local edit (perceptually near-identical)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: envelope_wav_bytes(int(i))),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def envelope_fp_from_wav(blob: bytes):
+    """(sample_rate, n_samples, fp_hi, fp_lo) — REAL sample decode: RIFF
+    walk to the mono 16-bit PCM, split into AUDIO_N_SEG equal segments,
+    compare adjacent segments' exact integer Σ|sample| (gain-invariant by
+    construction). None for non-WAV / non-divisible streams."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(blob):
+        typ = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        payload = blob[pos + 8 : pos + 8 + size]
+        if len(payload) < size:
+            return None
+        if typ == b"fmt " and size >= 16:
+            _f, chans, rate = struct.unpack("<HHI", payload[:8])
+            if _f != 1 or chans != 1:
+                return None
+        elif typ == b"data":
+            data = payload
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None or len(data) % 2 != 0:
+        return None
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    if s.size == 0 or s.size % AUDIO_N_SEG != 0:
+        return None
+    sums = np.abs(s).reshape(AUDIO_N_SEG, -1).sum(axis=1)
+    lo = hi = 0
+    for i in range(AUDIO_N_SEG - 1):
+        if sums[i + 1] > sums[i]:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return AUDIO_RATE if rate == AUDIO_RATE else int(rate), int(s.size), hi, lo
+
+
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio fingerprint stage: decode every envelope-WAV's
+    PCM samples and emit the 63-bit loudness-envelope hash as two
+    nonnegative halves — a chromaprint-shaped pipeline with an exactly
+    replayable contract (the DuckDB oracle recomputes the generator's
+    closed form; the Spark side must land on identical bits from the
+    decoded int16 stream). Shuffle-free mapInPandas + numpy, the same
+    100 TB shape as image_dhash."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [envelope_fp_from_wav(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [f[0] if f else None for f in feats],
+                    "n_samples": [f[1] if f else None for f in feats],
+                    "fp_hi": [f[2] if f else None for f in feats],
+                    "fp_lo": [f[3] if f else None for f in feats],
+                }
+            )
+
+    return synth_envelope_wav_payloads(spark, sf_dir).mapInPandas(
+        extract,
+        schema="doc_id long, sample_rate int, n_samples long, fp_hi long, fp_lo long",
+    )
+
+
+def dedup_audio_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: "int | str | None" = "auto"
+) -> DataFrame:
+    """Perceptual near-duplicate audio pairs: the banded Hamming join over
+    envelope fingerprints — same candidate discipline as
+    dedup_image_dhash_pairs (4x16-bit bands, exact bit_count(xor) verify
+    at HAMMING_T, skew-guarded buckets, oracle replays the band rule)."""
+    return _banded_hamming_pairs(
+        audio_fingerprint(spark, sf_dir).select("doc_id", "fp_hi", "fp_lo"),
+        bucket_cap,
+        name="audio-band",
     )

@@ -1932,3 +1932,49 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# privacy audit thresholds: the classic k = 5 re-identification floor and
+# l = 2 sensitive-attribute diversity (Sweeney 2002; Machanavajjhala et
+# al. 2007) — fixed constants so the DuckDB oracle replays the flags
+K_ANON_K = 5
+L_DIVERSITY_L = 2
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the customer table — the
+    privacy gate a training-data export runs before shipping records
+    containing person-level attributes. Quasi-identifier classes are
+    (nation, account-balance bucket of 1000); the sensitive attribute is
+    the market segment. Per class: member count, distinct-sensitive
+    count, and the k-anonymous / l-diverse flags a release policy acts on
+    (suppress or generalize every class failing either).
+
+    Bucketing is integer-exact: balances become cents via the stable
+    round-half-up, then floor-divide by 100000 cents — floor(x) over a
+    DOUBLE division whose boundary points are exact (multiples of 1e5
+    over 1e5), sidestepping the Spark-div-truncates vs DuckDB-//-floors
+    divergence on negative balances.
+
+    Scale shape: ONE hash aggregate over (nation, bucket) with an exact
+    distinct — no window, no join; at 100 TB this is a partial-agg
+    shuffle on a low-cardinality key. The flags make the release decision
+    data-parallel too: the downstream suppression join is a broadcast of
+    the failing classes."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0)"
+            " AS BIGINT)"
+        ).alias("bal_bucket"),
+    )
+    return (
+        cust.groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.countDistinct("c_mktsegment").cast("long").alias("l_distinct"),
+        )
+        .withColumn("k_anonymous", F.col("n_members") >= K_ANON_K)
+        .withColumn("l_diverse", F.col("l_distinct") >= L_DIVERSITY_L)
+    )

@@ -6325,6 +6325,111 @@ _register(
     """,
 )
 
+_register(
+    "image_dedup_groups",
+    multimodal.image_dedup_groups,
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLES["dedup_image_dhash_pairs"]}) p
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src
+    )
+    SELECT doc_id, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members,
+           doc_id = group_id AS is_canonical
+    FROM comp
+    """,
+)
+
+# DuckDB mirror of the audio envelope fingerprint: the same xorshift
+# finalizer over the audio-domain stride (k = g*97 + s), 63 comparison
+# bits; the Spark side recovers them from decoded int16 samples
+_AUDIO_FP_SQL = """
+WITH d AS (
+    SELECT doc_id, doc_id // 4 AS g, (doc_id % 4 = 3) AS is_var
+    FROM documents
+), bits AS (
+    SELECT d.doc_id, i.range AS i,
+           xor((((d.g % 59999) * 97 + i.range) * 2654435761) % 4294967296,
+               ((((d.g % 59999) * 97 + i.range) * 2654435761) % 4294967296) >> 16) AS vl1,
+           ((vl1 * 40503) % 4294967296 >> 15) & 1 AS pl0,
+           xor((((d.g % 59999) * 97 + i.range + 1) * 2654435761) % 4294967296,
+               ((((d.g % 59999) * 97 + i.range + 1) * 2654435761) % 4294967296) >> 16) AS vr1,
+           ((vr1 * 40503) % 4294967296 >> 15) & 1 AS pr0,
+           CASE WHEN d.is_var AND i.range = d.g % 64 THEN 1 - pl0 ELSE pl0 END AS pl,
+           CASE WHEN d.is_var AND i.range + 1 = d.g % 64 THEN 1 - pr0 ELSE pr0 END AS pr,
+           CASE WHEN pr > pl THEN 1 ELSE 0 END AS bit
+    FROM d, range(63) i
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(64 * (20 + (doc_id // 4) % 9) AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+       CAST(SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS fp_lo
+FROM bits GROUP BY doc_id
+"""
+
+_register(
+    "audio_fingerprint",
+    multimodal.audio_fingerprint,
+    _AUDIO_FP_SQL,
+)
+
+_register(
+    "dedup_audio_pairs",
+    multimodal.dedup_audio_pairs,
+    f"""
+    WITH fp AS ({_AUDIO_FP_SQL}),
+    bands AS (
+        SELECT doc_id, fp_hi, fp_lo, b.range AS band,
+               CASE b.range
+                   WHEN 0 THEN fp_lo & 65535
+                   WHEN 1 THEN (fp_lo >> 16) & 65535
+                   WHEN 2 THEN fp_hi & 65535
+                   ELSE (fp_hi >> 16) & 65535
+               END AS key
+        FROM fp, range(4) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.fp_hi AS ha, a.fp_lo AS la, b.fp_hi AS hb, b.fp_lo AS lb
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= {multimodal.HAMMING_T}
+    """,
+)
+
+_register(
+    "privacy_k_anonymity",
+    _pipeline.privacy_k_anonymity,
+    f"""
+    WITH c AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0)
+                    AS BIGINT) AS bal_bucket
+        FROM customer
+    )
+    SELECT c_nationkey, bal_bucket,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+           count(*) >= {_pipeline.K_ANON_K} AS k_anonymous,
+           count(DISTINCT c_mktsegment) >= {_pipeline.L_DIVERSITY_L} AS l_diverse
+    FROM c GROUP BY 1, 2
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
