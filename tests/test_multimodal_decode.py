@@ -267,3 +267,55 @@ def test_audio_envelope_gain_invariance_and_variant_distance():
     assert envelope_fp_from_wav(b"RIFFxxxxNOPE") is None
     # a 100-frame silent WAV: 100 % 64 != 0 → refused, not mis-segmented
     assert envelope_fp_from_wav(wav_bytes(8000, 1, 100)) is None
+
+
+def test_video_keyframe_contracts_and_general_lzw():
+    """Video byte-level contracts: (a) brightness-only siblings decode to
+    identical keyframe hash sequences; (b) the variant's single edited
+    keyframe leaves >= VIDEO_MATCH_MIN of VIDEO_FRAMES hashes shared;
+    (c) the LZW decoder is the GENERAL algorithm, not just the literal
+    subset the generator emits — a stream with real table-growth codes
+    round-trips; (d) non-GIF bytes are refused."""
+    from url_counter_mapreduce_spark.operators.multimodal import (
+        VIDEO_FRAMES,
+        VIDEO_MATCH_MIN,
+        _lzw_decode,
+        keyframe_dhashes_from_gif,
+        pattern_gif_bytes,
+    )
+
+    for base in (0, 4, 100, 2888):
+        f0 = keyframe_dhashes_from_gif(pattern_gif_bytes(base))
+        assert f0 is not None and len(f0) == VIDEO_FRAMES
+        for k in (1, 2):
+            assert keyframe_dhashes_from_gif(pattern_gif_bytes(base + k)) == f0
+        f3 = keyframe_dhashes_from_gif(pattern_gif_bytes(base + 3))
+        shared = sum(1 for x, y in zip(f0, f3) if x == y)
+        assert VIDEO_MATCH_MIN <= shared <= VIDEO_FRAMES, (base, shared)
+
+    assert keyframe_dhashes_from_gif(b"\x89PNG not a gif") is None
+
+    # general LZW: encode "ABABABA"-style data WITH table growth (codes
+    # beyond the literal range, including the code==len(table) KwKwK case)
+    # min_code_size 2: literals 0..3, clear=4, eoi=5, width starts at 3
+    # data [0,1,0,1,0,1,0]: emits 0,1,6(="01"... table: 6=01,7=10,8=010),
+    # classic sequence exercising prev+entry[:1]
+    def pack(codes_with_widths):
+        out, acc, nbits = bytearray(), 0, 0
+        for c, width in codes_with_widths:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # encoder run for [0,1,0,1,0,1,0]: codes 0,1,6,8 then EOI. The table
+    # grows on the decoder side after codes 1 (adds "01"=6) and 6 (adds
+    # "10"=7, reaching size 8 = 1<<3), so code 8 and EOI read at width 4.
+    # Code 8 is the KwKwK case: code == len(table) when it arrives.
+    stream = pack([(4, 3), (0, 3), (1, 3), (6, 3), (8, 4), (5, 4)])
+    assert _lzw_decode(stream, 2, 7) == bytes([0, 1, 0, 1, 0, 1, 0])

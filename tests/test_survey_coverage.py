@@ -291,6 +291,9 @@ NORTH_STAR_SURFACE = [
     "audio_fingerprint",
     "dedup_audio_pairs",
     "privacy_k_anonymity",
+    "video_keyframe_dhash",
+    "dedup_video_pairs",
+    "stream_image_dhash",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -1295,3 +1295,272 @@ def dedup_audio_pairs(
         bucket_cap,
         name="audio-band",
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual VIDEO dedup: per-keyframe dHash over REAL LZW-decoded frames
+# --------------------------------------------------------------------------
+#
+# Patterned-GIF generator formulas (the oracle contract):
+#   g        = doc_id div 4; member m = doc_id % 4
+#   frames   = VIDEO_FRAMES = 4 keyframes per clip
+#   W, H     = 18 + g % 5, 16 + g % 3 (the dHash grid geometry)
+#   cell pattern per frame: p over k = (((g % 59999)*4 + f)*72 + c)
+#            through the xorshift-multiply finalizer (max k ~1.7e7,
+#            products << BIGINT)
+#   levels   = 30 / 90 + (doc_id % 7) global brightness offset — values
+#            stay < 128 so every pixel is a single 7-bit LZW literal
+#   variant  (m = 3): frame f* = g % 4 gets cell c* = g % 72 flipped —
+#            at most 2 dHash bits of ONE keyframe change; the other 3
+#            keyframe hashes stay identical
+#   pixels ride a 128-entry grayscale GCT (palette[i] = (i,i,i)), so the
+#   decoded color index maps through the palette to the luminance the
+#   fingerprint block-averages
+VIDEO_FRAMES = 4
+VIDEO_LOW, VIDEO_HIGH = 30, 90
+# videos match when they share at least this many keyframe hashes (of 4):
+# 3 keeps the variant (one edited keyframe) while cross-group clips share 0
+VIDEO_MATCH_MIN = 3
+
+
+def _video_p(g: int, f: int, c: int) -> int:
+    v = ((((g % PHASH_MOD) * VIDEO_FRAMES + f) * 72 + c) * PHASH_MUL) % 4294967296
+    v ^= v >> 16
+    v = (v * 40503) % 4294967296
+    return (v >> 15) & 1
+
+
+def _lzw_literal_stream(pixels: bytes) -> bytes:
+    """GIF LZW stream (min code size 7) encoding each pixel as its own
+    8-bit literal code, with a clear code before every 125-pixel run so
+    the decoder's table never grows past the 8-bit width — the gif_bytes
+    discipline, generalized from all-zero pixels to arbitrary values
+    < 128."""
+    codes = bytearray()
+    for start in range(0, len(pixels), 125):
+        codes.append(0x80)
+        codes += pixels[start : start + 125]
+    codes.append(0x81)
+    return bytes(codes)
+
+
+def pattern_gif_bytes(doc_id: int) -> bytes:
+    """Deterministic patterned multi-frame GIF89a for doc_id."""
+    import struct
+
+    g, m = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
+    w, h = 18 + g % 5, 16 + g % 3
+    off = doc_id % 7
+    flip_f = g % VIDEO_FRAMES if m == 3 else -1
+    flip_c = g % 72
+    xb = [bx * w // 9 for bx in range(10)]
+    yb = [by * h // 8 for by in range(9)]
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w + 4, h + 4)
+    out += bytes((0x80 | 0x06, 0, 0))  # GCT present, size 6 → 128 entries
+    out += bytes(v for i in range(128) for v in (i, i, i))  # grayscale GCT
+    for f in range(VIDEO_FRAMES):
+        pix = bytearray(w * h)
+        for by in range(8):
+            for bx in range(9):
+                c = by * 9 + bx
+                p = _video_p(g, f, c)
+                if f == flip_f and c == flip_c:
+                    p = 1 - p
+                val = (VIDEO_HIGH if p else VIDEO_LOW) + off
+                for y in range(yb[by], yb[by + 1]):
+                    row = y * w
+                    for x in range(xb[bx], xb[bx + 1]):
+                        pix[row + x] = val
+        out += bytes((0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00))
+        out += b"\x2c" + struct.pack("<HHHH", f % 4, (2 * f) % 4, w, h) + b"\x00"
+        out += bytes((7,))
+        codes = _lzw_literal_stream(bytes(pix))
+        for start in range(0, len(codes), 255):
+            block = codes[start : start + 255]
+            out += bytes((len(block),)) + block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def synth_pattern_gif_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patterned multi-frame GIF corpus keyed on doc_id (contract above)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda i: pattern_gif_bytes(int(i))),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """General GIF LZW decode (variable code width, growing string table,
+    clear/EOI handling — LZW as published in the GIF89a spec, not just
+    the literal subset our generator emits). Returns the pixel-index
+    bytes or None on a malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None  # code beyond table: corrupt stream
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
+
+
+def keyframe_dhashes_from_gif(blob: bytes):
+    """[(frame_idx, fp_hi, fp_lo)] — REAL frame decode: walk the GIF block
+    structure, LZW-decode every frame's pixel indices, map them through
+    the global color table to luminance, block-average to the 9x8 dHash
+    grid. None if the bytes are not a GIF with a global color table."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 13 or blob[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = blob[10]
+    if not packed & 0x80:
+        return None
+    pos = 13
+    n_gct = 2 << (packed & 0x07)
+    palette = [blob[pos + 3 * i] for i in range(n_gct)]  # grayscale: R = luma
+    pos += 3 * n_gct
+    frames = []
+    idx = 0
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension
+            pos += 2
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            return None
+        _l, _t, w, h = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+        if blob[pos + 9] & 0x80:  # local color table unsupported here
+            return None
+        pos += 10
+        mcs = blob[pos]
+        pos += 1
+        stream = bytearray()
+        while pos < len(blob) and blob[pos] != 0:
+            n = blob[pos]
+            stream += blob[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        pix = _lzw_decode(bytes(stream), mcs, w * h)
+        if pix is None:
+            return None
+        luma = np.array([palette[i] for i in pix], dtype=np.float64).reshape(h, w)
+        xb = [bx * w // 9 for bx in range(10)]
+        yb = [by * h // 8 for by in range(9)]
+        means = [
+            [luma[yb[by] : yb[by + 1], xb[bx] : xb[bx + 1]].mean() for bx in range(9)]
+            for by in range(8)
+        ]
+        lo = hi = 0
+        for by in range(8):
+            for bx in range(8):
+                if means[by][bx + 1] > means[by][bx]:
+                    i = by * 8 + bx
+                    if i < 32:
+                        lo |= 1 << i
+                    else:
+                        hi |= 1 << (i - 32)
+        frames.append((idx, hi, lo))
+        idx += 1
+    return frames or None
+
+
+def video_keyframe_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-keyframe perceptual fingerprints: one row per (doc_id,
+    frame_idx) with the frame's dHash halves, decoded from a REAL GIF LZW
+    pixel stream (general variable-width decoder, not just the literal
+    subset the generator emits) through the global color table. The
+    oracle replays the generator closed form per (doc, frame), so the
+    whole chain — block walk, LZW, palette mapping, block means — must be
+    exact. Shuffle-free mapInPandas; frames explode rows 4x but stay in
+    the same task."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, his, los = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                for fidx, hi, lo in keyframe_dhashes_from_gif(bytes(blob)) or []:
+                    ids.append(doc_id)
+                    fids.append(fidx)
+                    his.append(hi)
+                    los.append(lo)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fids, "fp_hi": his, "fp_lo": los}
+            )
+
+    return synth_pattern_gif_payloads(spark, sf_dir).mapInPandas(
+        extract, schema="doc_id long, frame_idx int, fp_hi long, fp_lo long"
+    )
+
+
+def dedup_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video pairs by shared keyframes: two clips are
+    CANDIDATES iff some keyframe hash collides exactly (the frame hash IS
+    the band — one equi-join shuffle keyed by (fp_hi, fp_lo), never
+    all-pairs), and MATCH when they share >= VIDEO_MATCH_MIN of their
+    keyframes — the edited-copy rule: a re-encode with one replaced
+    keyframe still matches on the other three, while cross-group clips
+    share none. Output (doc_a, doc_b, n_shared) over distinct frame
+    hashes; exact oracle replays the same join."""
+    fp = video_keyframe_dhash(spark, sf_dir).select(
+        "doc_id", "fp_hi", "fp_lo"
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp_hi") == F.col("b.fp_hi"))
+            & (F.col("a.fp_lo") == F.col("b.fp_lo"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= VIDEO_MATCH_MIN)
+    )

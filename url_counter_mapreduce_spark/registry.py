@@ -6430,6 +6430,67 @@ _register(
     """,
 )
 
+# DuckDB mirror of the video keyframe dHash (generator closed form per
+# (doc, frame); the Spark side recovers it from a REAL LZW frame decode)
+_VIDEO_FP_SQL = """
+WITH d AS (
+    SELECT doc_id, doc_id // 4 AS g, (doc_id % 4 = 3) AS is_var
+    FROM documents
+), bits AS (
+    SELECT d.doc_id, f.range AS f, i.range AS i,
+           ((i.range // 8) * 9 + (i.range % 8)) AS cl,
+           cl + 1 AS cr,
+           xor(((((d.g % 59999) * 4 + f.range) * 72 + cl) * 2654435761) % 4294967296,
+               (((((d.g % 59999) * 4 + f.range) * 72 + cl) * 2654435761) % 4294967296) >> 16) AS vl1,
+           ((vl1 * 40503) % 4294967296 >> 15) & 1 AS pl0,
+           xor(((((d.g % 59999) * 4 + f.range) * 72 + cr) * 2654435761) % 4294967296,
+               (((((d.g % 59999) * 4 + f.range) * 72 + cr) * 2654435761) % 4294967296) >> 16) AS vr1,
+           ((vr1 * 40503) % 4294967296 >> 15) & 1 AS pr0,
+           CASE WHEN d.is_var AND f.range = d.g % 4 AND cl = d.g % 72
+                THEN 1 - pl0 ELSE pl0 END AS pl,
+           CASE WHEN d.is_var AND f.range = d.g % 4 AND cr = d.g % 72
+                THEN 1 - pr0 ELSE pr0 END AS pr,
+           CASE WHEN pr > pl THEN 1 ELSE 0 END AS bit
+    FROM d, range(4) f, range(64) i
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(SUM(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS fp_hi,
+       CAST(SUM(CASE WHEN i < 32 THEN bit * (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS fp_lo
+FROM bits GROUP BY doc_id, f
+"""
+
+from .streaming import fingerprint as _fingerprint  # noqa: E402
+
+_register(
+    "stream_image_dhash",
+    _fingerprint.stream_image_dhash,
+    # a bounded AvailableNow drain of a stateless map IS the batch result:
+    # the image_dhash generator closed form, verbatim
+    _DHASH_FP_SQL,
+)
+
+_register(
+    "video_keyframe_dhash",
+    multimodal.video_keyframe_dhash,
+    _VIDEO_FP_SQL,
+)
+
+_register(
+    "dedup_video_pairs",
+    multimodal.dedup_video_pairs,
+    f"""
+    WITH fp AS ({_VIDEO_FP_SQL}),
+    dfp AS (SELECT DISTINCT doc_id, fp_hi, fp_lo FROM fp)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM dfp a
+    JOIN dfp b ON a.fp_hi = b.fp_hi AND a.fp_lo = b.fp_lo AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {multimodal.VIDEO_MATCH_MIN}
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
