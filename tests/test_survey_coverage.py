@@ -294,6 +294,7 @@ NORTH_STAR_SURFACE = [
     "video_keyframe_dhash",
     "dedup_video_pairs",
     "stream_image_dhash",
+    "multimodal_dup_consensus",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -1564,3 +1564,47 @@ def dedup_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= VIDEO_MATCH_MIN)
     )
+
+
+def multimodal_dup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplicate consensus: one verdict per candidate asset
+    pair, voting across the three perceptual detectors (image dHash,
+    audio envelope, video keyframes). A pair is a CONSENSUS duplicate
+    when at least two modalities flag it — the curation rule that keeps
+    single-modality false positives (a coincidental envelope match) out
+    of the delete queue while catching re-encodes that slip one detector.
+
+    Plan shape: three already-banded pair sets (each one equi-join
+    shuffle, never all-pairs) full-outer-joined on the pair key — the
+    joins are pair-cardinality, tiny relative to the corpus. Exact
+    oracle: the three pair oracles composed with the same FULL JOINs and
+    vote arithmetic."""
+    img = dedup_image_dhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("image_dup")
+    )
+    aud = dedup_audio_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("audio_dup")
+    )
+    vid = dedup_video_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("video_dup")
+    )
+    out = (
+        img.join(aud, ["doc_a", "doc_b"], "full_outer")
+        .join(vid, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("image_dup", F.lit(False)).alias("image_dup"),
+            F.coalesce("audio_dup", F.lit(False)).alias("audio_dup"),
+            F.coalesce("video_dup", F.lit(False)).alias("video_dup"),
+        )
+        .withColumn(
+            "n_modalities",
+            (
+                F.col("image_dup").cast("int")
+                + F.col("audio_dup").cast("int")
+                + F.col("video_dup").cast("int")
+            ).cast("long"),
+        )
+    )
+    return out.withColumn("consensus_dup", F.col("n_modalities") >= 2)

@@ -6491,6 +6491,39 @@ _register(
     """,
 )
 
+_register(
+    "multimodal_dup_consensus",
+    multimodal.multimodal_dup_consensus,
+    f"""
+    WITH img AS (
+        SELECT doc_a, doc_b, TRUE AS image_dup
+        FROM ({ORACLES["dedup_image_dhash_pairs"]}) t
+    ), aud AS (
+        SELECT doc_a, doc_b, TRUE AS audio_dup
+        FROM ({ORACLES["dedup_audio_pairs"]}) t
+    ), vid AS (
+        SELECT doc_a, doc_b, TRUE AS video_dup
+        FROM ({ORACLES["dedup_video_pairs"]}) t
+    ), joined AS (
+        SELECT COALESCE(i.doc_a, a.doc_a, v.doc_a) AS doc_a,
+               COALESCE(i.doc_b, a.doc_b, v.doc_b) AS doc_b,
+               COALESCE(i.image_dup, FALSE) AS image_dup,
+               COALESCE(a.audio_dup, FALSE) AS audio_dup,
+               COALESCE(v.video_dup, FALSE) AS video_dup
+        FROM img i
+        FULL JOIN aud a ON a.doc_a = i.doc_a AND a.doc_b = i.doc_b
+        FULL JOIN vid v ON v.doc_a = COALESCE(i.doc_a, a.doc_a)
+                       AND v.doc_b = COALESCE(i.doc_b, a.doc_b)
+    )
+    SELECT doc_a, doc_b, image_dup, audio_dup, video_dup,
+           CAST(image_dup::INT + audio_dup::INT + video_dup::INT AS BIGINT)
+               AS n_modalities,
+           (image_dup::INT + audio_dup::INT + video_dup::INT) >= 2
+               AS consensus_dup
+    FROM joined
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
