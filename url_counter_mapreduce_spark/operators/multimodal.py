@@ -885,6 +885,20 @@ PHASH_MUL = 2654435761
 HAMMING_T = 4
 
 
+# (applicationId, sf_dir, modality) -> persisted fingerprint frame. Every
+# perceptual consumer (pair join, cluster resolution, cross-modal
+# consensus) shares ONE synth+decode pass per corpus — the _SIG_CACHE
+# discipline applied to fingerprints (session_cache.SessionFrameCache).
+from ..session_cache import SessionFrameCache
+
+_FP_CACHE = SessionFrameCache("perceptual-fp", max_entries=6)
+
+
+def clear_fp_cache() -> None:
+    """Unpersist and drop every cached perceptual fingerprint frame."""
+    _FP_CACHE.clear()
+
+
 def _phash_p(g: int, c: int) -> int:
     v = (((g % PHASH_MOD) * 72 + c) * PHASH_MUL) % 4294967296
     v ^= v >> 16
@@ -1083,8 +1097,13 @@ def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return synth_pattern_png_payloads(spark, sf_dir).mapInPandas(
-        extract, schema="doc_id long, width int, height int, fp_hi long, fp_lo long"
+    key = (spark.sparkContext.applicationId, sf_dir, "image")
+    return _FP_CACHE.get_or_build(
+        key,
+        lambda: synth_pattern_png_payloads(spark, sf_dir).mapInPandas(
+            extract,
+            schema="doc_id long, width int, height int, fp_hi long, fp_lo long",
+        ),
     )
 
 
@@ -1277,9 +1296,13 @@ def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return synth_envelope_wav_payloads(spark, sf_dir).mapInPandas(
-        extract,
-        schema="doc_id long, sample_rate int, n_samples long, fp_hi long, fp_lo long",
+    key = (spark.sparkContext.applicationId, sf_dir, "audio")
+    return _FP_CACHE.get_or_build(
+        key,
+        lambda: synth_envelope_wav_payloads(spark, sf_dir).mapInPandas(
+            extract,
+            schema="doc_id long, sample_rate int, n_samples long, fp_hi long, fp_lo long",
+        ),
     )
 
 
@@ -1533,8 +1556,12 @@ def video_keyframe_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "frame_idx": fids, "fp_hi": his, "fp_lo": los}
             )
 
-    return synth_pattern_gif_payloads(spark, sf_dir).mapInPandas(
-        extract, schema="doc_id long, frame_idx int, fp_hi long, fp_lo long"
+    key = (spark.sparkContext.applicationId, sf_dir, "video")
+    return _FP_CACHE.get_or_build(
+        key,
+        lambda: synth_pattern_gif_payloads(spark, sf_dir).mapInPandas(
+            extract, schema="doc_id long, frame_idx int, fp_hi long, fp_lo long"
+        ),
     )
 
 
