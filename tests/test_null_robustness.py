@@ -127,6 +127,18 @@ NULLISH_QUERIES = [
     # round-8 additions
     "dedup_containment_pairs",
     "dedup_cdc_chunks",
+    # round-10 perceptual family (fingerprints synthesize from doc_id, so
+    # the degenerate risk is the 8-doc corpus itself: partial groups,
+    # group 1 ending mid-pattern, empty pair sets downstream) + privacy
+    "image_dhash",
+    "dedup_image_dhash_pairs",
+    "image_dedup_groups",
+    "audio_fingerprint",
+    "dedup_audio_pairs",
+    "video_keyframe_dhash",
+    "dedup_video_pairs",
+    "multimodal_dup_consensus",
+    "privacy_k_anonymity",
 ]
 
 
@@ -161,6 +173,19 @@ def nullish_dir(spark):
         events,
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
     ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    cust = [
+        (0, "c0", 1, None, "BUILDING"),  # NULL balance → NULL bucket key
+        (1, "c1", 1, -999.99, None),  # negative balance, NULL sensitive
+        (2, "c2", None, 0.0, "MACHINERY"),  # NULL nation (NULL QI key)
+        (3, "c3", 2, 1000.0, "MACHINERY"),  # exact bucket boundary
+        (4, "c4", 2, 999.99, "AUTOMOBILE"),
+    ]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
 
     embs = [
         (0, [0.0] * 64, "a"),  # zero vector → finite filter must drop
