@@ -76,6 +76,12 @@ EQUIV_QUERIES = [
     "lm_trigram_backoff",
     "embedding_covariance",
     "lineage_resolve_roots",
+    # round-10: the perceptual chain end-to-end (synth → decode → band
+    # join → CC clusters — mapInPandas batch boundaries vary with
+    # partitioning, the fingerprints and clusters must not) and the
+    # cross-modal vote (three full-outer joins on pair keys)
+    "image_dedup_groups",
+    "multimodal_dup_consensus",
 ]
 
 _CHILD = r"""
