@@ -115,13 +115,30 @@ def test_minhash_auto_equals_uncapped_on_healthy_corpus(spark, sf_dir):
     assert auto == off
 
 
-def test_er_auto_equals_uncapped_on_fixture(spark, sf_dir):
-    """Name-key blocks on the fixture catalog are 1–2 deep — the ER auto
-    trigger must stay off, keeping er_match_edges identical to the
-    uncapped brute-block edge set the oracle proves recall-1 against."""
+def test_er_default_is_uncapped_recall_one():
+    """ER blocking is recall-1 BY DEFINITION (the match rule requires
+    name-key equality and the oracle brute-forces all pairs), so the
+    DEFAULT must be uncapped — the round-10 ci sf0.1 parity leg caught a
+    default-"auto" attempt silently capping the uniformly dense part
+    catalog (fan-out ratio 156×, 19,990 vs 8,372 golden records). The
+    cost trigger stays available as an explicit opt-in for catalogs
+    where only a FEW blocks are pathological (SCALE.md §11.9/§11.10)."""
+    from url_counter_mapreduce_spark.operators.entity import ER_BLOCK_CAP
+
+    assert ER_BLOCK_CAP is None
+
+
+def test_er_auto_optin_equals_uncapped_on_small_fixture(spark, sf_dir):
+    """With the explicit "auto" opt-in on the SMALL fixture (blocks 1–2
+    deep, fan-out far under budget) the trigger stays off and the edge
+    set is identical to uncapped — the opt-in is safe where the §11.9
+    domain condition holds."""
     from url_counter_mapreduce_spark.operators.entity import er_match_edges
 
-    auto = {(r.doc_a, r.doc_b) for r in er_match_edges(spark, sf_dir).collect()}
+    auto = {
+        (r.doc_a, r.doc_b)
+        for r in er_match_edges(spark, sf_dir, block_cap="auto").collect()
+    }
     off = {
         (r.doc_a, r.doc_b)
         for r in er_match_edges(spark, sf_dir, block_cap=None).collect()

@@ -56,12 +56,22 @@ SNM_WINDOW = 5
 # posting_cap discipline — deterministic, not a sample), bounding
 # per-block pair cost at cap² while keeping every block represented;
 # members beyond the cap lose their in-block edges (measured recall
-# tradeoff: tools/er_scale_probe.py). Default "auto": the measured cost
-# trigger (operators/skew_guard.resolve_cap) keeps the cap off at oracle
-# scale — name-key blocks on the fixture catalog are 1–2 deep, so the
-# oracles stay exact — and engages AUTO_BLOCK_CAP on block-skewed
-# catalogs without a hand-set knob.
-ER_BLOCK_CAP: int | str | None = "auto"
+# tradeoff: tools/er_scale_probe.py).
+#
+# Default None — NOT "auto", and the round-10 ci leg 3 failure is why:
+# er_golden_record's contract is recall-1 blocking (the match rule
+# REQUIRES name-key equality, and the DuckDB oracle brute-forces ALL
+# pairs to prove the blocking lost nothing). On this catalog the blocks
+# are uniformly dense (~N/100 deep; fan-out ratio 156× at sf0.1), so the
+# cost trigger correctly detects quadratic fan-out — but here the
+# quadratic work is the OPERATOR'S DEFINITION, not boilerplate skew, and
+# capping it silently breaks the recall-1 claim (19,990 vs 8,372 golden
+# records at sf0.1). This is exactly the §11.9 domain lesson measured in
+# round 9: block caps suit catalogs where a FEW blocks are pathological,
+# not uniformly dense ones. ``block_cap="auto"`` remains available for
+# the former; the posting-join dedups keep auto as their default because
+# their fan-out IS boilerplate-driven.
+ER_BLOCK_CAP: int | str | None = None
 
 
 def _part_records(spark: SparkSession, sf_dir: str) -> DataFrame:
