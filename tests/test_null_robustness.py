@@ -139,6 +139,7 @@ NULLISH_QUERIES = [
     "dedup_video_pairs",
     "multimodal_dup_consensus",
     "privacy_k_anonymity",
+    "privacy_suppress_export",
 ]
 
 

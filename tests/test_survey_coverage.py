@@ -295,6 +295,7 @@ NORTH_STAR_SURFACE = [
     "dedup_video_pairs",
     "stream_image_dhash",
     "multimodal_dup_consensus",
+    "privacy_suppress_export",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -1978,3 +1978,97 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("k_anonymous", F.col("n_members") >= K_ANON_K)
         .withColumn("l_diverse", F.col("l_distinct") >= L_DIVERSITY_L)
     )
+
+
+def privacy_suppress_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION twin of privacy_k_anonymity: apply the audit to produce
+    a releasable record set. Per customer, a two-level generalization
+    ladder:
+
+    1. release the full quasi-identifier (nation, balance bucket) when its
+       class is k-anonymous AND l-diverse;
+    2. else GENERALIZE the bucket away (bal_bucket → NULL, the classic
+       hierarchy step) and release at nation level when THAT class passes
+       both tests over the records actually demoted into it plus nothing
+       finer — the nation-level class is audited over all of the nation's
+       records, the standard global-recoding semantics;
+    3. else SUPPRESS the record (released = false).
+
+    Output one row per customer with the released QI values, the ladder
+    level ('full' / 'nation' / 'suppressed'), and the released flag — the
+    frame a training export joins against to drop non-releasable rows.
+
+    Scale shape: two hash aggregates (class audits at both ladder levels)
+    broadcast-joined back onto the record stream — the audits are
+    low-cardinality, so the per-record path is one projection plus two
+    broadcast lookups; no window, no per-record shuffle."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0)"
+            " AS BIGINT)"
+        ).alias("bal_bucket"),
+    )
+    full_audit = (
+        cust.groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct("c_mktsegment").alias("_l"),
+        )
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            ((F.col("_n") >= K_ANON_K) & (F.col("_l") >= L_DIVERSITY_L)).alias(
+                "full_ok"
+            ),
+        )
+    )
+    nation_audit = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct("c_mktsegment").alias("_l"),
+        )
+        .select(
+            "c_nationkey",
+            ((F.col("_n") >= K_ANON_K) & (F.col("_l") >= L_DIVERSITY_L)).alias(
+                "nation_ok"
+            ),
+        )
+    )
+    # null-safe join keys: a NULL balance (or nation) is itself a
+    # quasi-identifier class — an equi-join would drop it from the audit
+    # and mis-release every NULL-keyed record
+    fa = full_audit.withColumnRenamed("c_nationkey", "_fn").withColumnRenamed(
+        "bal_bucket", "_fb"
+    )
+    na = nation_audit.withColumnRenamed("c_nationkey", "_nn")
+    out = (
+        cust.join(
+            F.broadcast(fa),
+            F.col("c_nationkey").eqNullSafe(F.col("_fn"))
+            & F.col("bal_bucket").eqNullSafe(F.col("_fb")),
+            "left",
+        )
+        .join(F.broadcast(na), F.col("c_nationkey").eqNullSafe(F.col("_nn")), "left")
+        .drop("_fn", "_fb", "_nn")
+        .withColumn(
+            "level",
+            F.when(F.col("full_ok"), F.lit("full"))
+            .when(F.col("nation_ok"), F.lit("nation"))
+            .otherwise(F.lit("suppressed")),
+        )
+    )
+    return out.select(
+        "c_custkey",
+        F.when(F.col("level") != "suppressed", F.col("c_nationkey")).alias(
+            "released_nationkey"
+        ),
+        F.when(F.col("level") == "full", F.col("bal_bucket")).alias(
+            "released_bal_bucket"
+        ),
+        "level",
+        (F.col("level") != "suppressed").alias("released"),
+    )

@@ -6524,6 +6524,49 @@ _register(
     """,
 )
 
+_register(
+    "privacy_suppress_export",
+    _pipeline.privacy_suppress_export,
+    f"""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment,
+               CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0)
+                    AS BIGINT) AS bal_bucket
+        FROM customer
+    ), full_audit AS (
+        SELECT c_nationkey, bal_bucket,
+               count(*) >= {_pipeline.K_ANON_K}
+                   AND count(DISTINCT c_mktsegment) >= {_pipeline.L_DIVERSITY_L}
+                   AS full_ok
+        FROM c GROUP BY 1, 2
+    ), nation_audit AS (
+        SELECT c_nationkey,
+               count(*) >= {_pipeline.K_ANON_K}
+                   AND count(DISTINCT c_mktsegment) >= {_pipeline.L_DIVERSITY_L}
+                   AS nation_ok
+        FROM c GROUP BY 1
+    ), lad AS (
+        SELECT c.c_custkey, c.c_nationkey, c.bal_bucket,
+               CASE WHEN f.full_ok THEN 'full'
+                    WHEN n.nation_ok THEN 'nation'
+                    ELSE 'suppressed' END AS level
+        FROM c
+        LEFT JOIN full_audit f
+               ON f.c_nationkey IS NOT DISTINCT FROM c.c_nationkey
+              AND f.bal_bucket IS NOT DISTINCT FROM c.bal_bucket
+        LEFT JOIN nation_audit n
+               ON n.c_nationkey IS NOT DISTINCT FROM c.c_nationkey
+    )
+    SELECT c_custkey,
+           CASE WHEN level != 'suppressed' THEN c_nationkey END
+               AS released_nationkey,
+           CASE WHEN level = 'full' THEN bal_bucket END AS released_bal_bucket,
+           level,
+           level != 'suppressed' AS released
+    FROM lad
+    """,
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
