@@ -1122,6 +1122,16 @@ def dedup_image_dhash_pairs(
 
     The oracle replays the SAME band-candidate rule (not brute force), so
     the result is exact by construction, not recall-approximate.
+
+    Measured vs brute-force all-pairs (tools/bench_variants.py, sf0.1,
+    N=5,000): brute 0.29 s vs banded 0.45 s — at this N, 12.5M cheap
+    xor/bit_count comparisons beat the band explode + join overhead, and
+    both produce identical pairs. Banding ships anyway because brute is
+    O(N²): the same arithmetic rate puts 50k docs at ~30 s and 5M docs at
+    ~12.5T comparisons, while the banded join's cost tracks candidate
+    volume (group-sized buckets, §11.11). The crossover sits around
+    N≈10⁴–10⁵ — below it, use brute if you must; above it, banding is the
+    only plan that finishes.
     ``bucket_cap`` (default "auto") applies the measured skew-guard
     trigger to the band buckets — a corpus of near-identical images makes
     one band bucket corpus-deep, the same pathology as the LSH mega-
