@@ -140,6 +140,8 @@ NULLISH_QUERIES = [
     "multimodal_dup_consensus",
     "privacy_k_anonymity",
     "privacy_suppress_export",
+    "audio_dedup_groups",
+    "video_dedup_groups",
 ]
 
 

@@ -296,6 +296,8 @@ NORTH_STAR_SURFACE = [
     "stream_image_dhash",
     "multimodal_dup_consensus",
     "privacy_suppress_export",
+    "audio_dedup_groups",
+    "video_dedup_groups",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

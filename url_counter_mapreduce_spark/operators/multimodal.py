@@ -1152,18 +1152,11 @@ def image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-find under the measured edge gate, pointer-halved label
     propagation above it); singletons label themselves via the left-join
     pattern, never a node collect."""
-    from pyspark.sql.window import Window
-
-    from .graph import connected_components
-
-    fps = image_dhash(spark, sf_dir).select("doc_id")
-    edges = dedup_image_dhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(fps, edges)
-    w = Window.partitionBy("group_id")
-    return (
-        labels.withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
-        .withColumn("is_canonical", F.col("doc_id") == F.col("group_id"))
-        .select("doc_id", "group_id", "n_members", "is_canonical")
+    return _perceptual_groups(
+        spark,
+        sf_dir,
+        image_dhash(spark, sf_dir).select("doc_id"),
+        dedup_image_dhash_pairs(spark, sf_dir),
     )
 
 
@@ -1645,3 +1638,49 @@ def multimodal_dup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.withColumn("consensus_dup", F.col("n_modalities") >= 2)
+
+
+def _perceptual_groups(
+    spark: SparkSession, sf_dir: str, fps: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Shared cluster resolution for the perceptual families: transitive
+    closure over a pair set via graph.connected_components (driver
+    union-find under the measured edge gate, pointer-halved propagation
+    above it; singletons label themselves by left join), plus cluster
+    size and the is_canonical keep flag."""
+    from pyspark.sql.window import Window
+
+    from .graph import connected_components
+
+    labels = connected_components(fps, pairs.select("doc_a", "doc_b"))
+    w = Window.partitionBy("group_id")
+    return (
+        labels.withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("group_id"))
+        .select("doc_id", "group_id", "n_members", "is_canonical")
+    )
+
+
+def audio_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio CLUSTERS: transitive closure over the banded
+    envelope pairs — the delete-from operator for the audio corpus,
+    mirroring image_dedup_groups (same shared resolution helper)."""
+    return _perceptual_groups(
+        spark,
+        sf_dir,
+        audio_fingerprint(spark, sf_dir).select("doc_id"),
+        dedup_audio_pairs(spark, sf_dir),
+    )
+
+
+def video_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video CLUSTERS: transitive closure over the
+    shared-keyframe pairs — the delete-from operator for the video
+    corpus, mirroring image_dedup_groups (same shared resolution
+    helper)."""
+    return _perceptual_groups(
+        spark,
+        sf_dir,
+        video_keyframe_dhash(spark, sf_dir).select("doc_id").distinct(),
+        dedup_video_pairs(spark, sf_dir),
+    )

@@ -6567,6 +6567,42 @@ _register(
     """,
 )
 
+def _perceptual_groups_oracle(pairs_sql: str) -> str:
+    """Recursive-reachability CC oracle over a perceptual pair set — the
+    dedup_groups CTE pattern parameterized by the pair subquery."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({pairs_sql}) p
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), comp AS (
+        SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src
+    )
+    SELECT doc_id, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members,
+           doc_id = group_id AS is_canonical
+    FROM comp
+    """
+
+
+_register(
+    "audio_dedup_groups",
+    multimodal.audio_dedup_groups,
+    _perceptual_groups_oracle(ORACLES["dedup_audio_pairs"]),
+)
+
+_register(
+    "video_dedup_groups",
+    multimodal.video_dedup_groups,
+    _perceptual_groups_oracle(ORACLES["dedup_video_pairs"]),
+)
+
 # --------------------------------------------------------------------------
 # Canonical ordering. The driver's correctness artifact records the FIRST 50
 # entries of ``queries()`` in dict order (observed r01→r02: inserting
