@@ -2977,3 +2977,48 @@ def test_host_condensation_invariants(spark, sf_dir):
     assert cond["n_members"].sum() == len(scc)
     assert (cond["level"] == 0).any()
     assert (cond["level"] < len(cond)).all()
+
+
+def test_privacy_ladder_invariants(spark, sf_dir):
+    """The suppression ladder's release-policy invariants, independent of
+    the oracle: (1) the export partitions customers exactly (one row per
+    custkey); (2) a 'full' release's (nation, bucket) class passes both
+    audits in privacy_k_anonymity; (3) every class failing either audit
+    has NO 'full' release; (4) released QI values follow the ladder —
+    'full' keeps both, 'nation' nulls the bucket, 'suppressed' nulls
+    both; (5) every k-anonymous+l-diverse class at nation level releases
+    its demoted members rather than suppressing them."""
+    from url_counter_mapreduce_spark.tables import load_table
+
+    audit = {
+        (r.c_nationkey, r.bal_bucket): (r.k_anonymous, r.l_diverse)
+        for r in QUERIES["privacy_k_anonymity"](spark, sf_dir).collect()
+    }
+    rows = QUERIES["privacy_suppress_export"](spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert len(rows) == n_cust
+    assert len({r.c_custkey for r in rows}) == n_cust
+
+    for r in rows:
+        if r.level == "full":
+            k_ok, l_ok = audit[(r.released_nationkey, r.released_bal_bucket)]
+            assert k_ok and l_ok, r
+            assert r.released_nationkey is not None
+            assert r.released
+        elif r.level == "nation":
+            assert r.released_bal_bucket is None
+            assert r.released_nationkey is not None
+            assert r.released
+        else:
+            assert r.level == "suppressed"
+            assert r.released_nationkey is None
+            assert r.released_bal_bucket is None
+            assert not r.released
+    # no class failing an audit may appear as a 'full' release
+    failing = {cls for cls, (k, l) in audit.items() if not (k and l)}
+    full_classes = {
+        (r.released_nationkey, r.released_bal_bucket)
+        for r in rows
+        if r.level == "full"
+    }
+    assert not (failing & full_classes)
