@@ -295,6 +295,16 @@ def test_video_keyframe_contracts_and_general_lzw():
 
     assert keyframe_dhashes_from_gif(b"\x89PNG not a gif") is None
 
+    # truncation robustness (ADVICE r10): a blob cut at EVERY byte offset
+    # — including inside the color table, an image descriptor (where an
+    # unguarded struct.unpack raised), or the LZW sub-blocks — must return
+    # None or a prefix of the full frame list, never raise in the executor
+    whole = pattern_gif_bytes(0)
+    full = keyframe_dhashes_from_gif(whole)
+    for cut in range(0, len(whole)):
+        got = keyframe_dhashes_from_gif(whole[:cut])
+        assert got is None or got == full[: len(got)], cut
+
     # general LZW: encode "ABABABA"-style data WITH table growth (codes
     # beyond the literal range, including the code==len(table) KwKwK case)
     # min_code_size 2: literals 0..3, clear=4, eoi=5, width starts at 3

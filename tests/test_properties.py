@@ -1043,12 +1043,14 @@ def test_multiprobe_lsh_dominates_single_probe(spark, sf_dir):
 
 def test_gopher_formulations_agree(spark, sf_dir):
     """The aggregate formulation (quality_gopher: explodes + groupBys +
-    window) and the map-only array-expression formulation
-    (gopher_maponly_metrics: the streaming gate's definitions) must compute
-    IDENTICAL metrics for every document — two physical strategies, one
+    window), the map-only array-expression formulation
+    (gopher_maponly_metrics), and the Arrow mapInPandas kernel
+    (gopher_metrics_arrow: the streaming gate's shipped form) must compute
+    IDENTICAL metrics for every document — three physical strategies, one
     semantic contract."""
     from url_counter_mapreduce_spark.operators.text import (
         gopher_maponly_metrics,
+        gopher_metrics_arrow,
         quality_gopher,
     )
     from url_counter_mapreduce_spark.tables import load_table
@@ -1068,7 +1070,55 @@ def test_gopher_formulations_agree(spark, sf_dir):
         r["doc_id"]: tuple(r[c] for c in cols)
         for r in gopher_maponly_metrics(docs).select("doc_id", *cols).collect()
     }
+    ar = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in gopher_metrics_arrow(docs).select("doc_id", *cols).collect()
+    }
     assert agg == mo
+    assert agg == ar
+
+
+def test_gopher_arrow_null_semantics(spark):
+    """The Arrow kernel must replicate the SQL form's three-valued logic
+    bit-for-bit on degenerate rows: NULL text -> zeroed word stats, NULL
+    n_chars -> NULL dup_trigram_char_frac (division by NULL) while the
+    empty-bigram short-circuit still yields 0.0 for top_bigram_char_frac."""
+    from url_counter_mapreduce_spark.operators.text import (
+        gopher_maponly_metrics,
+        gopher_metrics_arrow,
+    )
+
+    rows = [
+        (0, None, "en", "s", None),
+        (1, "", "en", "s", 0),
+        (2, "one", "en", "s", 3),
+        (3, "a b", "en", "s", None),  # bigrams present, NULL n_chars
+        (4, "dup dup dup dup", "en", "s", 15),
+        (5, "   ", "en", "s", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cols = [
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "symbol_word_ratio",
+        "top_bigram_char_frac",
+        "dup_trigram_char_frac",
+        "keep",
+    ]
+    mo = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in gopher_maponly_metrics(docs).select("doc_id", *cols).collect()
+    }
+    ar = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in gopher_metrics_arrow(docs).select("doc_id", *cols).collect()
+    }
+    assert mo == ar
+    assert ar[0][5] is None  # NULL n_chars -> NULL dup3
+    assert ar[3][4] is None  # bigrams + NULL n_chars -> NULL top2
 
 
 def test_stream_quality_gate_matches_batch_keep_set(spark, sf_dir):

@@ -55,6 +55,47 @@ def test_resolve_cap_empty_sizes(spark):
     assert resolve_cap("auto", df, "n", 8, name="t") is None
 
 
+def test_resolve_cap_memoizes_by_cache_key(spark):
+    """With a cache_key the probe job runs once per key per session: the
+    second resolution returns the memoized decision without touching the
+    (deliberately poisoned) sizes frame."""
+    from url_counter_mapreduce_spark.operators import skew_guard
+
+    skew_guard.clear_decision_cache()
+    key = ("test-app", "memo-probe")
+    df = _sizes(spark, [200])  # pathological → engages
+    assert resolve_cap("auto", df, "n", 8, name="t", cache_key=key) == 8
+    # poisoned frame: resolving it fresh would raise at probe time
+    poisoned = df.selectExpr("k", "CAST(NULL AS LONG) AS wrong_col")
+    assert resolve_cap("auto", poisoned, "n", 8, name="t", cache_key=key) == 8
+    # a DIFFERENT key probes fresh (healthy frame → off)
+    healthy = _sizes(spark, [2] * 100)
+    assert (
+        resolve_cap("auto", healthy, "n", 8, name="t", cache_key=("test-app", "k2"))
+        is None
+    )
+    skew_guard.clear_decision_cache()
+
+
+def test_resolve_cap_records_decisions_with_policy(spark):
+    """Every "auto" resolution lands in the drainable decision record with
+    the measured numbers and the call site's cap policy — the gate hook
+    that makes an engaged-cap oracle diff attributable (ADVICE r10)."""
+    from url_counter_mapreduce_spark.operators import skew_guard
+
+    skew_guard.clear_decision_cache()
+    resolve_cap("auto", _sizes(spark, [200]), "n", 8, name="hot", policy="drop-bucket")
+    resolve_cap("auto", _sizes(spark, [2] * 10), "n", 8, name="cold")
+    got = skew_guard.pop_decisions()
+    assert [d["name"] for d in got] == ["hot", "cold"]
+    assert got[0]["engaged"] and got[0]["cap"] == 8
+    assert got[0]["policy"] == "drop-bucket"
+    assert got[0]["pairs"] == 200 * 199 // 2 and got[0]["rows"] == 200
+    assert not got[1]["engaged"] and got[1]["cap"] is None
+    assert got[1]["policy"] == "keep-lowest"
+    assert skew_guard.pop_decisions() == []  # drained
+
+
 def test_chunk_reuse_auto_engages_on_clone_corpus(spark):
     """150 byte-identical clones: every shared chunk's posting is 150 deep
     (ratio (150−1)/2 ≈ 74.5 > 64), so posting_cap="auto" must engage and

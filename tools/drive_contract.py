@@ -57,19 +57,43 @@ o = e.oracle_sql()
 only = [a for a in sys.argv[1:] if not a.startswith("-")]
 if only:
     q = {k: v for k, v in q.items() if k in only}
+from url_counter_mapreduce_spark.operators import skew_guard  # noqa: E402
+
+skew_guard.pop_decisions()  # start each gate run with a clean record
+
+
+def _engagements(name):
+    """Drain skew-guard decisions made while running `name`; an ENGAGED
+    cap means the query ran a documented approximation — a hash diff on
+    such a query is an engaged-cap divergence, not (necessarily) a defect
+    (ADVICE r10: make the two distinguishable in gate output)."""
+    engaged = [d for d in skew_guard.pop_decisions() if d["engaged"]]
+    for d in engaged:
+        print(
+            f"  [skew-guard] {name}: {d['name']} ENGAGED cap={d['cap']} "
+            f"policy={d['policy']} pairs={d['pairs']} rows={d['rows']}"
+        )
+    return engaged
+
+
 fails = []
 results = {}
 for name in sorted(q):
     spdf = q[name](spark, SF).toPandas()
+    caps = _engagements(name)
     if name not in o:
         print(f"{name}: rows-only, {len(spdf)} rows")
         results[name] = {"status": "rows-only", "rows": len(spdf)}
+        if caps:
+            results[name]["skew_caps_engaged"] = caps
         continue
     opdf = con.sql(o[name]).df()
     ok_rows = len(spdf) == len(opdf)
     ok_cols = sorted(spdf.columns) == sorted(opdf.columns)
     ok_hash = value_hash(spdf) == value_hash(opdf)
     status = "OK" if (ok_rows and ok_cols and ok_hash) else "MISMATCH"
+    if status == "MISMATCH" and caps:
+        status = "MISMATCH-CAP-ENGAGED"
     print(f"{name}: {status} rows={len(spdf)}/{len(opdf)} cols={ok_cols} hash={ok_hash}")
     results[name] = {
         "status": status,
@@ -78,6 +102,8 @@ for name in sorted(q):
         "cols_match": ok_cols,
         "hash_match": ok_hash,
     }
+    if caps:
+        results[name]["skew_caps_engaged"] = caps
     if status != "OK":
         fails.append(name)
 

@@ -323,6 +323,13 @@ def _pairs_rejoin(
             "n",
             AUTO_BUCKET_CAP,
             name="lsh-bucket",
+            policy="drop-bucket",  # _capped_bands drops oversized buckets whole
+            cache_key=(
+                sigs_sh.sparkSession.sparkContext.applicationId,
+                "lsh-bucket",
+                band_fn.__name__,
+                sigs_sh.semanticHash(),
+            ),
         )
     if bucket_cap is not None:
         bands = _capped_bands(bands, bucket_cap)
@@ -1773,6 +1780,12 @@ def dedup_chunk_reuse(
             "ndocs",
             AUTO_POSTING_CAP,
             name="chunk-posting",
+            policy="keep-lowest",  # row_number ≤ cap keeps the lowest doc_ids
+            cache_key=(
+                per_doc.sparkSession.sparkContext.applicationId,
+                "chunk-posting",
+                per_doc.semanticHash(),
+            ),
         )
     if posting_cap is not None:
         # the clone-corpus guard (SCALE.md S11.8): a chunk shared by P

@@ -122,6 +122,12 @@ def er_match_edges(
             "n",
             AUTO_BLOCK_CAP,
             name="er-block",
+            policy="keep-lowest",  # row_number ≤ cap keeps the lowest p_partkeys
+            cache_key=(
+                spark.sparkContext.applicationId,
+                "er-block",
+                sf_dir,
+            ),
         )
     if block_cap is not None:
         wcap = Window.partitionBy("name_key").orderBy(F.col("p_partkey").asc())

@@ -1044,6 +1044,12 @@ def _banded_hamming_pairs(
             "n",
             AUTO_BUCKET_CAP,
             name=name,
+            policy="drop-bucket",  # the _bn filter drops oversized buckets whole
+            cache_key=(
+                fp.sparkSession.sparkContext.applicationId,
+                name,
+                fp.semanticHash(),
+            ),
         )
     if bucket_cap is not None:
         from pyspark.sql.window import Window as _W
@@ -1274,7 +1280,7 @@ def envelope_fp_from_wav(blob: bytes):
                 lo |= 1 << i
             else:
                 hi |= 1 << (i - 32)
-    return AUDIO_RATE if rate == AUDIO_RATE else int(rate), int(s.size), hi, lo
+    return int(rate), int(s.size), hi, lo
 
 
 def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1472,7 +1478,10 @@ def keyframe_dhashes_from_gif(blob: bytes):
     """[(frame_idx, fp_hi, fp_lo)] — REAL frame decode: walk the GIF block
     structure, LZW-decode every frame's pixel indices, map them through
     the global color table to luminance, block-average to the 9x8 dHash
-    grid. None if the bytes are not a GIF with a global color table."""
+    grid. None if the bytes are not a GIF with a global color table, or
+    are truncated anywhere (every read is bounds-guarded — a cut blob
+    returns the frames decoded so far or None, never raises: ADVICE
+    r10)."""
     import struct
 
     import numpy as np
@@ -1484,6 +1493,8 @@ def keyframe_dhashes_from_gif(blob: bytes):
         return None
     pos = 13
     n_gct = 2 << (packed & 0x07)
+    if pos + 3 * n_gct > len(blob):  # truncated global color table
+        return None
     palette = [blob[pos + 3 * i] for i in range(n_gct)]  # grayscale: R = luma
     pos += 3 * n_gct
     frames = []
@@ -1499,6 +1510,10 @@ def keyframe_dhashes_from_gif(blob: bytes):
             pos += 1
             continue
         if b0 != 0x2C:
+            return None
+        # descriptor (10 bytes incl. the 0x2C introducer) + min-code-size
+        # byte must both be present — mirror parse_gif's truncation guard
+        if pos + 11 > len(blob):
             return None
         _l, _t, w, h = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
         if blob[pos + 9] & 0x80:  # local color table unsupported here

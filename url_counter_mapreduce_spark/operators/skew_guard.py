@@ -42,15 +42,26 @@ integer sums over deterministic counts, so the decision itself is fully
 deterministic — no percentile sketches, no sampling.
 
 Cost of the probe: one aggregation over the posting-size frame plus a
-1-row collect — O(input) with map-side partial aggregation, executed once
-per (session, corpus) because every call site sits inside a
-SessionFrameCache build. At 100 TB that is one cheap linear pass bought
-against a potential P²-row shuffle.
+1-row collect — O(input) with map-side partial aggregation. NB the probe
+is EAGER: resolving ``cap="auto"`` runs a Spark job during DataFrame
+CONSTRUCTION (before any action on the returned frame), because the cap
+decision changes the plan being built. Two disciplines bound that cost:
+every call site sits inside (or feeds) a SessionFrameCache build, and the
+decision itself is memoized per ``cache_key`` (below), so repeated
+construction of the same operator in one session probes exactly once. At
+100 TB that is one cheap linear pass bought against a potential P²-row
+shuffle.
+
+Observability: every resolution is appended to a bounded in-module record
+(:func:`decisions` / :func:`pop_decisions`) so a gate harness can report
+WHICH queries ran with an engaged cap — an engaged-cap oracle mismatch is
+then distinguishable from a genuine defect (ADVICE r10).
 """
 
 from __future__ import annotations
 
 import logging
+from typing import Hashable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -72,6 +83,44 @@ AUTO_BLOCK_CAP = 8
 # type alias for the knob: None (off), int (manual), or "auto"
 CapSpec = int | str | None
 
+# memoized "auto" resolutions: cache_key → resolved cap. Keys embed the
+# applicationId (same convention as SessionFrameCache), so a stale
+# decision is never returned across sessions. Bounded by _DECISION_MAX.
+_DECISION_CACHE: dict[Hashable, "int | None"] = {}
+_DECISION_MAX = 64
+
+# chronological record of every resolution this session, newest last —
+# the gate-surfacing hook (ADVICE r10): a harness drains it per query via
+# pop_decisions() and can mark engaged-cap results as "approximation
+# engaged" instead of misreading a cap-induced diff as a defect.
+_DECISION_LOG: list[dict] = []
+_DECISION_LOG_MAX = 256
+
+
+def decisions() -> list[dict]:
+    """Snapshot of this session's resolve_cap decisions, oldest first."""
+    return list(_DECISION_LOG)
+
+
+def pop_decisions() -> list[dict]:
+    """Drain and return the decision record — gate harnesses call this
+    after each query so engagement attaches to the query that probed."""
+    out = list(_DECISION_LOG)
+    _DECISION_LOG.clear()
+    return out
+
+
+def clear_decision_cache() -> None:
+    """Drop memoized resolutions and the decision record (tests)."""
+    _DECISION_CACHE.clear()
+    _DECISION_LOG.clear()
+
+
+def _record(entry: dict) -> None:
+    _DECISION_LOG.append(entry)
+    if len(_DECISION_LOG) > _DECISION_LOG_MAX:
+        del _DECISION_LOG[: len(_DECISION_LOG) - _DECISION_LOG_MAX]
+
 
 def resolve_cap(
     cap: CapSpec,
@@ -81,6 +130,8 @@ def resolve_cap(
     *,
     name: str,
     budget: int = SKEW_COST_BUDGET,
+    policy: str = "keep-lowest",
+    cache_key: Hashable | None = None,
 ) -> int | None:
     """Resolve a cap knob: passthrough for ``None``/int, probe-and-decide
     for ``"auto"``.
@@ -88,18 +139,44 @@ def resolve_cap(
     ``sizes`` must hold one row per join key with the key's row count in
     ``n_col``. Returns the cap to apply (``engaged_cap`` when the measured
     fan-out ``Σ n·(n−1)/2 > budget × Σ n``) or ``None``. Engagement is
-    logged with the measured numbers so a production run records WHY its
-    output is capped.
+    logged with the measured numbers AND the call site's cap ``policy``
+    ("keep-lowest": rows past the cap in doc-id order are dropped;
+    "drop-bucket": the whole oversized bucket is dropped) so a production
+    run records exactly what was done and why.
+
+    NB the probe is an EAGER Spark job (see module docstring). Pass
+    ``cache_key`` — conventionally ``(applicationId, sf_dir, name)`` plus
+    any parameters that change the sizes frame — to memoize the decision:
+    the probe then runs at most once per key per session.
     """
     if cap != "auto":
         return cap  # None or a hand-set int
+    if cache_key is not None and cache_key in _DECISION_CACHE:
+        return _DECISION_CACHE[cache_key]
     row = sizes.agg(
         F.sum(F.expr(f"CAST({n_col} AS BIGINT) * ({n_col} - 1) / 2")).alias("pairs"),
         F.sum(n_col).cast("long").alias("rows"),
     ).collect()[0]
     pairs = int(row["pairs"] or 0)
     rows = int(row["rows"] or 0)
-    if rows == 0 or pairs <= budget * rows:
+    engaged = not (rows == 0 or pairs <= budget * rows)
+    resolved = engaged_cap if engaged else None
+    _record(
+        {
+            "name": name,
+            "engaged": engaged,
+            "cap": resolved,
+            "policy": policy,
+            "pairs": pairs,
+            "rows": rows,
+            "budget": budget,
+        }
+    )
+    if cache_key is not None:
+        if len(_DECISION_CACHE) >= _DECISION_MAX:
+            _DECISION_CACHE.clear()  # tiny dict of scalars; wholesale reset
+        _DECISION_CACHE[cache_key] = resolved
+    if not engaged:
         log.info(
             "skew guard %s: fan-out %d pairs / %d rows (budget %d×) — cap stays off",
             name, pairs, rows, budget,
@@ -107,9 +184,8 @@ def resolve_cap(
         return None
     log.warning(
         "skew guard %s ENGAGED: est. candidate fan-out %d pairs from %d posting "
-        "rows exceeds the %dx budget — capping postings at %d rows/key "
-        "(deterministic lowest-id keep; recall tradeoff measured in "
-        "docs/SCALE.md)",
-        name, pairs, rows, budget, engaged_cap,
+        "rows exceeds the %dx budget — capping at %d rows/key, policy=%s "
+        "(recall tradeoff measured in docs/SCALE.md)",
+        name, pairs, rows, budget, engaged_cap, policy,
     )
     return engaged_cap
