@@ -143,10 +143,12 @@ BENCH_QUERIES = [
 # stream_* queries are benched under their own protocol (below): each call
 # runs a full Trigger.AvailableNow drain — source discovery, checkpoint,
 # state store, sink — so its wall time is an end-to-end drain latency, not
-# a bare operator throughput like the batch numbers. They are measured as
-# one discarded warmup drain + ONE timed drain (median-of-3 would triple
-# the checkpoint machinery cost for a number that is dominated by it
-# anyway) and recorded in the same timings map with spread.samples = 1.
+# a bare operator throughput like the batch numbers. Since round 11 they
+# get the SAME warmup + median-of-3 as batch queries (spread.samples = 3):
+# the single-drain protocol made the stream rows the noisiest in
+# BENCH_FULL.json (VERDICT r10 item 5), and the ~2 extra drains per query
+# (~90 s of bench wall across 15 streams) buy spread data where it was
+# most missing.
 # Every other registry query is benched batch-style: the explicit list
 # above fixes the measurement order for round-over-round comparability,
 # and the auto-include below appends any registry query not yet listed, so
@@ -158,6 +160,20 @@ BENCH_QUERIES += sorted(
     for q in QUERIES
     if q not in BENCH_QUERIES and not q.startswith(STREAM_PREFIX)
 )
+
+
+def _load1() -> float:
+    """1-minute loadavg — the quiet-window instrument (VERDICT r10 item 6):
+    every timed row records the host load it was measured under, so a
+    round-over-round regression flag carries a noise/clean annotation
+    instead of needing prose adjudication (docs/ROUND10_NOTES.md did this
+    by hand twice). NB the bench's own 32-thread stages keep the absolute
+    value high; what identifies a noisy row is load ATYPICAL FOR THIS RUN
+    (see the `noisy` marker in the regression block)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        return -1.0
 
 
 def _run_once(spark, name: str) -> float:
@@ -179,12 +195,14 @@ def _run(spark, name: str) -> tuple[float, dict[str, float]]:
     samples is robust to one stalled sample in either direction, and the
     recorded spread lets a reader judge whether a round-over-round delta
     exceeds the measurement's own noise floor."""
+    load_before = _load1()
     _run_once(spark, name)  # warmup, discarded
     samples = sorted(_run_once(spark, name) for _ in range(3))
     spread = {
         "min": round(samples[0], 4),
         "med": round(samples[1], 4),
         "max": round(samples[2], 4),
+        "load1": load_before,
     }
     return samples[1], spread
 
@@ -242,17 +260,12 @@ def main() -> None:
         spreads[name] = spread
 
     # streaming surface: warmup drain (absorbs state-store / python-worker
-    # first-start cost) then one timed AvailableNow drain per query
+    # first-start cost) then median-of-3 timed AvailableNow drains
     for name in STREAM_QUERIES:
-        _run_once(spark, name)  # warmup drain, discarded
-        t = _run_once(spark, name)
-        timings[name] = round(t, 4)
-        spreads[name] = {
-            "min": round(t, 4),
-            "med": round(t, 4),
-            "max": round(t, 4),
-            "samples": 1,
-        }
+        med, spread = _run(spark, name)
+        spread["samples"] = 3
+        timings[name] = round(med, 4)
+        spreads[name] = spread
 
     # end-of-run re-verification: a sustained multi-minute noise window on a
     # shared host can slow a whole stretch of queries past any per-query
@@ -264,12 +277,9 @@ def main() -> None:
     _, _prev = _previous_round_timings()
     for name, t in list(timings.items()):
         if name in _prev and t > 0.2 and t > 1.3 * _prev[name]:
+            med, spread = _run(spark, name)
             if name.startswith(STREAM_PREFIX):
-                med = _run_once(spark, name)
-                spread = {"min": round(med, 4), "med": round(med, 4),
-                          "max": round(med, 4), "samples": 1}
-            else:
-                med, spread = _run(spark, name)
+                spread["samples"] = 3
             if med < t:
                 timings[name] = round(med, 4)
                 spreads[name] = spread
@@ -279,15 +289,32 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
 
     # regression guard: flag queries >1.5× slower than the last recorded
-    # round (ignoring sub-0.2s noise); informational, emitted in the JSON
+    # round (ignoring sub-0.2s noise); informational, emitted in the JSON.
+    # Each flag carries the load the row was measured under and a `noisy`
+    # marker (load1 > 1.5× this run's median per-query load1) — the
+    # mechanized quiet-window annotation (VERDICT r10 item 6): a flag on a
+    # noisy row is host drift until reproduced, a flag on a clean row is
+    # signal.
     baseline_file, prev = _previous_round_timings()
-    regressions: dict[str, dict[str, float]] = {}
+    loads = sorted(
+        s["load1"] for s in spreads.values() if s.get("load1", -1.0) >= 0
+    )
+    run_median_load = loads[len(loads) // 2] if loads else -1.0
+    regressions: dict[str, dict] = {}
     if prev and sf_val == 0.1:
-        regressions = {
-            name: {"prev": prev[name], "now": t}
-            for name, t in timings.items()
-            if name in prev and t > 0.2 and t > 1.5 * prev[name]
-        }
+        for name, t in timings.items():
+            if name in prev and t > 0.2 and t > 1.5 * prev[name]:
+                l1 = spreads.get(name, {}).get("load1", -1.0)
+                regressions[name] = {
+                    "prev": prev[name],
+                    "now": t,
+                    "load1": l1,
+                    "noisy": bool(
+                        l1 >= 0
+                        and run_median_load >= 0
+                        and l1 > 1.5 * max(run_median_load, 1.0)
+                    ),
+                }
 
     full = {
         "metric": "headline_queries_total_sec",
@@ -296,6 +323,7 @@ def main() -> None:
         "queries": timings,
         "spread": spreads,
         "protocol": "warmup+median-of-3",
+        "run_median_load1": run_median_load,
         "sf": sf_val,
         "baseline": baseline_file,
         "regressions": regressions,

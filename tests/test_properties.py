@@ -1121,6 +1121,32 @@ def test_gopher_arrow_null_semantics(spark):
     assert ar[3][4] is None  # bigrams + NULL n_chars -> NULL top2
 
 
+def test_stream_fingerprint_twins_match_batch(spark, sf_dir):
+    """The audio/video streaming ingest stages must drain to exactly the
+    batch fingerprint tables — same decode kernels, stateless map, so a
+    bounded AvailableNow drain IS the batch result (the stream_image_dhash
+    argument extended to the other two modalities)."""
+    from url_counter_mapreduce_spark import QUERIES
+
+    batch_a = {
+        tuple(r) for r in QUERIES["audio_fingerprint"](spark, sf_dir).collect()
+    }
+    stream_a = {
+        tuple(r)
+        for r in QUERIES["stream_audio_fingerprint"](spark, sf_dir).collect()
+    }
+    assert stream_a == batch_a and len(batch_a) > 0
+
+    batch_v = {
+        tuple(r) for r in QUERIES["video_keyframe_dhash"](spark, sf_dir).collect()
+    }
+    stream_v = {
+        tuple(r)
+        for r in QUERIES["stream_video_keyframe_dhash"](spark, sf_dir).collect()
+    }
+    assert stream_v == batch_v and len(batch_v) > 0
+
+
 def test_stream_quality_gate_matches_batch_keep_set(spark, sf_dir):
     """The streaming gate's kept documents must be exactly the batch
     report's keep=true set, with identical repetition metrics."""

@@ -298,6 +298,9 @@ NORTH_STAR_SURFACE = [
     "privacy_suppress_export",
     "audio_dedup_groups",
     "video_dedup_groups",
+    # round-11: audio/video streaming ingest twins (VERDICT r10 gap 1)
+    "stream_audio_fingerprint",
+    "stream_video_keyframe_dhash",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -6470,6 +6470,20 @@ _register(
     _DHASH_FP_SQL,
 )
 
+# audio/video ingest twins (VERDICT r10 gap 1): same stateless-drain
+# argument, same generator closed forms as the batch stages
+_register(
+    "stream_audio_fingerprint",
+    _fingerprint.stream_audio_fingerprint,
+    _AUDIO_FP_SQL,
+)
+
+_register(
+    "stream_video_keyframe_dhash",
+    _fingerprint.stream_video_keyframe_dhash,
+    _VIDEO_FP_SQL,
+)
+
 _register(
     "video_keyframe_dhash",
     multimodal.video_keyframe_dhash,

@@ -1,15 +1,18 @@
-"""Streaming perceptual fingerprinting: the image dHash stage applied to
-an unbounded documents stream — the ingest-time shape of multimodal
-dedup (fingerprint every arriving asset immediately; the banded pair
-join then runs as a periodic batch or a stream-stream self-join over the
-fingerprint log).
+"""Streaming perceptual fingerprinting: the image dHash, audio envelope,
+and video keyframe stages applied to an unbounded documents stream — the
+ingest-time shape of multimodal dedup (fingerprint every arriving asset
+immediately; the banded pair join then runs as a periodic batch or a
+stream-stream self-join over the fingerprint log). An ingest pipeline
+wants all three modalities at the gate (VERDICT r10 gap 1), and they are
+mechanically identical: one stateless mapInPandas per modality.
 
-The stage is a stateless mapInPandas projection (synthesize the
-patterned PNG payload, decode pixels, hash), so it runs append-mode with
+Each stage is a stateless mapInPandas projection (synthesize the
+container payload, decode real bytes, hash), so it runs append-mode with
 no watermark or state store at source parallelism — the same zero-
-shuffle plan as the batch twin image_dhash, which shares every helper.
-Exact oracle: the generator closed form (the batch query's SQL verbatim;
-a bounded AvailableNow drain of a stateless map is the batch result).
+shuffle plan as the batch twins (image_dhash / audio_fingerprint /
+video_keyframe_dhash), which share every decode helper. Exact oracles:
+the generator closed forms (the batch queries' SQL verbatim; a bounded
+AvailableNow drain of a stateless map is the batch result).
 """
 
 from __future__ import annotations
@@ -19,8 +22,30 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.multimodal import dhash_from_png, pattern_png_bytes
+from ..operators.multimodal import (
+    dhash_from_png,
+    envelope_fp_from_wav,
+    envelope_wav_bytes,
+    keyframe_dhashes_from_gif,
+    pattern_gif_bytes,
+    pattern_png_bytes,
+)
 from .url_count import _documents_stream
+
+
+def _drain(fps: DataFrame, sink: str) -> DataFrame:
+    """AvailableNow drain of a stateless fingerprint stream into a memory
+    sink; shared by the three modalities so the trigger/sink discipline
+    cannot drift between them."""
+    q = (
+        fps.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return fps.sparkSession.table(sink)
 
 
 def stream_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,13 +70,58 @@ def stream_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = _documents_stream(spark, sf_dir).select("doc_id").mapInPandas(
         extract, schema="doc_id long, width int, height int, fp_hi long, fp_lo long"
     )
-    sink = "stream_image_dhash_sink"
-    q = (
-        fps.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _drain(fps, "stream_image_dhash_sink")
+
+
+def stream_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents stream → envelope-WAV payload → PCM decode → 63-bit
+    loudness-envelope fingerprint halves — the ingest twin of the batch
+    audio_fingerprint stage (same decode kernel, same schema)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                envelope_fp_from_wav(envelope_wav_bytes(int(i)))
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [f[0] if f else None for f in feats],
+                    "n_samples": [f[1] if f else None for f in feats],
+                    "fp_hi": [f[2] if f else None for f in feats],
+                    "fp_lo": [f[3] if f else None for f in feats],
+                }
+            )
+
+    fps = _documents_stream(spark, sf_dir).select("doc_id").mapInPandas(
+        extract,
+        schema="doc_id long, sample_rate int, n_samples long, fp_hi long, fp_lo long",
     )
-    q.awaitTermination()
-    return spark.table(sink)
+    return _drain(fps, "stream_audio_fingerprint_sink")
+
+
+def stream_video_keyframe_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents stream → multi-frame GIF payload → LZW keyframe decode →
+    per-(doc, frame) dHash halves — the ingest twin of the batch
+    video_keyframe_dhash stage. Frames fan rows out 4x but stay inside
+    the same task (still stateless, still zero-shuffle)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, his, los = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                frames = keyframe_dhashes_from_gif(pattern_gif_bytes(int(doc_id)))
+                for fidx, hi, lo in frames or []:
+                    ids.append(doc_id)
+                    fids.append(fidx)
+                    his.append(hi)
+                    los.append(lo)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fids, "fp_hi": his, "fp_lo": los}
+            )
+
+    fps = _documents_stream(spark, sf_dir).select("doc_id").mapInPandas(
+        extract, schema="doc_id long, frame_idx int, fp_hi long, fp_lo long"
+    )
+    return _drain(fps, "stream_video_keyframe_dhash_sink")
