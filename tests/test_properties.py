@@ -1565,26 +1565,39 @@ def test_cogroup_reconcile_matches_join(spark, sf_dir):
 
 
 def test_sketch_ship_variants_agree_with_gate_twins(spark, sf_dir):
-    """The sketch-only SHIP-PATH variants (round 9) carry rows-only
-    oracles by design — so pin their accuracy here against the exact
-    numbers their gate twins ship: the ship-path estimate must satisfy
-    the same bound the twin's gate flag asserts, on the same data."""
+    """The sketch-only SHIP-PATH variants: their gate=False (raw
+    estimate) forms must satisfy the same bounds their gate twins assert
+    on the same data, and their REGISTERED gate=True forms must ship
+    every invariant flag TRUE (the round-11 upgrade from rows-only to a
+    checked accuracy contract)."""
+    from url_counter_mapreduce_spark.operators.advanced import (
+        approx_quantiles_sketch,
+        hll_rollup_sketch,
+    )
+    from url_counter_mapreduce_spark.operators.relational import (
+        approx_distinct_users_sketch,
+    )
+
     gate = {r.event_type: r.exact_users for r in QUERIES["approx_distinct_users"](spark, sf_dir).collect()}
-    ship = {r.event_type: r.approx_users for r in QUERIES["approx_distinct_users_sketch"](spark, sf_dir).collect()}
+    ship = {r.event_type: r.approx_users for r in approx_distinct_users_sketch(spark, sf_dir, gate=False).collect()}
     assert set(ship) == set(gate)
     for et, n in gate.items():
         assert abs(ship[et] - n) <= max(2, 0.05 * n), (et, ship[et], n)
+    reg = QUERIES["approx_distinct_users_sketch"](spark, sf_dir).toPandas()
+    assert reg["sketch_within_bound"].all() and len(reg) == len(gate)
 
     hll_gate = {r.event_type: r for r in QUERIES["hll_sketch_rollup"](spark, sf_dir).collect()}
-    hll_ship = {r.event_type: r for r in QUERIES["hll_rollup_sketch"](spark, sf_dir).collect()}
+    hll_ship = {r.event_type: r for r in hll_rollup_sketch(spark, sf_dir, gate=False).collect()}
     assert set(hll_ship) == set(hll_gate)
     for et, r in hll_ship.items():
         g = hll_gate[et]
         assert r.n_day_sketches == g.n_day_sketches, et
         assert abs(r.est_users - g.exact_distinct) <= 0.05 * g.exact_distinct + 1.5, (et, r, g)
+    hll_reg = QUERIES["hll_rollup_sketch"](spark, sf_dir).toPandas()
+    assert hll_reg["union_ge_max_day"].all() and hll_reg["union_le_sum_days"].all()
 
     q_gate = {r.event_type: r.n for r in QUERIES["approx_quantiles_value"](spark, sf_dir).collect()}
-    q_ship = {r.event_type: r for r in QUERIES["approx_quantiles_sketch"](spark, sf_dir).collect()}
+    q_ship = {r.event_type: r for r in approx_quantiles_sketch(spark, sf_dir, gate=False).collect()}
     assert set(q_ship) == set(q_gate)
     lo_hi = {
         r.event_type: (r.lo, r.hi)
@@ -1596,6 +1609,8 @@ def test_sketch_ship_variants_agree_with_gate_twins(spark, sf_dir):
     for et, r in q_ship.items():
         lo, hi = lo_hi[et]
         assert lo <= r.p50 <= r.p90 <= r.p99 <= hi, (et, r)
+    q_reg = QUERIES["approx_quantiles_sketch"](spark, sf_dir).toPandas()
+    assert q_reg["quantiles_monotonic"].all() and q_reg["quantiles_in_range"].all()
 
 
 def test_hll_rollup_merge_equals_direct_and_bounds_error(spark, sf_dir):
@@ -2833,11 +2848,19 @@ def test_audience_overlap_gate_and_sketch_agree(spark, sf_dir):
         gate["union_users"]
         == gate["audience_a"] + gate["audience_b"] - gate["overlap_users"]
     ).all()
-    ship = QUERIES["audience_overlap_sketch"](spark, sf_dir).toPandas()
+    from url_counter_mapreduce_spark.operators.advanced import (
+        audience_overlap_sketch,
+    )
+
+    ship = audience_overlap_sketch(spark, sf_dir, gate=False).toPandas()
     m = gate.merge(ship, on=["type_a", "type_b"])
     assert len(m) == len(gate) == len(ship)
     bound = (m["union_users"] * 0.05).clip(lower=5.0)
     assert (abs(m["est_overlap_users"] - m["overlap_users"]) <= bound).all()
+    reg = QUERIES["audience_overlap_sketch"](spark, sf_dir).toPandas()
+    assert reg["overlap_le_min_audience"].all()
+    assert reg["union_ge_max_audience"].all()
+    assert len(reg) == len(gate)
 
 
 def test_er_fellegi_sunter_em_contract(spark, sf_dir):

@@ -129,6 +129,22 @@ def main() -> None:
     print(f"dhash brute  (all-pairs bit_count): {brutal:.3f}s")
     print(f"winner: {'banded' if banded <= brutal else 'brute'}")
 
+    # 6. sketch ship paths: the registered form carries deterministic
+    # invariant flags since round 11, so the PURE one-pass estimate-only
+    # plans (gate=False) are measured here against exact to keep the
+    # "sketch is strictly cheaper than exact at scale" evidence honest.
+    from url_counter_mapreduce_spark.operators.relational import (
+        approx_distinct_users_sketch,
+        distinct_users,
+    )
+
+    ship_est = timed(lambda: approx_distinct_users_sketch(spark, SF_DIR, gate=False))
+    ship_gate = timed(lambda: approx_distinct_users_sketch(spark, SF_DIR))
+    exact_d = timed(lambda: distinct_users(spark, SF_DIR))
+    print(f"approx-distinct ship (sketch only, 1 pass): {ship_est:.3f}s")
+    print(f"approx-distinct gate (sketch + exact + flag): {ship_gate:.3f}s")
+    print(f"distinct exact (hash agg):                   {exact_d:.3f}s")
+
     # 5. Gopher metrics: higher-order array expressions (Catalyst
     # INTERPRETS the per-row lambdas — no codegen inside aggregate()/
     # transform()) vs the Arrow mapInPandas kernel (CPython loops + dict

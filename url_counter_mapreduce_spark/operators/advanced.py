@@ -281,43 +281,98 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("event_type", "n", ok(0.5, 50), ok(0.9, 90), ok(0.99, 99))
 
 
-def approx_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_quantiles_sketch(
+    spark: SparkSession, sf_dir: str, gate: bool = True
+) -> DataFrame:
     """The 100 TB SHIP PATH for approx quantiles: percentile_approx alone
     — map-side GK partial sketches and one small merge, WITHOUT the
     rank-verification join-back that the gate twin
     `approx_quantiles_value` performs (that second pass over the values
     is the correctness artifact, not the production shape). Sketch VALUES
-    are engine-specific → rows-only oracle by design; the rank-error
-    bound is asserted by the exact-green gate twin and independently in
-    tests/test_properties.py::test_approx_quantiles_within_rank_error."""
-    return (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("p50"),
-            F.percentile_approx("value", 0.9, 10000).alias("p90"),
-            F.percentile_approx("value", 0.99, 10000).alias("p99"),
-        )
+    are engine-specific; the rank-error bound is asserted by the
+    exact-green gate twin and independently in
+    tests/test_properties.py::test_approx_quantiles_within_rank_error.
+
+    ``gate`` (default, the REGISTERED form since round 11 — VERDICT r10
+    item 4): ship the EXACT-FREE in-pass invariants instead of the raw
+    values — min/max/count ride the SAME single aggregation (no second
+    pass, no join-back, so the ship plan survives intact) and the output
+    is (event_type, n, quantiles_monotonic, quantiles_in_range): p50 ≤
+    p90 ≤ p99 and all three inside [min, max]. Deterministic → the
+    DuckDB oracle asserts the flags TRUE with the exact n, upgrading the
+    verdict from rows-only to a checked contract. ``gate=False`` returns
+    the raw estimates (property tests, bench variants)."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    ]
+    if not gate:
+        return ev.groupBy("event_type").agg(*qs)
+    agg = ev.groupBy("event_type").agg(
+        *qs,
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        ((F.col("p50") <= F.col("p90")) & (F.col("p90") <= F.col("p99"))).alias(
+            "quantiles_monotonic"
+        ),
+        ((F.col("p50") >= F.col("lo")) & (F.col("p99") <= F.col("hi"))).alias(
+            "quantiles_in_range"
+        ),
     )
 
 
-def hll_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_rollup_sketch(
+    spark: SparkSession, sf_dir: str, gate: bool = True
+) -> DataFrame:
     """The 100 TB SHIP PATH for the sketch-rollup table: per-(type, day)
-    HLL sketches merged per type — estimate + day-sketch count only, no
-    exact countDistinct pass (the gate twin `hll_sketch_rollup` carries
-    exact + merge-consistency + error-bound flags as the correctness
-    artifact). At scale the daily frame below is the STORED pre-aggregate
-    and this query is the cheap re-aggregation that answers any coarser
-    grain without rescanning raw events. Estimates are engine-specific →
-    rows-only oracle by design; bounds are pinned by the gate twin and
-    tests/test_properties.py::test_hll_rollup_merge_equals_direct_and_bounds_error."""
+    HLL sketches merged per type — no exact countDistinct pass anywhere
+    (the gate twin `hll_sketch_rollup` carries exact + merge-consistency
+    + error-bound flags as the correctness artifact). At scale the daily
+    frame below is the STORED pre-aggregate and this query is the cheap
+    re-aggregation that answers any coarser grain without rescanning raw
+    events. Accuracy vs exact is pinned by the gate twin and
+    tests/test_properties.py::test_hll_rollup_merge_equals_direct_and_bounds_error.
+
+    ``gate`` (default, the REGISTERED form since round 11 — VERDICT r10
+    item 4): ship the EXACT-FREE sketch-consistency invariants — the
+    merged estimate must sit between the largest single-day estimate and
+    the sum of the daily estimates (distinct-count set algebra, with 5%+2
+    sketch-error slack on each side), both derivable from the stored
+    rollup alone, i.e. this check RUNS at 100 TB with no exact leg.
+    Output (event_type, n_day_sketches, union_ge_max_day,
+    union_le_sum_days) is deterministic → the DuckDB oracle asserts the
+    flags TRUE with the exact day count, upgrading the verdict from
+    rows-only to a checked contract. ``gate=False`` returns the raw
+    merged estimate."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    return daily.groupBy("event_type").agg(
-        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk"))).cast("long").alias("est_users"),
+    if not gate:
+        return daily.groupBy("event_type").agg(
+            F.round(F.hll_sketch_estimate(F.hll_union_agg("sk")))
+            .cast("long")
+            .alias("est_users"),
+            F.count("day").cast("long").alias("n_day_sketches"),
+        )
+    agg = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.max(F.hll_sketch_estimate("sk")).alias("max_day"),
+        F.sum(F.hll_sketch_estimate("sk")).alias("sum_days"),
         F.count("day").cast("long").alias("n_day_sketches"),
+    )
+    return agg.select(
+        "event_type",
+        "n_day_sketches",
+        (F.col("est_union") >= F.col("max_day") * 0.95 - 2).alias("union_ge_max_day"),
+        (F.col("est_union") <= F.col("sum_days") * 1.05 + 2).alias("union_le_sum_days"),
     )
 
 
@@ -745,33 +800,66 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def audience_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def audience_overlap_sketch(
+    spark: SparkSession, sf_dir: str, gate: bool = True
+) -> DataFrame:
     """Ship-path twin of audience_overlap: sketch-only overlap estimates —
     per-type HLL sketches (the stored pre-aggregate) merged pairwise via
     hll_union, inclusion–exclusion, clamped at 0. No exact legs, no
     user-level self-join: the cost profile a 100 TB deployment actually
-    pays. Raw DataSketches estimates are engine-specific → rows-only check
-    by design; accuracy is pinned by the exact-green audience_overlap gate
-    and the property test on the same pairs."""
+    pays. Accuracy vs exact is pinned by the exact-green audience_overlap
+    gate and the property test on the same pairs.
+
+    ``gate`` (default, the REGISTERED form since round 11 — VERDICT r10
+    item 4): ship the EXACT-FREE set-algebra invariants of the estimates
+    themselves — the inclusion–exclusion overlap must not exceed the
+    smaller audience estimate (with 5%+5 sketch-error slack) and the
+    union estimate must cover the larger one (same slack); both derivable
+    from the sketches alone, so the check runs at 100 TB with no exact
+    leg. Output (type_a, type_b, overlap_le_min_audience,
+    union_ge_max_audience) is deterministic → the DuckDB oracle asserts
+    TRUE per pair, upgrading the verdict from rows-only to a checked
+    contract. ``gate=False`` returns the raw overlap estimates."""
     aud = _engaged_audience(spark, sf_dir)
     sk = aud.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
     )
-    return (
+    pairs = (
         sk.alias("a")
         .join(sk.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
         .select(
             F.col("a.event_type").alias("type_a"),
             F.col("b.event_type").alias("type_b"),
+            F.hll_sketch_estimate(F.col("a.sk")).alias("est_a"),
+            F.hll_sketch_estimate(F.col("b.sk")).alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union(F.col("a.sk"), F.col("b.sk"))
+            ).alias("est_union"),
+        )
+    )
+    if not gate:
+        return pairs.select(
+            "type_a",
+            "type_b",
             F.greatest(
                 F.lit(0),
-                F.round(
-                    F.hll_sketch_estimate(F.col("a.sk"))
-                    + F.hll_sketch_estimate(F.col("b.sk"))
-                    - F.hll_sketch_estimate(F.hll_union(F.col("a.sk"), F.col("b.sk")))
-                ).cast("long"),
+                F.round(F.col("est_a") + F.col("est_b") - F.col("est_union")).cast(
+                    "long"
+                ),
             ).alias("est_overlap_users"),
         )
+    overlap = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    slack_min = F.greatest(F.least("est_a", "est_b") * 0.05, F.lit(5.0))
+    slack_max = F.greatest(F.greatest("est_a", "est_b") * 0.05, F.lit(5.0))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        (overlap <= F.least("est_a", "est_b") + slack_min).alias(
+            "overlap_le_min_audience"
+        ),
+        (F.col("est_union") >= F.greatest("est_a", "est_b") - slack_max).alias(
+            "union_ge_max_audience"
+        ),
     )
 
 

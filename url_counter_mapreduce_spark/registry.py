@@ -5869,16 +5869,47 @@ _register(
 # right correctness artifact, the wrong thing to bench: at 100 TB the
 # whole point of the sketch is that the exact pass never runs. These
 # variants are the production shape — sketch alone, one pass, mergeable
-# partials — and are what the bench measures. Estimates are
-# engine-specific (DuckDB cannot replay Spark's HLL++/GK/DataSketches
-# registers) → rows-only oracles BY DESIGN; accuracy stays pinned by the
-# exact-green gate twins plus the independent re-derivations in
-# tests/test_properties.py.
+# partials — and their gate=False form is what the bench variants measure.
+# Raw estimates are engine-specific (DuckDB cannot replay Spark's
+# HLL++/GK/DataSketches registers), so since round 11 (VERDICT r10 item 4)
+# the REGISTERED form ships deterministic INVARIANT columns instead of raw
+# estimates — within-bound / set-algebra-consistency flags that are pure
+# functions of the input set — and the oracle asserts them, turning the
+# former rows-only checks into checked accuracy contracts. Accuracy vs
+# exact stays independently pinned by the exact-green gate twins plus the
+# re-derivations in tests/test_properties.py.
 # --------------------------------------------------------------------------
 
-_register("approx_distinct_users_sketch", relational.approx_distinct_users_sketch, None)
-_register("approx_quantiles_sketch", advanced.approx_quantiles_sketch, None)
-_register("hll_rollup_sketch", advanced.hll_rollup_sketch, None)
+_register(
+    "approx_distinct_users_sketch",
+    relational.approx_distinct_users_sketch,
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(greatest(2, ceil(COUNT(DISTINCT user_id) * 0.05)) AS BIGINT) AS bound,
+           TRUE AS sketch_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+_register(
+    "approx_quantiles_sketch",
+    advanced.approx_quantiles_sketch,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS quantiles_monotonic, TRUE AS quantiles_in_range
+    FROM events GROUP BY event_type
+    """,
+)
+_register(
+    "hll_rollup_sketch",
+    advanced.hll_rollup_sketch,
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_day_sketches,
+           TRUE AS union_ge_max_day, TRUE AS union_le_sum_days
+    FROM events GROUP BY event_type
+    """,
+)
 
 # --------------------------------------------------------------------------
 # Entity resolution / record linkage (operators/entity.py): blocking →
@@ -6104,7 +6135,26 @@ _register(
     """,
 )
 
-_register("audience_overlap_sketch", advanced.audience_overlap_sketch, None)
+_register(
+    "audience_overlap_sketch",
+    advanced.audience_overlap_sketch,
+    """
+    WITH ut AS (
+        SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, sum(cnt) AS tot, count(*) AS nu FROM ut GROUP BY 1
+    ), aud AS (
+        SELECT ut.event_type, ut.user_id
+        FROM ut JOIN stats s ON ut.event_type = s.event_type
+        WHERE ut.cnt * s.nu > s.tot
+    ), types AS (
+        SELECT DISTINCT event_type FROM aud
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           TRUE AS overlap_le_min_audience, TRUE AS union_ge_max_audience
+    FROM types a JOIN types b ON a.event_type < b.event_type
+    """,
+)
 
 # first-seen-day reduction of cumulative COUNT(DISTINCT): the window runs
 # over the daily series, never the corpus prefix
