@@ -169,6 +169,61 @@ def test_er_default_is_uncapped_recall_one():
     assert ER_BLOCK_CAP is None
 
 
+def test_er_auto_engages_on_hotspot_catalog(spark):
+    """The §11.9 domain condition where ER's "auto" opt-in IS right: a
+    catalog of singleton name blocks plus ONE boilerplate placeholder key
+    350 records deep (pairs 61,075 > 64 × 750 rows → the cost trigger
+    engages). "auto" must equal the hand-set AUTO_BLOCK_CAP result
+    exactly: the placeholder block keeps only its AUTO_BLOCK_CAP lowest
+    partkeys (cap·(cap−1)/2 edges), every singleton block is untouched,
+    and the uncapped run is the cap-free superset — the complementary
+    regime to test_er_default_is_uncapped_recall_one, mirroring the
+    engage/stay-off pair the dedup guard pins."""
+    import os
+    import tempfile
+
+    from url_counter_mapreduce_spark.operators.entity import er_match_edges
+    from url_counter_mapreduce_spark.operators.skew_guard import AUTO_BLOCK_CAP
+    from url_counter_mapreduce_spark.operators import skew_guard
+
+    n_hot, n_uniq = 350, 400
+    rows = [
+        (i, "unknown placeholder record", "Brand#00", "PLACEHOLDER TYPE", 1, 1.0)
+        for i in range(n_hot)
+    ] + [
+        (1000 + i, f"real part uq{i}", f"Brand#{i % 5}", f"TYPE {i % 7}", i % 50, 9.99)
+        for i in range(n_uniq)
+    ]
+    d = os.path.join(tempfile.gettempdir(), "skew_guard_er_hotspot")
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+
+    skew_guard.clear_decision_cache()
+    auto = {(r.doc_a, r.doc_b) for r in er_match_edges(spark, d, block_cap="auto").collect()}
+    decisions = skew_guard.pop_decisions()
+    assert [x["engaged"] for x in decisions] == [True]
+    assert decisions[0]["cap"] == AUTO_BLOCK_CAP
+    assert decisions[0]["pairs"] == n_hot * (n_hot - 1) // 2
+    assert decisions[0]["rows"] == n_hot + n_uniq
+
+    hand = {
+        (r.doc_a, r.doc_b)
+        for r in er_match_edges(spark, d, block_cap=AUTO_BLOCK_CAP).collect()
+    }
+    assert auto == hand
+    # the cap really bit: cap·(cap−1)/2 placeholder edges, lowest ids only
+    assert len(auto) == AUTO_BLOCK_CAP * (AUTO_BLOCK_CAP - 1) // 2
+    assert all(a < AUTO_BLOCK_CAP and b < AUTO_BLOCK_CAP for a, b in auto)
+    # uncapped is the superset, all extra edges inside the placeholder key
+    off = {(r.doc_a, r.doc_b) for r in er_match_edges(spark, d, block_cap=None).collect()}
+    assert auto < off and len(off) == n_hot * (n_hot - 1) // 2
+    assert all(a < n_hot and b < n_hot for a, b in off)
+    skew_guard.clear_decision_cache()
+
+
 def test_er_auto_optin_equals_uncapped_on_small_fixture(spark, sf_dir):
     """With the explicit "auto" opt-in on the SMALL fixture (blocks 1–2
     deep, fan-out far under budget) the trigger stays off and the edge

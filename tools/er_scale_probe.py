@@ -13,6 +13,15 @@ records):
   clusters — the boilerplate-key stress case the ``block_cap`` knob
   guards; the probe also times the capped run and reports edge recall
   under the cap.
+- hotspot (round 11, VERDICT r10 item 8): the §11.9 domain condition made
+  concrete — every base name is uniquified (singleton blocks, zero edges)
+  and K×500 placeholder records share ONE boilerplate name key. This is
+  the catalog where ``block_cap="auto"`` IS right: the quadratic fan-out
+  is entirely junk-key skew, not the operator's definition, so the cost
+  trigger engages, bounds the hotspot at cap² pairs, and leaves every
+  real (singleton) block untouched. The probe reports uncapped vs auto
+  wall time, whether auto engaged, and the recall wholly attributable to
+  the placeholder block.
 
 `events` replicate along the user dimension (scale_smoke.replicated_dir):
 K× users, per-user profiles fixed — audience_overlap's exact self-join and
@@ -64,17 +73,42 @@ def _part_dir(spark, factor: int, mode: str) -> str:
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
         part = spark.read.parquet(os.path.join(SRC, "part.parquet"))
-        rep = part.withColumn(
-            "replica", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
-        ).withColumn("p_partkey", F.col("p_partkey") * factor + F.col("replica"))
-        if mode == "growth":
-            rep = rep.withColumn(
+        if mode == "hotspot":
+            # singleton blocks everywhere (names uniquified by partkey)
+            # + ONE boilerplate name key holding factor×500 placeholder
+            # records with agreeing secondary attributes
+            uniq = part.withColumn(
                 "p_name",
-                F.when(F.col("replica") == 0, F.col("p_name")).otherwise(
-                    F.concat(F.lit("r"), F.col("replica").cast("string"), F.lit("_"), F.col("p_name"))
-                ),
+                F.concat(F.col("p_name"), F.lit(" uq"), F.col("p_partkey")),
             )
-        rep.drop("replica").repartition(32).write.mode("overwrite").parquet(
+            base_max = part.agg(F.max("p_partkey")).collect()[0][0]
+            hot = (
+                spark.range(factor * 500)
+                .select(
+                    (F.col("id") + base_max + 1).alias("p_partkey"),
+                    F.lit("unknown placeholder record").alias("p_name"),
+                    F.lit("Brand#00").alias("p_brand"),
+                    F.lit("PLACEHOLDER TYPE").alias("p_type"),
+                    F.lit(1).cast("int").alias("p_size"),
+                    F.lit(1.0).alias("p_retailprice"),
+                )
+            )
+            rep = uniq.select(
+                "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"
+            ).unionByName(hot)
+        else:
+            rep = part.withColumn(
+                "replica", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+            ).withColumn("p_partkey", F.col("p_partkey") * factor + F.col("replica"))
+            if mode == "growth":
+                rep = rep.withColumn(
+                    "p_name",
+                    F.when(F.col("replica") == 0, F.col("p_name")).otherwise(
+                        F.concat(F.lit("r"), F.col("replica").cast("string"), F.lit("_"), F.col("p_name"))
+                    ),
+                )
+            rep = rep.drop("replica")
+        rep.repartition(32).write.mode("overwrite").parquet(
             os.path.join(d, "part.parquet")
         )
     # (re)create symlinks even when the parquet marker exists — a crash
@@ -126,6 +160,24 @@ def main() -> None:
             f"er_clone_cap{CAP}={t_capped:.2f}s edge_recall={recall:.4f} "
             f"({kept_edges}/{full_edges})  snm_growth={snm:.2f}s  "
             f"audience_overlap={t_overlap:.2f}s  overlap_sketch={t_sketch:.2f}s"
+        )
+        # the hotspot leg: the catalog where "auto" IS the right ER
+        # default (VERDICT r10 item 8) — one boilerplate key, singleton
+        # blocks everywhere else
+        from url_counter_mapreduce_spark.operators import skew_guard
+
+        dh = _part_dir(spark, factor, "hotspot")
+        t_hot_off = _time(lambda: noop(er_match_edges(spark, dh, block_cap=None)))
+        skew_guard.pop_decisions()
+        t_hot_auto = _time(lambda: noop(er_match_edges(spark, dh, block_cap="auto")))
+        engaged = any(d["engaged"] for d in skew_guard.pop_decisions())
+        hot_full = er_match_edges(spark, dh, block_cap=None).count()
+        hot_auto = er_match_edges(spark, dh, block_cap="auto").count()
+        print(
+            f"     hotspot(1 key x {factor * 500}): uncapped={t_hot_off:.2f}s "
+            f"auto={t_hot_auto:.2f}s engaged={engaged} "
+            f"edges={hot_auto}/{hot_full} (lost edges are all inside the "
+            f"placeholder block)"
         )
 
 
