@@ -298,9 +298,13 @@ NORTH_STAR_SURFACE = [
     "privacy_suppress_export",
     "audio_dedup_groups",
     "video_dedup_groups",
-    # round-11: audio/video streaming ingest twins (VERDICT r10 gap 1)
+    # round-11: audio/video streaming ingest twins (VERDICT r10 gap 1),
+    # the ingest-time near-dup verdict, and contrastive hard-negative
+    # mining over the embeddings table
     "stream_audio_fingerprint",
     "stream_video_keyframe_dhash",
+    "stream_ingest_dedup_check",
+    "hard_negative_mining",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -740,3 +740,84 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(finite_norm_pred("embedding"))
     )
     return ivf_pq_topk(emb, cache_key=(spark.sparkContext.applicationId, sf_dir, "pq"))
+
+
+# hard-negative mining knobs: top-K negatives per anchor; candidates with
+# cosine >= HN_DUP_T are treated as suspected unlabeled duplicates of the
+# anchor (too similar to be a useful — or trustworthy — negative) and
+# excluded, the standard contrastive-mining hygiene step
+HN_K = 3
+HN_DUP_T = 0.98
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data mining: for each anchor (the query
+    vectors), the HN_K most-similar CROSS-LABEL vectors — the "hard
+    negatives" a contrastive or reranker training loop wants — after
+    excluding suspected unlabeled duplicates (cosine ≥ HN_DUP_T), plus
+    the anchor's hardest same-label positive and the positive-negative
+    margin. A small (or negative) margin flags anchors whose label
+    neighborhood is entangled — exactly the examples curriculum/mining
+    schedules prioritize.
+
+    Plan shape: one broadcast of the anchor set against the corpus scan
+    (the similarity_topk skeleton), one window per anchor, one tiny
+    per-anchor max join-back. At 100 TB the corpus side streams through a
+    single projection; to avoid the full scan entirely, swap the scored
+    candidate source for the IVF shortlist (ivf_topk) and keep the same
+    exclusion + margin logic — the ann_recall harness pattern then
+    measures what the shortlist loses. Deterministic: rounded cosines
+    with vec_id tie-breaks, margins as differences of identically-rounded
+    doubles — exact DuckDB oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(finite_norm_pred("embedding"))
+    )
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        broadcast(anchors)
+        .join(
+            spread(emb).select(
+                F.col("vec_id").alias("vid"),
+                F.col("embedding").alias("v_emb"),
+                F.col("label").alias("v_label"),
+            )
+        )
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            "q_label",
+            "v_label",
+            F.expr(stable_round(cosine_expr("q_emb", "v_emb"), 6)).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vid").asc())
+    negatives = (
+        scored.filter(
+            (F.col("v_label") != F.col("q_label")) & (F.col("cosine") < HN_DUP_T)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HN_K)
+    )
+    hardest_pos = (
+        scored.filter(F.col("v_label") == F.col("q_label"))
+        .groupBy("qid")
+        .agg(F.max("cosine").alias("hardest_pos"))
+    )
+    return (
+        negatives.join(broadcast(hardest_pos), "qid", "left")
+        .select(
+            "qid",
+            "vid",
+            "cosine",
+            "rank",
+            F.coalesce("hardest_pos", F.lit(-1.0)).alias("hardest_pos"),
+            F.expr(
+                stable_round("coalesce(hardest_pos, -1.0D) - cosine", 6)
+            ).alias("margin"),
+        )
+    )

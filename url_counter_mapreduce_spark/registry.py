@@ -500,6 +500,32 @@ _register(
 )
 
 _register(
+    "hard_negative_mining",
+    similarity.hard_negative_mining,
+    f"""
+    WITH emb AS (SELECT * FROM embeddings WHERE (list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0.0 AND NOT isnan(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))),
+    q AS (SELECT vec_id AS qid, embedding AS qe, label AS q_label FROM emb WHERE vec_id < {similarity.N_QUERIES}),
+    scored AS (
+        SELECT qid, e.vec_id AS vid, q_label, e.label AS v_label,
+               {_stable_round_sql(_cosine_sql('qe', 'e.embedding'))} AS cosine
+        FROM q, emb e WHERE e.vec_id <> qid
+    ), neg AS (
+        SELECT qid, vid, cosine,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS INT) AS rank
+        FROM scored WHERE v_label <> q_label AND cosine < {similarity.HN_DUP_T}
+    ), pos AS (
+        SELECT qid, max(cosine) AS hardest_pos FROM scored
+        WHERE v_label = q_label GROUP BY qid
+    )
+    SELECT n.qid, n.vid, n.cosine, n.rank,
+           COALESCE(p.hardest_pos, -1.0) AS hardest_pos,
+           {_stable_round_sql("COALESCE(p.hardest_pos, -1.0) - n.cosine")} AS margin
+    FROM neg n LEFT JOIN pos p ON p.qid = n.qid
+    WHERE n.rank <= {similarity.HN_K}
+    """,
+)
+
+_register(
     "similarity_lsh",
     similarity.similarity_lsh,
     f"""
@@ -6532,6 +6558,44 @@ _register(
     "stream_video_keyframe_dhash",
     _fingerprint.stream_video_keyframe_dhash,
     _VIDEO_FP_SQL,
+)
+
+# ingest-time near-dup check: stream fingerprints band-joined against the
+# static corpus index, per-asset verdict (band hits / best Hamming /
+# deterministic argmin partner). Directed-hit generalization of the
+# dedup_image_dhash_pairs band-rule replay.
+_register(
+    "stream_ingest_dedup_check",
+    _fingerprint.stream_ingest_dedup_check,
+    f"""
+    WITH fp AS ({_DHASH_FP_SQL}),
+    bands AS (
+        SELECT doc_id, fp_hi, fp_lo, b.range AS band,
+               CASE b.range
+                   WHEN 0 THEN fp_lo & 65535
+                   WHEN 1 THEN (fp_lo >> 16) & 65535
+                   WHEN 2 THEN fp_hi & 65535
+                   ELSE (fp_hi >> 16) & 65535
+               END AS key
+        FROM fp, range(4) b
+    ),
+    hits AS (
+        SELECT s.doc_id AS doc_id, c.doc_id AS partner,
+               CAST(bit_count(xor(s.fp_hi, c.fp_hi)) + bit_count(xor(s.fp_lo, c.fp_lo)) AS BIGINT) AS hamming
+        FROM bands s
+        JOIN bands c ON s.band = c.band AND s.key = c.key AND s.doc_id <> c.doc_id
+        WHERE bit_count(xor(s.fp_hi, c.fp_hi)) + bit_count(xor(s.fp_lo, c.fp_lo)) <= {multimodal.HAMMING_T}
+    ),
+    sel AS (
+        SELECT doc_id, hamming, partner,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hamming ASC, partner ASC) AS rn,
+               count(*) OVER (PARTITION BY doc_id) AS n_band_hits
+        FROM hits
+    )
+    SELECT doc_id, CAST(n_band_hits AS BIGINT) AS n_band_hits,
+           hamming AS best_hamming, partner AS dup_of
+    FROM sel WHERE rn = 1
+    """,
 )
 
 _register(

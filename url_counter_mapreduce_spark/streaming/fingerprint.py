@@ -125,3 +125,96 @@ def stream_video_keyframe_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract, schema="doc_id long, frame_idx int, fp_hi long, fp_lo long"
     )
     return _drain(fps, "stream_video_keyframe_dhash_sink")
+
+
+def stream_ingest_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-duplicate check: every arriving asset's dHash is
+    banded (the 4x16-bit scheme) and joined against the STATIC corpus
+    fingerprint index — "is this upload a near-dup of anything we already
+    hold?" — the composition an ingest pipeline actually deploys
+    (fingerprint stage → stream-static band join → per-asset verdict).
+
+    Plan shape: the stream side is the stateless fingerprint map; the
+    static side is the persisted corpus index (one banded frame, reused
+    across micro-batches); the join is an equi-join on (band, key) so
+    candidates stay bucket-proportional — never stream×corpus. The
+    per-asset verdict is a complete-mode aggregation: band-hit count,
+    best Hamming distance, and the deterministic argmin partner
+    (min over the (hamming, partner) struct).
+
+    Exact oracle: bounded AvailableNow drain of a stateless join +
+    deterministic aggregation == the batch band-rule replay (the
+    dedup_image_dhash_pairs oracle generalized to directed hits)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import HAMMING_T, image_dhash
+
+    def band_cols(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(f"{prefix}_id"),
+            F.col("fp_hi").alias(f"{prefix}_hi"),
+            F.col("fp_lo").alias(f"{prefix}_lo"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"), F.expr("fp_lo & 65535").alias("key")),
+                    F.struct(F.lit(1).alias("band"), F.expr("(fp_lo >> 16) & 65535").alias("key")),
+                    F.struct(F.lit(2).alias("band"), F.expr("fp_hi & 65535").alias("key")),
+                    F.struct(F.lit(3).alias("band"), F.expr("(fp_hi >> 16) & 65535").alias("key")),
+                )
+            ).alias("bk"),
+        ).select(f"{prefix}_id", f"{prefix}_hi", f"{prefix}_lo", "bk.band", "bk.key")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                dhash_from_png(pattern_png_bytes(int(i))) for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fp_hi": [f[2] if f else None for f in feats],
+                    "fp_lo": [f[3] if f else None for f in feats],
+                }
+            )
+
+    incoming = band_cols(
+        _documents_stream(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(extract, schema="doc_id long, fp_hi long, fp_lo long"),
+        "s",
+    )
+    index = band_cols(
+        image_dhash(spark, sf_dir).select("doc_id", "fp_hi", "fp_lo"), "c"
+    )
+    hits = (
+        incoming.join(index, ["band", "key"])
+        .filter(F.col("s_id") != F.col("c_id"))
+        .select(
+            F.col("s_id").alias("doc_id"),
+            F.col("c_id").alias("partner"),
+            F.expr(
+                "CAST(bit_count(s_hi ^ c_hi) + bit_count(s_lo ^ c_lo) AS BIGINT)"
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_T)
+    )
+    verdicts = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_band_hits"),
+        F.min(F.struct("hamming", "partner")).alias("best"),
+    )
+    out = verdicts.select(
+        "doc_id",
+        "n_band_hits",
+        F.col("best.hamming").alias("best_hamming"),
+        F.col("best.partner").alias("dup_of"),
+    )
+    sink = "stream_ingest_dedup_check_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
