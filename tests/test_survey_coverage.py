@@ -305,6 +305,8 @@ NORTH_STAR_SURFACE = [
     "stream_video_keyframe_dhash",
     "stream_ingest_dedup_check",
     "hard_negative_mining",
+    "retrieval_mrr",
+    "stream_drift_chi2",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -821,3 +821,90 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("margin"),
         )
     )
+
+
+def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: per-query reciprocal rank of the TRUE
+    nearest neighbor (brute-force rank-1) inside the LSH candidate
+    ranking — MRR is the metric retrieval/RAG stacks report alongside
+    recall@k, and unlike NDCG its arithmetic is RATIONAL (1/rank in
+    floor-micro units), so the oracle is exact with no libm log anywhere
+    (the PSI→χ² rationale from streaming/drift.py applied to ranking).
+
+    Output (qid, true_vid, rank_in_approx, rr_e6): rank 0 / rr 0 when the
+    LSH bucket missed the true neighbor entirely — the corpus MRR is
+    avg(rr_e6)/1e6 over queries. Both rankings tie-break on vec_id, so
+    every row is deterministic. Scale shape: the truth side is the
+    ann_recall harness's exact baseline (at 100 TB: a sampled query set);
+    the approx side ranks only the query's LSH bucket."""
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.expr(finite_norm_pred("embedding")))
+        .withColumn("bucket", F.expr(sign_bucket_expr("embedding", 8)))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    truth = (
+        _scored_pairs(emb, emb.filter(F.col("vec_id") < N_QUERIES))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("cosine").desc(), F.col("vid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("qid", F.col("vid").alias("true_vid"))
+    )
+    approx_ranked = (
+        broadcast(queries)
+        .join(
+            emb.select(
+                F.col("vec_id").alias("vid"),
+                F.col("embedding").alias("v_emb"),
+                "bucket",
+            ),
+            F.col("q_bucket") == F.col("bucket"),
+        )
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            F.expr(stable_round(cosine_expr("q_emb", "v_emb"), 6)).alias("cosine"),
+        )
+        .withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("cosine").desc(), F.col("vid").asc()
+                )
+            ),
+        )
+    )
+    return (
+        truth.join(
+            approx_ranked.select(
+                F.col("qid").alias("a_qid"),
+                F.col("vid").alias("a_vid"),
+                "arank",
+            ),
+            (F.col("qid") == F.col("a_qid")) & (F.col("true_vid") == F.col("a_vid")),
+            "left",
+        )
+        .select(
+            "qid",
+            "true_vid",
+            F.coalesce("arank", F.lit(0)).cast("long").alias("rank_in_approx"),
+        )
+        .withColumn(
+            "rr_e6",
+            F.expr(
+                "CAST(CASE WHEN rank_in_approx = 0 THEN 0 "
+                "ELSE floor(1e6 / rank_in_approx + 0.5) END AS BIGINT)"
+            ),
+        )
+    )

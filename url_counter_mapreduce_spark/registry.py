@@ -1757,6 +1757,37 @@ _register(
     """,
 )
 
+# MRR of the LSH path against the brute-force rank-1 truth: the truth CTE
+# is the similarity_topk oracle at rank 1; the approx ranking is the LSH
+# oracle's scored set ranked WITHOUT the top-k cut (the true neighbor may
+# rank anywhere in the bucket). Reciprocal ranks in floor-micro units —
+# rational arithmetic, no libm.
+_register(
+    "retrieval_mrr",
+    similarity.retrieval_mrr,
+    f"""
+    WITH truth AS (
+        SELECT qid, vid AS true_vid FROM ({ORACLES["similarity_topk"]}) t WHERE rank = 1
+    ),
+    e AS (SELECT vec_id, embedding, {_EMB_BUCKET_SQL} AS bucket FROM embeddings WHERE (list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) > 0.0 AND NOT isnan(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))))),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS q_bucket FROM e WHERE vec_id < {similarity.N_QUERIES}),
+    ranked AS (
+        SELECT qid, vid,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS INT) AS arank
+        FROM (
+            SELECT qid, e.vec_id AS vid,
+                   {_stable_round_sql(_cosine_sql('qe', 'e.embedding'))} AS cosine
+            FROM q JOIN e ON e.bucket = q.q_bucket AND e.vec_id <> qid
+        )
+    )
+    SELECT t.qid, t.true_vid,
+           CAST(COALESCE(r.arank, 0) AS BIGINT) AS rank_in_approx,
+           CAST(CASE WHEN COALESCE(r.arank, 0) = 0 THEN 0
+                ELSE floor(1e6 / COALESCE(r.arank, 0) + 0.5) END AS BIGINT) AS rr_e6
+    FROM truth t LEFT JOIN ranked r ON r.qid = t.qid AND r.vid = t.true_vid
+    """,
+)
+
 # exact replay of the integer-quantized IVF-PQ trainer (coarse + M
 # sub-codebooks, unrolled Lloyd), ADC shortlist, exact re-rank
 _register("similarity_ivf_pq", similarity.similarity_ivf_pq, ivf_pq_oracle_sql())
@@ -6595,6 +6626,45 @@ _register(
     SELECT doc_id, CAST(n_band_hits AS BIGINT) AS n_band_hits,
            hamming AS best_hamming, partner AS dup_of
     FROM sel WHERE rn = 1
+    """,
+)
+
+from .streaming import drift as _drift  # noqa: E402
+
+# per-day χ² drift vs the static reference histogram: every arithmetic
+# step mirrors the Spark side op-for-op (double divisions of exact
+# integers, floor-micro-rounded terms, integer sum), so the statistic is
+# bit-identical. date_trunc('day') == Spark's epoch-aligned 1-day window
+# under the pinned UTC session.
+_N_DRIFT_BUCKET_SQL = "CAST(least(9, greatest(0, floor(value))) AS INT)"
+_register(
+    "stream_drift_chi2",
+    _drift.stream_drift_chi2,
+    f"""
+    WITH v AS (
+        SELECT date_trunc('day', ts) AS wstart, {_N_DRIFT_BUCKET_SQL} AS bucket
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ), obs AS (
+        SELECT wstart, bucket, count(*)::BIGINT AS obs FROM v GROUP BY 1, 2
+    ), ref AS (
+        SELECT {_N_DRIFT_BUCKET_SQL} AS bucket, count(*)::BIGINT AS ref_n
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1
+    ), rt AS (
+        SELECT CAST(sum(ref_n) AS BIGINT) AS ref_total FROM ref
+    ), wt AS (
+        SELECT wstart, CAST(sum(obs) AS BIGINT) AS win_total FROM obs GROUP BY 1
+    ), terms AS (
+        SELECT w.wstart, w.win_total,
+               CAST(floor((CAST(COALESCE(o.obs, 0) AS DOUBLE) - CAST(r.ref_n AS DOUBLE) * w.win_total / rt.ref_total)
+                    * (CAST(COALESCE(o.obs, 0) AS DOUBLE) - CAST(r.ref_n AS DOUBLE) * w.win_total / rt.ref_total)
+                    / (CAST(r.ref_n AS DOUBLE) * w.win_total / rt.ref_total) * 1e6 + 0.5) AS BIGINT) AS term_e6
+        FROM wt w CROSS JOIN ref r CROSS JOIN rt
+        LEFT JOIN obs o ON o.wstart = w.wstart AND o.bucket = r.bucket
+    )
+    SELECT strftime(wstart, '%Y-%m-%d') AS window_start,
+           win_total AS n_values,
+           CAST(sum(term_e6) AS DOUBLE) / 1e6 AS chi2
+    FROM terms GROUP BY 1, 2
     """,
 )
 
