@@ -307,6 +307,7 @@ NORTH_STAR_SURFACE = [
     "hard_negative_mining",
     "retrieval_mrr",
     "stream_drift_chi2",
+    "stream_state_audit",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -48,4 +48,14 @@ BNL_ALLOWANCE = {
     # category 3: pairwise `<` joins over per-event-type pre-aggregates
     "audience_overlap": 2,
     "audience_overlap_sketch": 1,
+    # category 1 continued (round 11): hard-negative mining broadcasts the
+    # anchor set against the corpus (the similarity_topk skeleton);
+    # retrieval_mrr embeds the brute-force TRUTH side (its approx side is
+    # the LSH equi-join)
+    "hard_negative_mining": 1,
+    "retrieval_mrr": 1,
+    # category 3 continued: stream_drift_chi2 completes the (windows ×
+    # reference-buckets) grid — both sides are tiny aggregates (days ×
+    # ten buckets), bounded by calendar and bucket catalog, not data
+    "stream_drift_chi2": 1,
 }

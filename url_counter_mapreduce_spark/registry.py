@@ -6630,6 +6630,19 @@ _register(
 )
 
 from .streaming import drift as _drift  # noqa: E402
+from .streaming import state_audit as _state_audit  # noqa: E402
+
+# state-store audit: the checkpoint's operator-0 state re-read through the
+# State Data Source must equal the batch GROUP BY — exactly-once, proven
+# from the state files rather than the sink
+_register(
+    "stream_state_audit",
+    _state_audit.stream_state_audit,
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
 
 # per-day χ² drift vs the static reference histogram: every arithmetic
 # step mirrors the Spark side op-for-op (double divisions of exact
