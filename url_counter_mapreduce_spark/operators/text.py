@@ -392,8 +392,10 @@ def gopher_metrics_arrow(df: DataFrame) -> DataFrame:
     cost ~14.5 s at sf0.1 (VERDICT r10's one `weak`). Moving the same
     per-document computation to Python dict counting over Arrow batches
     trades JVM-interpreted tree-walking for CPython loops + O(1) hashing:
-    measured 13.7 s -> 0.9 s on the warm sf0.1 stream drain
-    (tools/bench_variants.py section 5), with bit-identical doubles.
+    measured 13.7 s -> 0.9 s on the warm sf0.1 stream drain (single
+    source partition, where the interpreted cost is undiluted) and ~1.7x
+    on the 32-way batch select (tools/bench_variants.py section 5), with
+    bit-identical doubles.
 
     Determinism contract (why the values hash-match the DuckDB oracle):
     every float is computed with the same IEEE-754 double ops as the SQL

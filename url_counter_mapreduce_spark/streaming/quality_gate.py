@@ -12,8 +12,11 @@ tested and the driver oracle re-derives the array form in DuckDB list
 lambdas); the Arrow kernel ships here because Catalyst evaluates
 higher-order array lambdas in interpreted mode, which made the
 array-expression drain cost 14.5 s at sf0.1 (VERDICT r10's one weak) vs
-~0.9 s for the same math over Arrow batches (tools/bench_variants.py
-section 5: median-of-3 drains 13.7 s vs 0.9 s warm, identical rows).
+~0.9 s for the same math over Arrow batches — the stream source is ONE
+file read serially, so the interpreted-lambda cost is undiluted there
+(measured drains 13.7 s vs 0.9 s warm, identical rows); the 32-way batch
+select shows the same kernel winning ~1.7x (tools/bench_variants.py
+section 5).
 """
 
 from __future__ import annotations
