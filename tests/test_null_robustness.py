@@ -142,6 +142,17 @@ NULLISH_QUERIES = [
     "privacy_suppress_export",
     "audio_dedup_groups",
     "video_dedup_groups",
+    # round-11 additions: embeddings-based mining/eval (zero/NaN vectors
+    # must filter), the gated sketch invariants on degenerate events
+    # (all-NULL values, NaN), and the chi2 drift monitor's empty-bucket
+    # handling; sketch flags may legitimately be NULL/False here — the
+    # battery asserts crash-robustness only
+    "hard_negative_mining",
+    "retrieval_mrr",
+    "approx_distinct_users_sketch",
+    "approx_quantiles_sketch",
+    "hll_rollup_sketch",
+    "audience_overlap_sketch",
 ]
 
 
