@@ -33,6 +33,18 @@ from ..operators.multimodal import (
 from .url_count import _documents_stream
 
 
+def _spread_stream(ids: DataFrame) -> DataFrame:
+    """Round-robin the id stream to full parallelism before the decode
+    stage. A single-file test stream arrives as ONE split, serializing
+    the compute-dense Python decode (measured: the video drain at sf0.1
+    fell 14.7 s -> ~1 s once spread). Unlike the batch spread() this is
+    unconditional — a streaming frame's partitioning can't be inspected
+    pre-execution — but the exchange carries ONLY the doc_id column
+    (8 bytes/row), noise next to per-row container decode at any scale."""
+    sc = ids.sparkSession.sparkContext
+    return ids.repartition(sc.defaultParallelism)
+
+
 def _drain(fps: DataFrame, sink: str) -> DataFrame:
     """AvailableNow drain of a stateless fingerprint stream into a memory
     sink; shared by the three modalities so the trigger/sink discipline
@@ -67,7 +79,7 @@ def stream_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    fps = _documents_stream(spark, sf_dir).select("doc_id").mapInPandas(
+    fps = _spread_stream(_documents_stream(spark, sf_dir).select("doc_id")).mapInPandas(
         extract, schema="doc_id long, width int, height int, fp_hi long, fp_lo long"
     )
     return _drain(fps, "stream_image_dhash_sink")
@@ -94,7 +106,7 @@ def stream_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    fps = _documents_stream(spark, sf_dir).select("doc_id").mapInPandas(
+    fps = _spread_stream(_documents_stream(spark, sf_dir).select("doc_id")).mapInPandas(
         extract,
         schema="doc_id long, sample_rate int, n_samples long, fp_hi long, fp_lo long",
     )
@@ -121,7 +133,7 @@ def stream_video_keyframe_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": ids, "frame_idx": fids, "fp_hi": his, "fp_lo": los}
             )
 
-    fps = _documents_stream(spark, sf_dir).select("doc_id").mapInPandas(
+    fps = _spread_stream(_documents_stream(spark, sf_dir).select("doc_id")).mapInPandas(
         extract, schema="doc_id long, frame_idx int, fp_hi long, fp_lo long"
     )
     return _drain(fps, "stream_video_keyframe_dhash_sink")
@@ -178,8 +190,7 @@ def stream_ingest_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     incoming = band_cols(
-        _documents_stream(spark, sf_dir)
-        .select("doc_id")
+        _spread_stream(_documents_stream(spark, sf_dir).select("doc_id"))
         .mapInPandas(extract, schema="doc_id long, fp_hi long, fp_lo long"),
         "s",
     )
