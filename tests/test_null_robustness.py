@@ -153,6 +153,7 @@ NULLISH_QUERIES = [
     "approx_quantiles_sketch",
     "hll_rollup_sketch",
     "audience_overlap_sketch",
+    "incremental_minhash_pairs",
 ]
 
 

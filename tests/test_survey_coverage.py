@@ -308,6 +308,7 @@ NORTH_STAR_SURFACE = [
     "retrieval_mrr",
     "stream_drift_chi2",
     "stream_state_audit",
+    "incremental_minhash_pairs",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -849,6 +849,65 @@ def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.join(prev, "fp", "left_anti").select("doc_id", "fp")
 
 
+def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental NEAR-dup maintenance — the MinHash twin
+    of incremental_new_docs, and the batch twin of
+    stream_ingest_dedup_check: only the NEW snapshot's band keys (doc_id
+    % 3 = 0, the same split convention) probe the index, producing
+    new×old and new×new candidate pairs; old×old pairs are NEVER
+    regenerated. At 100 TB this is what keeps nightly dedup ∝ the crawl
+    delta instead of the corpus: the previous side is the persisted
+    banded signature index (here the session signature cache), the new
+    side is today's fingerprints, and the verified-pair log grows
+    append-only.
+
+    Output (doc_a, doc_b, jaccard, vs_previous): doc_a is always the new
+    doc; vs_previous marks new×old pairs (doc_b in the previous
+    snapshot) vs new×new (both new, doc_a < doc_b). Exact oracle: the
+    full band-rule replay restricted to pairs with a new endpoint and
+    reoriented the same way — candidate generation is identical because
+    a new-old pair shares a band in the full self-join iff it shares one
+    in the probe join."""
+    sigs = _signatures_for(spark, sf_dir)
+    bands = _band_keys(sigs, carry=[])
+    is_new = F.col("doc_id") % 3 == 0
+    nb = bands.filter(is_new).select(
+        F.col("doc_id").alias("doc_a"), "band", "key"
+    )
+    ob = bands.filter(~is_new).select(
+        F.col("doc_id").alias("doc_b"), "band", "key"
+    )
+    new_old = nb.join(ob, ["band", "key"]).select("doc_a", "doc_b")
+    new_new = (
+        nb.join(
+            nb.select(F.col("doc_a").alias("doc_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand = new_old.unionAll(new_new).distinct()
+    sh = sigs.select("doc_id", "shingles")
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("jaccard", F.expr(_JACCARD_EXPR))
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (F.col("doc_b") % 3 != 0).alias("vs_previous"),
+        )
+    )
+
+
 RECALL_SAMPLE_DECILES = 2  # measure on a deterministic 20% doc sample
 RECALL_JACCARD_T = 0.5
 

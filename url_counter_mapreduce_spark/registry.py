@@ -379,6 +379,39 @@ _register(
     """,
 )
 
+# incremental near-dup maintenance: the full band-rule replay restricted
+# to pairs with a new-snapshot endpoint (doc_id % 3 = 0) and reoriented
+# so doc_a is always the new doc — old×old excluded by definition
+_register(
+    "incremental_minhash_pairs",
+    dedup.incremental_minhash_pairs,
+    _SIGS_CTE
+    + f", bands AS ({_BANDS_SQL})"
+    + """
+    , cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT doc_a, doc_b,
+               floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                     / len(list_distinct(sa.shingles || sb.shingles)) * 1e6 + 0.5) / 1e6 AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b
+        WHERE floor(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                    / len(list_distinct(sa.shingles || sb.shingles)) * 1e6 + 0.5) / 1e6 >= 0.5
+    )
+    SELECT na AS doc_a, nb AS doc_b, jaccard, NOT (nb % 3 = 0) AS vs_previous
+    FROM (
+        SELECT CASE WHEN doc_a % 3 = 0 THEN doc_a ELSE doc_b END AS na,
+               CASE WHEN doc_a % 3 = 0 THEN doc_b ELSE doc_a END AS nb,
+               jaccard
+        FROM verified
+        WHERE doc_a % 3 = 0 OR doc_b % 3 = 0
+    )
+    """,
+)
+
 _SIMHASH_SQL = """
 WITH t AS (
   SELECT doc_id,
