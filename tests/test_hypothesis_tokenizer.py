@@ -80,3 +80,49 @@ def test_gopher_ngram_metrics_match_python_reference(spark, docs_tokens):
         ref = _gopher_reference(" ".join(toks))
         assert got[i]["top_bigram_char_frac"] == approx(ref["top2"], abs=2e-6), (i, toks)
         assert got[i]["dup_trigram_char_frac"] == approx(ref["dup3"], abs=2e-6), (i, toks)
+
+
+# text with the symbols the Gopher battery treats specially ('#', '...'),
+# spaces, and unicode letters — the input space where the three Gopher
+# formulations could disagree (rounding, argmax tie-breaks, NULL guards)
+# a small alphabet makes repeated n-grams, '...'-runs, and '#' density
+# actually occur within 50 chars; 'é' keeps a non-ASCII letter in play
+gopher_text = st.text(alphabet="ab .#é", max_size=50)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(gopher_text, min_size=1, max_size=6))
+def test_gopher_three_formulations_agree_on_random_text(spark, texts):
+    """The round-11 Arrow kernel (gopher_metrics_arrow) must agree with the
+    array-expression formulation on ARBITRARY text — including '#'/'...'
+    runs, repeated tokens (small alphabet), unicode letters, empty and
+    whitespace-only strings — across every metric and the keep flag. The
+    fixture-based equivalence test pins the corpus; this pins the input
+    space."""
+    from url_counter_mapreduce_spark.operators.text import (
+        gopher_maponly_metrics,
+        gopher_metrics_arrow,
+    )
+
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    cols = [
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "symbol_word_ratio",
+        "top_bigram_char_frac",
+        "dup_trigram_char_frac",
+        "keep",
+    ]
+    mo = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in gopher_maponly_metrics(docs).select("doc_id", *cols).collect()
+    }
+    ar = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in gopher_metrics_arrow(docs).select("doc_id", *cols).collect()
+    }
+    assert mo == ar, texts
