@@ -1,0 +1,122 @@
+"""Stored banded-signature index (operators/index_store.py): the probe must
+equal the session-cache incremental path, survive a FRESH session (the
+nightly-crawl shape: build tonight, probe tomorrow), and re-key when the
+corpus bytes change."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from tests.conftest import REPO_ROOT, SF_SMOKE
+from url_counter_mapreduce_spark.operators import dedup, index_store
+
+
+def _sorted_rows(df):
+    return sorted(str(tuple(r)) for r in df.collect())
+
+
+def test_build_then_probe_matches_session_incremental(spark):
+    """Stored-artifact probe ≡ session-cache incremental_minhash_pairs —
+    candidate generation is identical (a new-old pair shares a band in the
+    full self-join iff it shares one in the probe join), so the outputs
+    must be row-identical, not just count-identical."""
+    index_store.drop_index(SF_SMOKE)
+    summary = index_store.minhash_index_build(spark, SF_SMOKE).collect()
+    assert {r["band"] for r in summary} == {0, 1, 2, 3}
+    assert all(r["n_postings"] >= r["n_keys"] > 0 for r in summary)
+    got = _sorted_rows(index_store.minhash_index_probe(spark, SF_SMOKE))
+    want = _sorted_rows(dedup.incremental_minhash_pairs(spark, SF_SMOKE))
+    assert got == want and len(got) > 0
+
+
+def test_probe_bootstraps_missing_index(spark):
+    """First probe on a corpus with no stored artifact builds it once
+    (idempotent bootstrap), then serves from disk."""
+    index_store.drop_index(SF_SMOKE)
+    assert not index_store.index_exists(SF_SMOKE)
+    n = index_store.minhash_index_probe(spark, SF_SMOKE).count()
+    assert index_store.index_exists(SF_SMOKE)
+    assert n > 0
+
+
+_FRESH_CHILD = r"""
+import json, sys
+sf_dir = sys.argv[1]
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("index-probe-fresh")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "3g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from url_counter_mapreduce_spark.operators import index_store
+rows = index_store.minhash_index_probe(spark, sf_dir).collect()
+spark.stop()
+print("RESULT:" + json.dumps(sorted(str(tuple(r)) for r in rows)))
+"""
+
+
+def test_probe_in_fresh_session_reads_stored_artifact(spark):
+    """The VERDICT r11 item-2 contract: build in THIS session, probe in a
+    brand-new SparkSession (subprocess — in-process fixtures can't detach
+    from the session cache), and require (a) identical output and (b) no
+    rebuild — the child must read the artifact this session stored."""
+    index_store.drop_index(SF_SMOKE)
+    index_store.minhash_index_build(spark, SF_SMOKE)
+    meta = index_store._meta_path(index_store.index_dir(SF_SMOKE))
+    mtime_before = os.stat(meta).st_mtime_ns
+    want = _sorted_rows(dedup.incremental_minhash_pairs(spark, SF_SMOKE))
+
+    env = dict(os.environ, PYTHONPATH=REPO_ROOT)
+    proc = subprocess.run(
+        [sys.executable, "-c", _FRESH_CHILD, SF_SMOKE],
+        capture_output=True,
+        text=True,
+        cwd=REPO_ROOT,
+        env=env,
+        timeout=540,
+    )
+    assert proc.returncode == 0, f"fresh-session probe failed:\n{proc.stderr[-3000:]}"
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT:"))
+    got = json.loads(line[len("RESULT:"):])
+    assert got == want
+    assert os.stat(meta).st_mtime_ns == mtime_before, "fresh session rebuilt the index"
+
+
+def test_index_dir_rekeys_on_corpus_change(tmp_path):
+    """The artifact path is keyed to the documents file's content
+    fingerprint: regenerated fixture bytes at the same sf_dir must map to
+    a DIFFERENT index location (stale-read protection, same discipline as
+    the streaming state-audit checkpoint)."""
+    sf_copy = tmp_path / "sfX"
+    sf_copy.mkdir()
+    src = os.path.join(SF_SMOKE, "documents.parquet")
+    dst = sf_copy / "documents.parquet"
+    shutil.copyfile(src, dst)
+    before = index_store.index_dir(str(sf_copy))
+    os.utime(dst, ns=(os.stat(dst).st_mtime_ns + 7, os.stat(dst).st_mtime_ns + 7))
+    after = index_store.index_dir(str(sf_copy))
+    assert before != after
+
+
+def test_snapshot_is_new_column_convention(spark):
+    """snapshot_is_new: data column wins when named (boolean true or the
+    literal 'new'); the fixture falls back to doc_id % 3 == 0."""
+    df = spark.createDataFrame(
+        [(0, "new"), (1, "new"), (2, "old"), (3, "old")], ["doc_id", "snap"]
+    )
+    by_col = [r["doc_id"] for r in df.filter(dedup.snapshot_is_new("snap")).collect()]
+    assert sorted(by_col) == [0, 1]
+    booldf = spark.createDataFrame([(0, True), (1, False)], ["doc_id", "snap"])
+    assert [r["doc_id"] for r in booldf.filter(dedup.snapshot_is_new("snap")).collect()] == [0]
+    by_fixture = [r["doc_id"] for r in df.filter(dedup.snapshot_is_new()).collect()]
+    assert sorted(by_fixture) == [0, 3]

@@ -77,6 +77,30 @@ def test_resolve_cap_memoizes_by_cache_key(spark):
     skew_guard.clear_decision_cache()
 
 
+def test_resolve_cap_cache_hit_still_records_decision(spark):
+    """A memoized hit must still append to the decision log (ADVICE r11
+    medium): two queries sharing a cache_key each need their own
+    engagement entry, or the gate harness misattributes a cap-induced
+    oracle diff on the second query as a plain MISMATCH."""
+    from url_counter_mapreduce_spark.operators import skew_guard
+
+    skew_guard.clear_decision_cache()
+    key = ("test-app", "hit-logs")
+    df = _sizes(spark, [200])  # pathological → engages
+    assert resolve_cap("auto", df, "n", 8, name="t", cache_key=key) == 8
+    first = skew_guard.pop_decisions()
+    assert len(first) == 1 and "cached" not in first[0]
+    # second resolution: memoized, no probe job — but a log entry lands
+    assert resolve_cap("auto", df, "n", 8, name="t", cache_key=key) == 8
+    second = skew_guard.pop_decisions()
+    assert len(second) == 1
+    assert second[0]["cached"] is True
+    assert second[0]["engaged"] and second[0]["cap"] == 8
+    # the cached entry carries the original measured numbers
+    assert second[0]["pairs"] == 200 * 199 // 2 and second[0]["rows"] == 200
+    skew_guard.clear_decision_cache()
+
+
 def test_resolve_cap_records_decisions_with_policy(spark):
     """Every "auto" resolution lands in the drainable decision record with
     the measured numbers and the call site's cap policy — the gate hook

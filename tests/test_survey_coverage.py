@@ -309,6 +309,11 @@ NORTH_STAR_SURFACE = [
     "stream_drift_chi2",
     "stream_state_audit",
     "incremental_minhash_pairs",
+    # round-12: the stored banded signature index (VERDICT r11 item 2) —
+    # build persists the previous snapshot's band/signature parquet,
+    # probe reads it back in any (fresh) session
+    "minhash_index_build",
+    "minhash_index_probe",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

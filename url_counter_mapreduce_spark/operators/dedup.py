@@ -834,30 +834,57 @@ def semantic_dedup_frame(
     return _semantic_prune(assigned, tau)
 
 
-def incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def snapshot_is_new(snapshot_col: str | None = None) -> "F.Column":
+    """THE snapshot-membership convention for the incremental dedup family
+    (VERDICT r11 item 7): one definition shared by incremental_new_docs,
+    incremental_minhash_pairs, and the stored-index build/probe pair
+    (operators/index_store.py), so a real feed's snapshot column lands in
+    exactly one place.
+
+    With ``snapshot_col`` (a string/boolean column on the documents frame)
+    membership comes from the DATA: a row is 'new' when the column is
+    boolean true or the literal string ``'new'``. Without it, the
+    documented fixture convention ``doc_id % 3 == 0`` stands in for
+    'today's crawl' — deterministic, oracle-replayable, and ~1/3 of the
+    corpus so both new×old and new×new pairs occur. NB multimodal.py's
+    unrelated ``doc_id % 3`` (a fixture format-variant trick) is NOT this
+    convention and deliberately does not route through here."""
+    if snapshot_col is not None:
+        c = F.col(snapshot_col)
+        return c.cast("string").isin("true", "new")
+    return F.col("doc_id") % 3 == 0
+
+
+def incremental_new_docs(
+    spark: SparkSession, sf_dir: str, snapshot_col: str | None = None
+) -> DataFrame:
     """Cross-snapshot incremental dedup: which docs of the 'new' snapshot
-    (doc_id % 3 = 0 — a deterministic stand-in for today's crawl) carry
-    content not present in the 'previous' snapshot (the rest)? Anti-join on
-    the normalized-content fingerprint — the 100 TB shape for 'only process
-    documents we have never seen', where the previous side is a persisted
-    fingerprint table, not a scan."""
+    (snapshot_is_new — a column on real feeds, doc_id % 3 = 0 on the
+    fixture) carry content not present in the 'previous' snapshot (the
+    rest)? Anti-join on the normalized-content fingerprint — the 100 TB
+    shape for 'only process documents we have never seen', where the
+    previous side is a persisted fingerprint table, not a scan."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "fp", F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     )
-    cur = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "fp")
-    prev = docs.filter(F.col("doc_id") % 3 != 0).select("fp")
+    is_new = snapshot_is_new(snapshot_col)
+    cur = docs.filter(is_new).select("doc_id", "fp")
+    prev = docs.filter(~is_new).select("fp")
     return cur.join(prev, "fp", "left_anti").select("doc_id", "fp")
 
 
-def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incremental_minhash_pairs(
+    spark: SparkSession, sf_dir: str, snapshot_col: str | None = None
+) -> DataFrame:
     """Cross-snapshot incremental NEAR-dup maintenance — the MinHash twin
     of incremental_new_docs, and the batch twin of
-    stream_ingest_dedup_check: only the NEW snapshot's band keys (doc_id
-    % 3 = 0, the same split convention) probe the index, producing
-    new×old and new×new candidate pairs; old×old pairs are NEVER
-    regenerated. At 100 TB this is what keeps nightly dedup ∝ the crawl
-    delta instead of the corpus: the previous side is the persisted
-    banded signature index (here the session signature cache), the new
+    stream_ingest_dedup_check: only the NEW snapshot's band keys
+    (snapshot_is_new, the shared split convention) probe the index,
+    producing new×old and new×new candidate pairs; old×old pairs are
+    NEVER regenerated. At 100 TB this is what keeps nightly dedup ∝ the
+    crawl delta instead of the corpus: the previous side is the persisted
+    banded signature index (the session cache here; the STORED parquet
+    artifact in operators/index_store.py's build/probe pair), the new
     side is today's fingerprints, and the verified-pair log grows
     append-only.
 
@@ -870,41 +897,55 @@ def incremental_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the probe join."""
     sigs = _signatures_for(spark, sf_dir)
     bands = _band_keys(sigs, carry=[])
-    is_new = F.col("doc_id") % 3 == 0
+    is_new = snapshot_is_new(snapshot_col)
     nb = bands.filter(is_new).select(
         F.col("doc_id").alias("doc_a"), "band", "key"
     )
     ob = bands.filter(~is_new).select(
         F.col("doc_id").alias("doc_b"), "band", "key"
     )
-    new_old = nb.join(ob, ["band", "key"]).select("doc_a", "doc_b")
+    # vs_previous is carried from the branch the candidate came from (the
+    # two branches are disjoint by construction: doc_b old vs doc_b new),
+    # so the marker works for ANY snapshot convention — column-driven
+    # feeds included — without joining snapshot membership back on.
+    new_old = nb.join(ob, ["band", "key"]).select(
+        "doc_a", "doc_b", F.lit(True).alias("vs_previous")
+    )
     new_new = (
         nb.join(
             nb.select(F.col("doc_a").alias("doc_b"), "band", "key"),
             ["band", "key"],
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", F.lit(False).alias("vs_previous"))
     )
     cand = new_old.unionAll(new_new).distinct()
     sh = sigs.select("doc_id", "shingles")
+    return _verify_probe_candidates(cand, sh, sh)
+
+
+def _verify_probe_candidates(
+    cand: DataFrame, sh_new: DataFrame, sh_old: DataFrame
+) -> DataFrame:
+    """Shared verify step for the incremental probe family: join candidate
+    (doc_a, doc_b, vs_previous) rows to doc_a's shingles from ``sh_new``
+    and doc_b's from ``sh_old`` (both ``(doc_id, shingles)``), compute the
+    exact Jaccard, and keep pairs ≥ 0.5. Split shingle sides so the
+    stored-index probe (operators/index_store.py) can serve the old side
+    from the persisted artifact while the session path passes the same
+    frame twice."""
     return (
         cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            sh_new.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
             "doc_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            sh_old.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
             "doc_b",
         )
         .withColumn("jaccard", F.expr(_JACCARD_EXPR))
         .filter(F.col("jaccard") >= 0.5)
-        .select(
-            "doc_a",
-            "doc_b",
-            "jaccard",
-            (F.col("doc_b") % 3 != 0).alias("vs_previous"),
-        )
+        .select("doc_a", "doc_b", "jaccard", "vs_previous")
     )
 
 

@@ -83,10 +83,15 @@ AUTO_BLOCK_CAP = 8
 # type alias for the knob: None (off), int (manual), or "auto"
 CapSpec = int | str | None
 
-# memoized "auto" resolutions: cache_key → resolved cap. Keys embed the
-# applicationId (same convention as SessionFrameCache), so a stale
-# decision is never returned across sessions. Bounded by _DECISION_MAX.
-_DECISION_CACHE: dict[Hashable, "int | None"] = {}
+# memoized "auto" resolutions: cache_key → the full decision entry (cap,
+# engaged, measured numbers). Keys embed the applicationId (same
+# convention as SessionFrameCache), so a stale decision is never returned
+# across sessions. Bounded by _DECISION_MAX. The whole entry is kept —
+# not just the cap — so a cache hit can still append to the decision log
+# (ADVICE r11: a memoized hit that skipped the log made a later query's
+# cap engagement invisible to the gate harness, misattributing a
+# cap-induced oracle diff as a plain MISMATCH).
+_DECISION_CACHE: dict[Hashable, dict] = {}
 _DECISION_MAX = 64
 
 # chronological record of every resolution this session, newest last —
@@ -152,7 +157,12 @@ def resolve_cap(
     if cap != "auto":
         return cap  # None or a hand-set int
     if cache_key is not None and cache_key in _DECISION_CACHE:
-        return _DECISION_CACHE[cache_key]
+        # Memoized hit: skip the probe job but STILL log the decision, so
+        # every query that runs under this cap gets its own engagement
+        # entry for the gate harness to drain (ADVICE r11 medium).
+        hit = _DECISION_CACHE[cache_key]
+        _record({**hit, "cached": True})
+        return hit["cap"]
     row = sizes.agg(
         F.sum(F.expr(f"CAST({n_col} AS BIGINT) * ({n_col} - 1) / 2")).alias("pairs"),
         F.sum(n_col).cast("long").alias("rows"),
@@ -161,21 +171,20 @@ def resolve_cap(
     rows = int(row["rows"] or 0)
     engaged = not (rows == 0 or pairs <= budget * rows)
     resolved = engaged_cap if engaged else None
-    _record(
-        {
-            "name": name,
-            "engaged": engaged,
-            "cap": resolved,
-            "policy": policy,
-            "pairs": pairs,
-            "rows": rows,
-            "budget": budget,
-        }
-    )
+    entry = {
+        "name": name,
+        "engaged": engaged,
+        "cap": resolved,
+        "policy": policy,
+        "pairs": pairs,
+        "rows": rows,
+        "budget": budget,
+    }
+    _record(entry)
     if cache_key is not None:
         if len(_DECISION_CACHE) >= _DECISION_MAX:
             _DECISION_CACHE.clear()  # tiny dict of scalars; wholesale reset
-        _DECISION_CACHE[cache_key] = resolved
+        _DECISION_CACHE[cache_key] = entry
     if not engaged:
         log.info(
             "skew guard %s: fan-out %d pairs / %d rows (budget %d×) — cap stays off",

@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import core, dedup, multimodal, relational, similarity, text
+from .operators import core, dedup, index_store, multimodal, relational, similarity, text
 from .session import prep
 from .streaming import event_count
 
@@ -381,10 +381,11 @@ _register(
 
 # incremental near-dup maintenance: the full band-rule replay restricted
 # to pairs with a new-snapshot endpoint (doc_id % 3 = 0) and reoriented
-# so doc_a is always the new doc — old×old excluded by definition
-_register(
-    "incremental_minhash_pairs",
-    dedup.incremental_minhash_pairs,
+# so doc_a is always the new doc — old×old excluded by definition. Shared
+# by the session-cache form AND the stored-index probe (index_store.py):
+# candidate generation is identical because a new-old pair shares a band
+# in the full self-join iff it shares one in the probe join.
+_INCREMENTAL_PAIRS_SQL = (
     _SIGS_CTE
     + f", bands AS ({_BANDS_SQL})"
     + """
@@ -409,7 +410,35 @@ _register(
         FROM verified
         WHERE doc_a % 3 = 0 OR doc_b % 3 = 0
     )
+    """
+)
+
+_register(
+    "incremental_minhash_pairs",
+    dedup.incremental_minhash_pairs,
+    _INCREMENTAL_PAIRS_SQL,
+)
+
+# stored-index pair (VERDICT r11 item 2): build writes the previous
+# snapshot's band/signature parquet artifacts; probe reads them back in
+# any session. Build's oracle replays the banding restricted to the old
+# snapshot; probe's oracle is the incremental replay verbatim.
+_register(
+    "minhash_index_build",
+    index_store.minhash_index_build,
+    _SIGS_CTE
+    + ", sigs_old AS (SELECT * FROM sigs WHERE doc_id % 3 <> 0)"
+    + f", bands AS ({_BANDS_SQL.replace('FROM sigs', 'FROM sigs_old')})"
+    + """
+    SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS n_postings
+    FROM bands GROUP BY band
     """,
+)
+
+_register(
+    "minhash_index_probe",
+    index_store.minhash_index_probe,
+    _INCREMENTAL_PAIRS_SQL,
 )
 
 _SIMHASH_SQL = """

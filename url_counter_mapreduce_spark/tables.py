@@ -31,6 +31,27 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def file_fingerprint(path: str) -> str:
+    """Content fingerprint of a source file or directory of part files
+    (sorted name:size:mtime_ns triples). Folded into scratch/artifact keys
+    so regenerated fixture data at the same path never resumes a stale
+    checkpoint or reads a stale stored index (ADVICE r11)."""
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    parts = []
+    for f in files:
+        st = os.stat(f)
+        parts.append(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
 def tmp_scratch_dir(prefix: str, key: str) -> str:
     """Deterministic per-(user, key) scratch directory under the system
     temp dir — the single helper behind every sink/roundtrip/stream scratch
