@@ -162,6 +162,40 @@ BENCH_QUERIES += sorted(
 )
 
 
+def _ship_variants():
+    """The four sketch SHIP plans as first-class bench rows (VERDICT r11
+    item 4). The registered `*_sketch` forms deliberately carry their
+    accuracy contract (an extra exact leg or invariant columns), so their
+    bench rows measure CONTRACT cost; these `*_sketch_ship` rows measure
+    the gate=False one-pass plans that actually deploy at 100 TB. Kept
+    out of the registry (no oracle — sketch values are engine-specific;
+    accuracy is pinned by the gated twins) but in the headline table so
+    'sketch is cheaper than exact' stays an up-to-date measured claim."""
+    from url_counter_mapreduce_spark.operators.advanced import (
+        approx_quantiles_sketch,
+        audience_overlap_sketch,
+        hll_rollup_sketch,
+    )
+    from url_counter_mapreduce_spark.operators.relational import (
+        approx_distinct_users_sketch,
+    )
+
+    return {
+        "approx_distinct_users_sketch_ship": lambda spark, sf: approx_distinct_users_sketch(
+            spark, sf, gate=False
+        ),
+        "approx_quantiles_sketch_ship": lambda spark, sf: approx_quantiles_sketch(
+            spark, sf, gate=False
+        ),
+        "hll_rollup_sketch_ship": lambda spark, sf: hll_rollup_sketch(
+            spark, sf, gate=False
+        ),
+        "audience_overlap_sketch_ship": lambda spark, sf: audience_overlap_sketch(
+            spark, sf, gate=False
+        ),
+    }
+
+
 def _load1() -> float:
     """1-minute loadavg — the quiet-window instrument (VERDICT r10 item 6):
     every timed row records the host load it was measured under, so a
@@ -182,23 +216,31 @@ def _pre_sample_reset(name: str) -> None:
     resumes it); without a reset the warmup drain consumes every input
     file and the timed samples measure checkpoint-resume overhead, not an
     end-to-end drain (ADVICE r11). The reset runs OUTSIDE the timer — it
-    is harness bookkeeping, not query cost."""
+    is harness bookkeeping, not query cost. Glob-based (not the package's
+    reset_checkpoint) so paired mode resets the BASELINE version's
+    differently-keyed checkpoint too."""
     if name == "stream_state_audit":
-        from url_counter_mapreduce_spark.streaming.state_audit import reset_checkpoint
+        import glob
+        import shutil
+        import tempfile
 
-        reset_checkpoint(SF_DIR)
+        uid = os.getuid() if hasattr(os, "getuid") else 0
+        pat = os.path.join(tempfile.gettempdir(), f"spark_graft_state_audit_{uid}_*")
+        for d in glob.glob(pat):
+            shutil.rmtree(d, ignore_errors=True)
 
 
-def _run_once(spark, name: str) -> float:
+def _run_once(spark, name: str, fn=None) -> float:
     _pre_sample_reset(name)
+    fn = fn or QUERIES[name]
     t0 = time.perf_counter()
-    df = QUERIES[name](spark, SF_DIR)
+    df = fn(spark, SF_DIR)
     # force full execution without shipping the result to python
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
-def _run(spark, name: str) -> tuple[float, dict[str, float]]:
+def _run(spark, name: str, fn=None) -> tuple[float, dict[str, float]]:
     """Variance-controlled timing: one discarded warmup (absorbs codegen /
     python-worker startup / parquet footer caching), then three timed
     runs; the headline number is the MEDIAN and the (min, med, max)
@@ -215,9 +257,9 @@ def _run(spark, name: str) -> tuple[float, dict[str, float]]:
     can be stale by the time the timed window opens — multi-second stream
     warmups especially — weakening the noisy/clean adjudication the
     regression block automates."""
-    _run_once(spark, name)  # warmup, discarded
+    _run_once(spark, name, fn)  # warmup, discarded
     load_open = _load1()
-    samples = sorted(_run_once(spark, name) for _ in range(3))
+    samples = sorted(_run_once(spark, name, fn) for _ in range(3))
     load_close = _load1()
     loads = [v for v in (load_open, load_close) if v >= 0]
     spread = {
@@ -266,6 +308,138 @@ def _previous_round_timings() -> tuple[str | None, dict[str, float]]:
     return None, {}
 
 
+def _load_paired_baseline(ref: str):
+    """Check ``ref`` out in a git worktree, copy its package under an
+    alias importable ALONGSIDE the current one, and return its QUERIES
+    registry plus a cleanup closure.
+
+    The alias rename (url_counter_mapreduce_spark → _paired_baseline_pkg)
+    is what makes one-process interleaving possible: all intra-package
+    imports are relative, so the renamed copy resolves ITS OWN modules —
+    including function-level lazy imports — never the current tree's, and
+    both module graphs coexist. Its session prep ships the renamed dir to
+    executors via its own addPyFile, so UDF closures unpickle against the
+    right code."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_paired_wt_")
+    subprocess.run(
+        ["git", "-C", here, "worktree", "add", "--detach", wt, ref],
+        check=True,
+        capture_output=True,
+    )
+    alias = "_paired_baseline_pkg"
+    shutil.copytree(
+        os.path.join(wt, "url_counter_mapreduce_spark"), os.path.join(wt, alias)
+    )
+    sys.path.insert(0, wt)
+    base_mod = __import__(alias)
+    base_queries = dict(base_mod.QUERIES)
+
+    def cleanup() -> None:
+        sys.path.remove(wt)
+        subprocess.run(
+            ["git", "-C", here, "worktree", "remove", "--force", wt],
+            check=False,
+            capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+    return base_queries, cleanup
+
+
+def _paired_main(ref: str, only: list[str] | None = None) -> None:
+    """--paired <git-ref>: the mechanized cross-round adjudication
+    (VERDICT r11 item 3). Cross-round medians drift ~1.13× with host load
+    even with loadavg annotation, because the two rounds' samples run
+    minutes-to-days apart. Here BOTH versions run in ONE Spark session
+    with strictly interleaved timed samples (cur/base/cur/base/...), so
+    any host-noise window hits both sides equally and the per-query ratio
+    is a genuine code-delta signal. BENCH_FULL's regressions block is then
+    computed from paired ratios ONLY (no cross-round file comparison)."""
+    base_queries, cleanup = _load_paired_baseline(ref)
+    try:
+        from url_counter_mapreduce_spark import get_spark
+
+        spark = get_spark("spark-graft-bench-paired")
+        spark.sparkContext.setLogLevel("ERROR")
+        QUERIES["url_topk"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+        names = [n for n in BENCH_QUERIES if n in QUERIES] + STREAM_QUERIES
+        if only:
+            names = [n for n in names if n in only]
+        timings: dict[str, float] = {}
+        base_timings: dict[str, float] = {}
+        ratios: dict[str, float] = {}
+        unpaired: list[str] = []
+        for name in names:
+            cur_fn = QUERIES[name]
+            base_fn = base_queries.get(name)
+            if base_fn is None:
+                med, _ = _run(spark, name)
+                timings[name] = round(med, 4)
+                unpaired.append(name)
+                continue
+            _run_once(spark, name, cur_fn)  # warmup current
+            _run_once(spark, name, base_fn)  # warmup baseline
+            cur_s, base_s = [], []
+            for _ in range(3):  # strict interleave: noise hits both sides
+                cur_s.append(_run_once(spark, name, cur_fn))
+                base_s.append(_run_once(spark, name, base_fn))
+            cur_med = sorted(cur_s)[1]
+            base_med = sorted(base_s)[1]
+            timings[name] = round(cur_med, 4)
+            base_timings[name] = round(base_med, 4)
+            ratios[name] = round(cur_med / base_med, 4) if base_med > 0 else -1.0
+
+        regressions = {
+            n: {"base": base_timings[n], "now": timings[n], "ratio": r}
+            for n, r in ratios.items()
+            if timings[n] > 0.2 and r > 1.5
+        }
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+        full = {
+            "metric": "headline_queries_total_sec",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "queries": timings,
+            "protocol": "paired-interleaved+median-of-3",
+            "sf": sf_val,
+            "paired": {
+                "ref": ref,
+                "baseline_queries": base_timings,
+                "ratios": ratios,
+                "unpaired": unpaired,
+            },
+            "regressions": regressions,
+        }
+        print(json.dumps(full))
+        if sf_val == 0.1:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+                json.dump(full, fh, indent=1, sort_keys=True)
+        med_ratio = sorted(ratios.values())[len(ratios) // 2] if ratios else -1.0
+        print(
+            json.dumps(
+                {
+                    "metric": "paired_median_ratio",
+                    "value": med_ratio,
+                    "ref": ref,
+                    "n_paired": len(ratios),
+                    "n_regressions": len(regressions),
+                    "sf": sf_val,
+                }
+            )
+        )
+        spark.stop()
+    finally:
+        cleanup()
+
+
 def main() -> None:
     spark = get_spark("spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -289,6 +463,12 @@ def main() -> None:
         timings[name] = round(med, 4)
         spreads[name] = spread
 
+    # sketch ship plans: same protocol, callables outside the registry
+    for name, fn in _ship_variants().items():
+        med, spread = _run(spark, name, fn)
+        timings[name] = round(med, 4)
+        spreads[name] = spread
+
     # end-of-run re-verification: a sustained multi-minute noise window on a
     # shared host can slow a whole stretch of queries past any per-query
     # resampling. Queries whose MEDIAN still looks regressed vs the last
@@ -297,9 +477,10 @@ def main() -> None:
     # ever replaces a timing with a corroborated re-measurement of the same
     # query — it cannot hide a true regression, which reproduces.
     _, _prev = _previous_round_timings()
+    _ship = _ship_variants()
     for name, t in list(timings.items()):
         if name in _prev and t > 0.2 and t > 1.3 * _prev[name]:
-            med, spread = _run(spark, name)
+            med, spread = _run(spark, name, _ship.get(name))
             if name.startswith(STREAM_PREFIX):
                 spread["samples"] = 3
             if med < t:
@@ -384,4 +565,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--paired":
+        _only = None
+        if len(sys.argv) >= 5 and sys.argv[3] == "--queries":
+            _only = [q.strip() for q in sys.argv[4].split(",") if q.strip()]
+        _paired_main(sys.argv[2], _only)
+    else:
+        main()

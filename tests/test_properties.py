@@ -4,6 +4,8 @@ injected duplicates, similarity invariants, stream/batch equivalence."""
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from url_counter_mapreduce_spark import QUERIES
@@ -172,6 +174,97 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
         assert abs(approx - n) <= max(2, 0.05 * n), (k, approx, n)
         assert gate[k].exact_users == n
         assert gate[k].approx_within_5pct is True, k
+
+
+def _hll_pair_invariants(spark, a_ids, b_ids):
+    """Run the audience_overlap_sketch gate algebra (lgK=12, 5%+5 slack)
+    on two explicit user-id sets; returns the two shipped flags plus the
+    raw legs for the failure message."""
+    rows = [("A", int(u)) for u in a_ids] + [("B", int(u)) for u in b_ids]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    sk = df.groupBy("event_type").agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    r = (
+        sk.alias("a")
+        .join(sk.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.hll_sketch_estimate(F.col("a.sk")).alias("est_a"),
+            F.hll_sketch_estimate(F.col("b.sk")).alias("est_b"),
+            F.hll_sketch_estimate(F.hll_union(F.col("a.sk"), F.col("b.sk"))).alias(
+                "est_union"
+            ),
+        )
+        .collect()[0]
+    )
+    overlap = r.est_a + r.est_b - r.est_union
+    lo, hi = min(r.est_a, r.est_b), max(r.est_a, r.est_b)
+    return (
+        overlap <= lo + max(0.05 * lo, 5.0),
+        r.est_union >= hi - max(0.05 * hi, 5.0),
+        r,
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    na=st.integers(min_value=1, max_value=3000),
+    nb=st.integers(min_value=1, max_value=3000),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+    base_a=st.integers(min_value=0, max_value=2**40),
+    base_b=st.integers(min_value=0, max_value=2**40),
+    stride=st.sampled_from([1, 7, 104729, 2**31 - 1]),
+)
+def test_overlap_sketch_slack_sound_on_adversarial_sets(
+    spark, na, nb, frac, base_a, base_b, stride
+):
+    """VERDICT r11 item 8: the audience_overlap_sketch set-algebra slack
+    (overlap ≤ min audience, union ≥ max audience, each with 5%+5) must
+    hold for ADVERSARIAL audience structures, not just the fixture —
+    Hypothesis drives audience sizes, overlap fraction (disjoint through
+    identical), id-space bases, and strides. These are invariants of HLL
+    set algebra plus the published ~1.6% lgK=12 error (3σ ≈ 4.9%), so a
+    counterexample would mean the shipped slack is fixture-fit."""
+    k = int(frac * min(na, nb))
+    a_ids = [base_a + i * stride for i in range(na)]
+    # first k of A are shared; the rest of B comes from its own region
+    b_ids = a_ids[:k] + [base_b + 2**50 + i * stride for i in range(nb - k)]
+    ok_overlap, ok_union, r = _hll_pair_invariants(spark, a_ids, b_ids)
+    assert ok_overlap, (na, nb, k, r)
+    assert ok_union, (na, nb, k, r)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=1500),  # part size
+            st.integers(min_value=0, max_value=2**40),  # id base
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    share=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_hll_rollup_slack_sound_on_adversarial_days(spark, parts, share):
+    """The hll_rollup_sketch invariant (merged union between the largest
+    single-day estimate and the sum of daily estimates, 5%+2 slack each
+    side) under Hypothesis-driven day structures: arbitrary day sizes,
+    id regions, and a shared-user fraction that every day overlaps on —
+    the exact set algebra says max ≤ |union| ≤ sum, and the slack must
+    absorb the lgK=12 sketch error at every point in between."""
+    shared = [2**50 + i for i in range(int(share * 500))]
+    rows = []
+    for day, (size, base) in enumerate(parts):
+        ids = [base + i for i in range(size)] + shared
+        rows += [(day, int(u)) for u in ids]
+    df = spark.createDataFrame(rows, "day int, user_id long")
+    daily = df.groupBy("day").agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    r = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+        F.max(F.hll_sketch_estimate("sk")).alias("max_day"),
+        F.sum(F.hll_sketch_estimate("sk")).alias("sum_days"),
+    ).collect()[0]
+    assert r.est_union >= r.max_day * 0.95 - 2, r
+    assert r.est_union <= r.sum_days * 1.05 + 2, r
 
 
 def test_multimodal_decode_deterministic(spark, sf_dir):
@@ -3014,6 +3107,63 @@ def test_scc_strategies_equivalent_and_correct(spark, sf_dir):
     # every label is a member of its own component (root labels itself)
     roots = set(base.values())
     assert all(base[r] == r for r in roots)
+
+
+def test_scc_path_of_100_sccs_completes(spark):
+    """VERDICT r11 item 5: a chain of 100 SCCs through the DISTRIBUTED
+    path. The r11 Orzan coloring resolved one chain link per outer round
+    and raised at 64; the randomized FW-BW loop must complete it (expected
+    O(log n) rounds) with every node its own SCC. Ids ascend along the
+    edges — the adversarial order for a min-id pivot, which the md5
+    priority neutralizes."""
+    from url_counter_mapreduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    n = 100
+    ids = [f"n{i:03d}" for i in range(n)]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id string")
+    edf = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "src string, dst string"
+    )
+    got = {
+        r.id: r.scc_id
+        for r in strongly_connected_components(
+            nodes, edf, collect_max_edges=0
+        ).collect()
+    }
+    assert got == {i: i for i in ids}
+
+
+def test_scc_chain_of_cycles_completes(spark):
+    """Same boundary, nontrivial components: 30 two-node cycles linked in
+    a chain (30 SCCs of size 2). Forced distributed; every pair labels
+    with its min member."""
+    from url_counter_mapreduce_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    k = 30
+    edges = []
+    for i in range(k):
+        a, b = f"a{i:02d}", f"b{i:02d}"
+        edges += [(a, b), (b, a)]
+        if i + 1 < k:
+            edges.append((a, f"a{i + 1:02d}"))
+    ids = sorted({v for e in edges for v in e})
+    nodes = spark.createDataFrame([(i,) for i in ids], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.id: r.scc_id
+        for r in strongly_connected_components(
+            nodes, edf, collect_max_edges=0
+        ).collect()
+    }
+    expect = {}
+    for i in range(k):
+        expect[f"a{i:02d}"] = f"a{i:02d}"
+        expect[f"b{i:02d}"] = f"a{i:02d}"
+    assert got == expect
 
 
 def test_scc_singleton_flood_both_strategies(spark, sf_dir):

@@ -23,27 +23,42 @@ from pyspark.sql.types import LongType, StructField, StructType
 def _stream_dir_for(sf_dir: str, table: str) -> str:
     """Spark's file streaming source requires a *directory*; testdata is one
     parquet file per table (read-only). Expose <table>.parquet through a
-    per-(sf_dir, table, uid) temp directory holding a symlink — zero copy.
+    per-(sf_dir, table, uid) temp directory holding symlinks — zero copy.
 
-    ``os.path.exists`` follows symlinks, so a stale link (target deleted)
-    would look absent and the recreate would raise FileExistsError — use
-    ``lexists`` and unlink-then-recreate instead.
-    """
+    When the table path is itself a DIRECTORY of part files (the
+    Spark-written .scaledata legs), each data file is linked individually:
+    the file stream source's glob does NOT traverse a symlinked directory
+    (it listed zero rows at the sf1.0 leg), but follows file symlinks
+    fine. Stale links (target deleted, target set changed) are pruned and
+    rebuilt — ``os.path.exists`` follows symlinks, so ``lexists`` +
+    unlink-then-recreate is the race-safe idiom throughout."""
     from ..tables import tmp_scratch_dir
 
     d = tmp_scratch_dir("stream", f"{sf_dir}:{table}")
     os.makedirs(d, exist_ok=True)
     target = os.path.join(sf_dir, f"{table}.parquet")
-    link = os.path.join(d, f"{table}.parquet")
-    if os.path.lexists(link) and (
-        not os.path.exists(link) or os.path.realpath(link) != os.path.realpath(target)
-    ):
-        os.unlink(link)  # dangling, or pointing at a different target
-    if not os.path.lexists(link):
-        try:
-            os.symlink(target, link)
-        except FileExistsError:
-            pass  # concurrent creator won the race; link now exists
+    if os.path.isdir(target):
+        want = {
+            f: os.path.join(target, f)
+            for f in os.listdir(target)
+            if not f.startswith(("_", ".")) and f.endswith(".parquet")
+        }
+    else:
+        want = {f"{table}.parquet": target}
+    for existing in os.listdir(d):
+        link = os.path.join(d, existing)
+        tgt = want.get(existing)
+        if tgt is None or not os.path.exists(link) or (
+            os.path.realpath(link) != os.path.realpath(tgt)
+        ):
+            os.unlink(link)  # no longer wanted, dangling, or retargeted
+    for name, tgt in want.items():
+        link = os.path.join(d, name)
+        if not os.path.lexists(link):
+            try:
+                os.symlink(tgt, link)
+            except FileExistsError:
+                pass  # concurrent creator won the race; link now exists
     return d
 
 
