@@ -339,6 +339,31 @@ def _load_paired_baseline(ref: str):
     base_mod = __import__(alias)
     base_queries = dict(base_mod.QUERIES)
 
+    def ship_both(spark) -> None:
+        """Ship BOTH package zips to executor python workers, explicitly.
+
+        Two traps make the packages' own prep() insufficient here: (a)
+        the versions share the `_spark_graft_shipped` session flag, so
+        whichever prep runs first suppresses the other side's addPyFile;
+        (b) the baseline's `_ship_package` keys its zip path by FILE
+        CONTENT digest only — a zip left by a real run of that version
+        already exists at that path containing the ORIGINAL directory
+        name, so the aliased package never lands in it. Executors then
+        fail ModuleNotFoundError on the first module-referenced UDF
+        (inline-pickled UDFs mask it). So the baseline zip is built here
+        under its own name, and the current package ships through its
+        normal path with the flag reset."""
+        import importlib
+        import tempfile
+
+        zip_base = os.path.join(tempfile.gettempdir(), f"paired_{os.path.basename(wt)}")
+        if not os.path.exists(zip_base + ".zip"):
+            shutil.make_archive(zip_base, "zip", root_dir=wt, base_dir=alias)
+        spark.sparkContext.addPyFile(zip_base + ".zip")
+        cur_session = importlib.import_module("url_counter_mapreduce_spark.session")
+        spark._spark_graft_shipped = False
+        cur_session._ship_package(spark)
+
     def cleanup() -> None:
         sys.path.remove(wt)
         subprocess.run(
@@ -348,7 +373,7 @@ def _load_paired_baseline(ref: str):
         )
         shutil.rmtree(wt, ignore_errors=True)
 
-    return base_queries, cleanup
+    return base_queries, ship_both, cleanup
 
 
 def _paired_main(ref: str, only: list[str] | None = None) -> None:
@@ -360,12 +385,13 @@ def _paired_main(ref: str, only: list[str] | None = None) -> None:
     any host-noise window hits both sides equally and the per-query ratio
     is a genuine code-delta signal. BENCH_FULL's regressions block is then
     computed from paired ratios ONLY (no cross-round file comparison)."""
-    base_queries, cleanup = _load_paired_baseline(ref)
+    base_queries, ship_both, cleanup = _load_paired_baseline(ref)
     try:
         from url_counter_mapreduce_spark import get_spark
 
         spark = get_spark("spark-graft-bench-paired")
         spark.sparkContext.setLogLevel("ERROR")
+        ship_both(spark)
         QUERIES["url_topk"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
         names = [n for n in BENCH_QUERIES if n in QUERIES] + STREAM_QUERIES
@@ -420,8 +446,12 @@ def _paired_main(ref: str, only: list[str] | None = None) -> None:
         print(json.dumps(full))
         if sf_val == 0.1:
             here = os.path.dirname(os.path.abspath(__file__))
-            with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
-                json.dump(full, fh, indent=1, sort_keys=True)
+            # BENCH_FULL carries the paired ratios for this run; a later
+            # unpaired driver run overwrites it, so the paired artifact
+            # also persists under its own name
+            for out in ("BENCH_FULL.json", "BENCH_PAIRED.json"):
+                with open(os.path.join(here, out), "w") as fh:
+                    json.dump(full, fh, indent=1, sort_keys=True)
         med_ratio = sorted(ratios.values())[len(ratios) // 2] if ratios else -1.0
         print(
             json.dumps(
