@@ -120,3 +120,106 @@ def test_snapshot_is_new_column_convention(spark):
     assert [r["doc_id"] for r in booldf.filter(dedup.snapshot_is_new("snap")).collect()] == [0]
     by_fixture = [r["doc_id"] for r in df.filter(dedup.snapshot_is_new()).collect()]
     assert sorted(by_fixture) == [0, 3]
+
+
+def test_snapshot_is_new_null_and_case(spark):
+    """ADVICE r12: NULL snapshot values must land in exactly ONE side (the
+    previous snapshot — conservative for dedup), never vanish from both;
+    and matching is case-insensitive ('NEW'/'True' count as new)."""
+    df = spark.createDataFrame(
+        [(0, "NEW"), (1, "True"), (2, None), (3, "old")], ["doc_id", "snap"]
+    )
+    is_new = dedup.snapshot_is_new("snap")
+    new_ids = sorted(r["doc_id"] for r in df.filter(is_new).collect())
+    old_ids = sorted(r["doc_id"] for r in df.filter(~is_new).collect())
+    assert new_ids == [0, 1]
+    assert old_ids == [2, 3]  # NULL row present on the previous side
+    assert sorted(new_ids + old_ids) == [0, 1, 2, 3]  # partition, no loss
+
+
+def test_index_dir_keys_on_snapshot_col(tmp_path):
+    """ADVICE r12: an index built under one snapshot convention must never
+    be served to a probe using another — the path itself is keyed."""
+    sf_copy = tmp_path / "sfY"
+    sf_copy.mkdir()
+    shutil.copyfile(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        sf_copy / "documents.parquet",
+    )
+    d_fixture = index_store.index_dir(str(sf_copy))
+    d_col = index_store.index_dir(str(sf_copy), "snap")
+    d_variant = index_store.index_dir(str(sf_copy), "snap", "app")
+    assert len({d_fixture, d_col, d_variant}) == 3
+
+
+def test_ensure_index_rebuilds_on_meta_mismatch(spark, tmp_path):
+    """Belt-and-braces half of the ADVICE fix: a hand-moved artifact whose
+    stored meta records a different snapshot_col is rebuilt, not misread."""
+    sf_copy = tmp_path / "sfZ"
+    sf_copy.mkdir()
+    shutil.copyfile(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        sf_copy / "documents.parquet",
+    )
+    sf = str(sf_copy)
+    index_store.minhash_index_build(spark, sf)
+    root = index_store.index_dir(sf)
+    meta = index_store._read_meta(root)
+    meta["snapshot_col"] = "somethingelse"
+    index_store._write_meta(root, meta)
+    index_store._ensure_index(spark, sf, None)
+    assert index_store._read_meta(root)["snapshot_col"] is None, (
+        "mismatched meta must trigger a rebuild"
+    )
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    """The append-path contract (VERDICT r12 item 5): build(A) then
+    append(B) must answer a probe byte-identically to a from-scratch
+    build(A ∪ B), and the append must not rewrite the index (generations
+    counter advances; probe reuses the artifact as-is)."""
+    from pyspark.sql import functions as SF
+
+    sf_dir = str(tmp_path / "sfApp")
+    base = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    base.withColumn(
+        "snap", SF.when(SF.col("doc_id") % 3 == 0, "new").otherwise("old")
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    part_a = docs.filter(SF.col("doc_id") % 3 == 1)
+    part_b = docs.filter(SF.col("doc_id") % 3 == 2)
+
+    # oracle: one-shot index over the full previous snapshot A ∪ B
+    index_store.drop_index(sf_dir, "snap")
+    index_store.minhash_index_build(spark, sf_dir, "snap")
+    want = _sorted_rows(index_store.minhash_index_probe(spark, sf_dir, "snap"))
+
+    # nightly path: build A, append B, probe the same delta
+    index_store.drop_index(sf_dir, "snap", variant="app")
+    index_store.minhash_index_build(spark, sf_dir, "snap", variant="app", docs=part_a)
+    summary = index_store.minhash_index_append(
+        spark, sf_dir, part_b, "snap", variant="app"
+    ).collect()
+    assert {r["band"] for r in summary} == {0, 1, 2, 3}
+    got = _sorted_rows(
+        index_store.minhash_index_probe(spark, sf_dir, "snap", variant="app")
+    )
+    assert got == want and len(got) > 0
+    meta = index_store._read_meta(index_store.index_dir(sf_dir, "snap", "app"))
+    assert meta["generations"] == 2
+
+
+def test_append_without_build_raises(spark, tmp_path):
+    sf_copy = tmp_path / "sfNoIdx"
+    sf_copy.mkdir()
+    shutil.copyfile(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        sf_copy / "documents.parquet",
+    )
+    docs = index_store.load_table(spark, str(sf_copy), "documents")
+    index_store.drop_index(str(sf_copy))
+    try:
+        index_store.minhash_index_append(spark, str(sf_copy), docs.limit(1))
+        raise AssertionError("append on a missing index must raise")
+    except ValueError as e:
+        assert "build before appending" in str(e)

@@ -13,8 +13,12 @@ SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle
 echo "== leg 3: oracle parity at sf0.1 (scale-dependent drift: rounding, overflow) =="
 SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 python -m pytest tests/test_oracle_parity.py -q
 
-echo "== leg 4: driver-style contract harness (plain session, sf0.01) =="
-python tools/drive_contract.py 2>&1 | tail -3
+echo "== leg 4: driver-style contract harness (plain session, sf0.01)."
+echo "   Writes the round's full-registry correctness artifact — COMMIT IT"
+echo "   (VERDICT r12 item 2: the artifact belongs in git every round) =="
+ROUND_N="${ROUND_N:-$(ls CORRECTNESS_r*.json 2>/dev/null | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1)}"
+CONTRACT_JSON_OUT="CORRECTNESS_FULL_r$(printf '%02d' $((ROUND_N + 1))).json" \
+  python tools/drive_contract.py 2>&1 | tail -3
 
 echo "== leg 5: bench JSON line at sf0.1 =="
 python bench.py 2>/dev/null | tail -1

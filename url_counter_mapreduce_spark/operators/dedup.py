@@ -415,22 +415,45 @@ def dedup_minhash_pairs(
 # --------------------------------------------------------------------------
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """32-bit SimHash. Token hash = first 32 bits of md5 — reproducible in
-    DuckDB via the same substring (registry oracle mirrors both stages).
+    """64-bit SimHash (Charikar 2002 as deployed by Manku, Jain & Das
+    Sarma, WWW 2007 — 64-bit fingerprints banded for Hamming ≤ 3). Token
+    hash = first 64 bits of md5, taken as two 32-bit halves so both
+    engines stay inside signed BIGINT arithmetic (``conv`` of 16 hex chars
+    can exceed Long.MAX and NULL out); bit j < 32 comes from the LOW half
+    (hex chars 9..16), bit j ≥ 32 from the HIGH half (chars 1..8), i.e.
+    h64 = hi·2³² + lo. Reproducible in DuckDB via the same substrings
+    (registry oracle mirrors both stages). The round-12 32-bit signature
+    banded into a CONSTANT 1,024-key space — Θ(N²/128) expected
+    candidates (VERDICT r12 item 1); 64 bits banded 4×16 gives a 4×65,536
+    key space, collision probability per band 1/65,536 instead of 1/256,
+    with the same pigeonhole recall-1 guarantee for Hamming ≤ 3.
 
-    Formulation: explode distinct tokens → 32 conditional bit-sums in one
+    Formulation: explode distinct tokens → 64 conditional bit-sums in one
     codegen'd partial-aggregated groupBy → bit assembly. Per bit j the
-    +1/-1 weight sum is positive iff 2·Σbit_j > n_tokens. Measured ~9×
-    faster than the nested higher-order-aggregate form (interpreted lambdas)
-    and shuffle-light at scale: partial aggregation reduces each doc to one
-    33-column row per map partition before the exchange."""
+    +1/-1 weight sum is positive iff 2·Σbit_j > n_tokens. The nested
+    higher-order-aggregate form measured ~9× slower (interpreted lambdas);
+    this stays shuffle-light at scale: partial aggregation reduces each
+    doc to one 65-column row per map partition before the exchange. Bit
+    63 is assembled as +Long.MIN (two's complement) so the signature
+    occupies the full signed BIGINT range identically in both engines."""
     tok = spread(docs).select("doc_id", F.explode(F.expr(_tokens_expr())).alias("t"))
-    h = tok.select("doc_id", F.expr("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)").alias("h"))
+    h = tok.select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)").alias("hi"),
+        F.expr("CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT)").alias("lo"),
+    )
     g = h.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"s{j}") for j in range(32)],
+        *[F.sum(F.expr(f"shiftright(lo, {j}) & 1")).alias(f"s{j}") for j in range(32)],
+        *[
+            F.sum(F.expr(f"shiftright(hi, {j - 32}) & 1")).alias(f"s{j}")
+            for j in range(32, 64)
+        ],
     )
-    assemble = " + ".join(f"IF(2 * s{j} > n, shiftleft(1L, {j}), 0L)" for j in range(32))
+    assemble = " + ".join(
+        f"IF(2 * s{j} > n, shiftleft(1L, {j}), 0L)" for j in range(63)
+    )
+    assemble += " + IF(2 * s63 > n, CAST(-9223372036854775808 AS BIGINT), 0L)"
     sigs = g.select("doc_id", F.expr(assemble).alias("simhash"))
     # explode drops token-less docs; the signature of an empty token set is
     # 0 (every bit-weight sum is 0, not > 0) — restore those rows so the
@@ -449,34 +472,90 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: block on any equal byte of the signature
-    (4 bands x 8 bits), verify Hamming distance ≤ 3 of the full 32 bits.
-    The threshold equals the blocking guarantee (pigeonhole: ≤3 flipped bits
-    can't touch all 4 bytes), so recall within the threshold is exactly 1.
-    """
-    sigs = simhash_signatures(load_table(spark, sf_dir, "documents"))
-    bands = sigs.select(
-        "doc_id",
+    """SimHash near-dup pairs: block on any equal 16-bit block of the
+    64-bit signature (4 bands × 16 bits — the Manku/Jain/Das Sarma WWW
+    2007 layout), verify Hamming distance ≤ 3 of the full 64 bits. The
+    threshold equals the blocking guarantee (pigeonhole: ≤3 flipped bits
+    can't touch all 4 blocks), so recall within the threshold is exactly 1.
+
+    Scale shape (VERDICT r12 item 1): two compounding fixes over the
+    round-12 doc-level 8-bit band join —
+
+    1. the band-join key space is 4×65,536: on near-uniform signatures
+       the expected in-bucket candidate volume is Θ(N²/2¹⁸) per band,
+       256× below the previous constant 1,024-key space that was
+       beginning to show quadratic growth at the sf1.0 leg;
+    2. the join runs over DISTINCT signatures (the Manku pipeline's
+       dedup-fingerprints-first step): clone/template-heavy corpora
+       collapse whole duplicate families to one band row each, so the
+       shuffle is ∝ distinct-signature collisions + emitted output, never
+       ∝ (family size)² × 4 bands. Doc pairs are recovered afterwards by
+       two hash joins back to the (doc_id, simhash) table: equal-signature
+       families expand via a signature self-join (hamming 0, exactly the
+       output), cross-signature sig-pairs expand to their doc cross
+       products (also exactly the output). Measured at sf0.1: band-join
+       candidate volume 9.47M (old) → 0.17M sig-level (tools/
+       simhash_band_probe.py, docs/SCALE.md §11.16).
+
+    Recall is unchanged: hamming(x, y) ≤ 3 with 4 bands ⇒ some 16-bit
+    block equal (pigeonhole), so the sig-level join sees every qualifying
+    signature pair. Shiftright on the (possibly negative) signature is
+    arithmetic in both engines; the & 65535 mask discards the sign
+    extension, so band keys agree bit-for-bit with the oracle."""
+    # the signature aggregation feeds FOUR plan branches (distinct bands,
+    # two expand-back joins, the equal-signature self-join) — materialize
+    # it once instead of recomputing the 64-sum groupBy per branch
+    sigs = simhash_signatures(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    usig = sigs.select("simhash").distinct()
+    ub = usig.select(
         "simhash",
         F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.expr(f"shiftright(simhash, {8*b}) & 255").alias("key")) for b in range(4)])
+            F.array(*[F.struct(F.lit(b).alias("band"), F.expr(f"shiftright(simhash, {16*b}) & 65535").alias("key")) for b in range(4)])
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
+    ).select("simhash", "bk.band", "bk.key")
+    a, b = ub.alias("a"), ub.alias("b")
+    sig_pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("a.simhash") < F.col("b.simhash"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         # Hamming filter BEFORE the dedup of band collisions: the distinct
-        # then shuffles only the near pairs, not every band co-occurrence
-        # (on the dense fixture buckets that is most of the join output)
+        # then shuffles only the near signature pairs, not every band
+        # co-occurrence
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+    cross = (
+        sig_pairs.join(
+            sigs.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sig_a")),
+            "sig_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sig_b")),
+            "sig_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    same = (
+        sa.join(sb, F.col("sa.simhash") == F.col("sb.simhash"))
+        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .select(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 # --------------------------------------------------------------------------
@@ -843,15 +922,24 @@ def snapshot_is_new(snapshot_col: str | None = None) -> "F.Column":
 
     With ``snapshot_col`` (a string/boolean column on the documents frame)
     membership comes from the DATA: a row is 'new' when the column is
-    boolean true or the literal string ``'new'``. Without it, the
+    boolean true or the string ``'new'``/``'true'`` (case-insensitive);
+    NULL/unknown values fall to the previous snapshot. Without it, the
     documented fixture convention ``doc_id % 3 == 0`` stands in for
     'today's crawl' — deterministic, oracle-replayable, and ~1/3 of the
     corpus so both new×old and new×new pairs occur. NB multimodal.py's
     unrelated ``doc_id % 3`` (a fixture format-variant trick) is NOT this
     convention and deliberately does not route through here."""
     if snapshot_col is not None:
+        # NULL-safe and case-insensitive: isin returns NULL on NULL input,
+        # and a row that is neither new nor ~new would vanish from BOTH
+        # snapshots (ADVICE r12). Unknown/NULL rows land in the PREVIOUS
+        # snapshot — the conservative side for dedup (a doc of unknown
+        # provenance is treated as already-seen index content, never as a
+        # fresh arrival that skips the old×old exclusion).
         c = F.col(snapshot_col)
-        return c.cast("string").isin("true", "new")
+        return F.coalesce(
+            F.lower(c.cast("string")).isin("true", "new"), F.lit(False)
+        )
     return F.col("doc_id") % 3 == 0
 
 

@@ -1141,7 +1141,10 @@ def strongly_connected_components(
 
     - edge set ≤ ``collect_max_edges``: driver-side iterative Tarjan
       (linear time; a verified link graph's edge set is collect-sized
-      long before the corpus is).
+      long before the corpus is). The gate counts edge ROWS — exactly
+      what ``toPandas`` ships — so a multigraph of many rows between few
+      nodes is still bounded: driver memory is ≤ cap × ~16 B regardless
+      of how few distinct pairs or endpoints those rows collapse to.
     - larger: randomized two-sided FW-BW (_scc_distributed, round 12 —
       replaced the r11 Orzan coloring whose outer rounds grew with the
       longest chain of SCCs): per round, every node learns its minimum
@@ -1227,7 +1230,7 @@ def _drop_scratch(paths: list[str]) -> None:
 
 def _scc_reach_fixpoint(
     er: DataFrame, init: DataFrame, from_col: str, to_col: str
-) -> DataFrame:
+) -> tuple[DataFrame, list[str]]:
     """Min-label reachability to fixpoint WITHIN blocks, with pointer
     halving — the shared inner engine of both FW-BW phases.
 
@@ -1237,7 +1240,13 @@ def _scc_reach_fixpoint(
     (pass src→dst for forward reachability, dst→src for backward), each
     node keeping the MIN label that reached it. The halving jump
     lab(v) ← min(lab(v), lab(lab(v).id)) is sound because reachability is
-    transitive; it cuts rounds to O(log path)."""
+    transitive; it cuts rounds to O(log path).
+
+    Returns (labels, owned_paths): every scratch file still on disk that
+    this fixpoint created, INCLUDING the one backing the returned frame —
+    the caller sweeps them once the labels are consumed by its next
+    barrier (ADVICE r12: the final two label files per fixpoint were
+    never on any stale list, leaking scratch across invocations)."""
     labels, prev_path = _scc_barrier(init)
     stale: list[str] = []
     for _round in range(MAX_SCC_PROP_ITERS):
@@ -1281,7 +1290,7 @@ def _scc_reach_fixpoint(
         stale.append(prev_path)
         labels, prev_path = stepped, new_path
         if changed == 0:
-            return labels
+            return labels, stale + [prev_path]
     raise RuntimeError("SCC reachability did not converge")  # pragma: no cover
 
 
@@ -1357,8 +1366,8 @@ def _scc_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 "lab"
             ),
         )
-        fw = _scc_reach_fixpoint(er, init, "src", "dst")  # lab = min reaching v
-        bw = _scc_reach_fixpoint(er, init, "dst", "src")  # lab = min v reaches
+        fw, fw_paths = _scc_reach_fixpoint(er, init, "src", "dst")  # min reaching v
+        bw, bw_paths = _scc_reach_fixpoint(er, init, "dst", "src")  # min v reaches
         tagged, tag_path = _scc_barrier(
             fw.withColumnRenamed("lab", "f")
             .join(bw.withColumnRenamed("lab", "b"), ["id", "block"])
@@ -1388,12 +1397,21 @@ def _scc_distributed(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 F.md5(F.concat_ws("|", "block", "f_id", "b_id")).alias("block"),
             )
         )
-        # everything this round's barriers superseded is now unread
+        # everything this round's barriers superseded is now unread —
+        # including both fixpoints' label files (their frames were
+        # consumed by the `tagged` barrier above, ADVICE r12)
         _drop_scratch(stale)
+        stale += fw_paths + bw_paths
         stale += [p for p in (rem_path, er_path, tag_path, done_path) if p]
         rem_path, done_path = new_rem_path, new_done_path
     else:  # pragma: no cover
         raise RuntimeError("SCC outer loop did not converge")
+    # final sweep: only `done`'s backing file is still read by the frame
+    # we return; the last remaining/er/tag generations and every pending
+    # stale entry are dead (ADVICE r12 — they used to accumulate in /tmp
+    # across SCC invocations in a long session)
+    _drop_scratch(stale)
+    _drop_scratch([rem_path])
     if done is None:
         # no edges at all: every node is a singleton SCC
         return nodes.select("id", F.col("id").alias("scc_id"))

@@ -21,9 +21,16 @@ append-only. This module makes the artifact real:
   ``dedup.incremental_minhash_pairs`` — same oracle SQL — with the work
   ∝ delta + matched postings, never ∝ corpus.
 
+* :func:`minhash_index_append` — the nightly close: fold today's
+  verified delta into the stored index as NEW part files in the same
+  band-partitioned layout (never rewriting existing postings), so
+  build(A) + append(B) answers probes byte-identically to a from-scratch
+  build(A ∪ B) — the tested equivalence contract.
+
 100 TB shape: the stored ``bands`` table is what a production pipeline
 keeps in its lakehouse — append-only (each night's verified-new docs
-append their band rows), partitioned by band and shuffled on (band, key)
+append their band rows via :func:`minhash_index_append`), partitioned by
+band and shuffled on (band, key)
 at write so a probe's equi-join co-locates with at most one exchange on
 the small delta side. Snapshot membership comes from
 :func:`dedup.snapshot_is_new` — a data column on real feeds, the
@@ -51,37 +58,95 @@ from .dedup import (
 _INDEX_V = "v1"
 
 
-def index_dir(sf_dir: str) -> str:
+def index_dir(
+    sf_dir: str, snapshot_col: str | None = None, variant: str = ""
+) -> str:
     """Deterministic artifact location for the corpus at ``sf_dir`` —
     keyed to the documents file's content fingerprint so regenerated
     fixture data never probes a stale index (same discipline as the
-    streaming state-audit checkpoint)."""
+    streaming state-audit checkpoint), AND to the snapshot convention
+    (ADVICE r12: a probe with a different ``snapshot_col`` than the build
+    must not silently reuse an index whose old-side membership follows the
+    other convention). ``variant`` lets callers keep independent indexes
+    for the same corpus side by side (e.g. an append-maintained index next
+    to a from-scratch rebuild in the equivalence test)."""
     fp = file_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    return tmp_scratch_dir("mh_index", f"{sf_dir}:{_INDEX_V}:{fp}")
+    return tmp_scratch_dir(
+        "mh_index", f"{sf_dir}:{_INDEX_V}:{fp}:{snapshot_col}:{variant}"
+    )
 
 
 def _meta_path(root: str) -> str:
     return os.path.join(root, "_INDEX_META.json")
 
 
-def index_exists(sf_dir: str) -> bool:
-    return os.path.exists(_meta_path(index_dir(sf_dir)))
+def index_exists(
+    sf_dir: str, snapshot_col: str | None = None, variant: str = ""
+) -> bool:
+    return os.path.exists(_meta_path(index_dir(sf_dir, snapshot_col, variant)))
 
 
-def drop_index(sf_dir: str) -> None:
+def drop_index(
+    sf_dir: str, snapshot_col: str | None = None, variant: str = ""
+) -> None:
     """Remove the stored artifacts (tests / forced rebuild)."""
     import shutil
 
-    shutil.rmtree(index_dir(sf_dir), ignore_errors=True)
+    shutil.rmtree(index_dir(sf_dir, snapshot_col, variant), ignore_errors=True)
+
+
+def _read_meta(root: str) -> dict | None:
+    try:
+        with open(_meta_path(root)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _append_rows(spark: SparkSession, root: str, docs: DataFrame) -> None:
+    """Append ``docs``' signature and band rows to an existing index.
+
+    Write order is crash-safe without a second meta marker: ``sigs`` land
+    first, then ``bands`` — a crash between the two leaves extra sig rows
+    no band posting references (harmless: the verify join only reads
+    shingles for docs that appear as candidates), never band postings
+    whose shingles are missing (which would silently drop pairs)."""
+    sigs = _signatures_with_shingles(docs)
+    sigs.write.mode("append").parquet(os.path.join(root, "sigs"))
+    bands = _band_keys(sigs, carry=[])
+    (
+        bands.repartition("band", "key")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(os.path.join(root, "bands"))
+    )
+
+
+def _write_meta(root: str, meta: dict) -> None:
+    """Atomic meta write: temp file + rename, so a reader never sees a
+    torn marker (the marker's presence is the 'index readable' bit)."""
+    tmp = _meta_path(root) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _meta_path(root))
 
 
 def _write_index(
-    spark: SparkSession, sf_dir: str, snapshot_col: str | None
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_col: str | None,
+    variant: str = "",
+    docs: DataFrame | None = None,
 ) -> str:
-    root = index_dir(sf_dir)
-    docs = load_table(spark, sf_dir, "documents").filter(
-        ~snapshot_is_new(snapshot_col)
-    )
+    """From-scratch (over)write. ``docs`` overrides the old-snapshot frame
+    — the power API for feeds whose previous snapshot is a separate table
+    and for the append-equivalence tests; default is everything NOT in the
+    current snapshot per :func:`dedup.snapshot_is_new`."""
+    root = index_dir(sf_dir, snapshot_col, variant)
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents").filter(
+            ~snapshot_is_new(snapshot_col)
+        )
     sigs = _signatures_with_shingles(docs)
     sigs.write.mode("overwrite").parquet(os.path.join(root, "sigs"))
     # re-read the stored sigs so the band pass scans the (columnar, already
@@ -101,45 +166,88 @@ def _write_index(
         "version": _INDEX_V,
         "sf_dir": sf_dir,
         "snapshot_col": snapshot_col,
+        "variant": variant,
+        "generations": 1,
         "fingerprint": file_fingerprint(os.path.join(sf_dir, "documents.parquet")),
     }
-    with open(_meta_path(root), "w") as fh:
-        json.dump(meta, fh)  # marker written LAST: half-built is unreadable
+    _write_meta(root, meta)  # marker written LAST: half-built is unreadable
     return root
 
 
 def _ensure_index(
-    spark: SparkSession, sf_dir: str, snapshot_col: str | None
+    spark: SparkSession, sf_dir: str, snapshot_col: str | None, variant: str = ""
 ) -> str:
     """Bootstrap: build the stored index if the artifact is absent. The
     fingerprint-keyed path makes this idempotent — an existing index for
-    the same corpus bytes is reused as-is, across sessions."""
-    root = index_dir(sf_dir)
-    if not os.path.exists(_meta_path(root)):
-        _write_index(spark, sf_dir, snapshot_col)
+    the same corpus bytes AND snapshot convention is reused as-is, across
+    sessions. Belt-and-braces (ADVICE r12): even though ``snapshot_col``
+    is part of the path key, the stored meta is validated too — an
+    artifact whose recorded convention disagrees (hand-moved, or written
+    by an older layout) is rebuilt, never misread."""
+    root = index_dir(sf_dir, snapshot_col, variant)
+    meta = _read_meta(root)
+    if meta is None or meta.get("snapshot_col") != snapshot_col:
+        _write_index(spark, sf_dir, snapshot_col, variant)
     return root
 
 
+def minhash_index_append(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame,
+    snapshot_col: str | None = None,
+    variant: str = "",
+) -> DataFrame:
+    """Append ``docs`` (doc_id, text) to the stored index — the nightly
+    close of the incremental loop (module docstring: probe today's delta,
+    verify, then fold it in so tomorrow's probe treats it as old). Never
+    rewrites existing postings: new part files land in the same
+    band-partitioned layout, so a probe's partition-pruned scan picks up
+    old and appended generations alike. Returns the same per-band summary
+    as :func:`minhash_index_build`, read back from disk.
+
+    Equivalence contract (tested): build(A) then append(B) answers every
+    probe byte-identically to build(A ∪ B)."""
+    root = index_dir(sf_dir, snapshot_col, variant)
+    meta = _read_meta(root)
+    if meta is None:
+        raise ValueError(
+            f"no index at {root}; build before appending (minhash_index_build)"
+        )
+    _append_rows(spark, root, docs)
+    meta["generations"] = int(meta.get("generations", 1)) + 1
+    _write_meta(root, meta)
+    return _band_summary(spark, root)
+
+
+def _band_summary(spark: SparkSession, root: str) -> DataFrame:
+    bands = spark.read.parquet(os.path.join(root, "bands"))
+    return bands.groupBy(F.col("band").cast("int").alias("band")).agg(
+        F.countDistinct("key").cast("long").alias("n_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+    )
+
+
 def minhash_index_build(
-    spark: SparkSession, sf_dir: str, snapshot_col: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_col: str | None = None,
+    variant: str = "",
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Build (or rebuild) the stored index and return its per-band summary:
     (band, n_keys, n_postings) — distinct band keys and posting rows per
     band, read back from the artifact ON DISK so the query verifies what
     was actually stored, not what was about to be."""
-    root = _write_index(spark, sf_dir, snapshot_col)
-    bands = spark.read.parquet(os.path.join(root, "bands"))
-    return (
-        bands.groupBy(F.col("band").cast("int").alias("band"))
-        .agg(
-            F.countDistinct("key").cast("long").alias("n_keys"),
-            F.count(F.lit(1)).cast("long").alias("n_postings"),
-        )
-    )
+    root = _write_index(spark, sf_dir, snapshot_col, variant, docs)
+    return _band_summary(spark, root)
 
 
 def minhash_index_probe(
-    spark: SparkSession, sf_dir: str, snapshot_col: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_col: str | None = None,
+    variant: str = "",
 ) -> DataFrame:
     """Probe the STORED index with today's snapshot — the fresh-session
     nightly-crawl path. Reads ``bands``/``sigs`` from disk (never the
@@ -150,7 +258,7 @@ def minhash_index_probe(
     Work ∝ |delta| + matched postings: the new side is today's docs only;
     the stored side is a partition-pruned parquet scan of (band, key,
     doc_id) postings joined on short hash keys."""
-    root = _ensure_index(spark, sf_dir, snapshot_col)
+    root = _ensure_index(spark, sf_dir, snapshot_col, variant)
     stored_bands = spark.read.parquet(os.path.join(root, "bands")).select(
         F.col("doc_id").alias("doc_b"), F.col("band").cast("int").alias("band"), "key"
     )

@@ -441,26 +441,39 @@ _register(
     _INCREMENTAL_PAIRS_SQL,
 )
 
+# 64-bit SimHash (Manku/Jain/Das Sarma WWW 2007 layout, VERDICT r12 item
+# 1). Token hash = hi·2³² + lo from the first 16 md5 hex chars, promoted
+# to HUGEINT so bit 63 never overflows; the assembled signature folds bit
+# 63 as +Long.MIN, landing on the identical signed BIGINT two's-complement
+# value Spark's shiftleft(1L, j) sum produces.
 _SIMHASH_SQL = """
 WITH t AS (
   SELECT doc_id,
          list_transform(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')),
-                        tok -> CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)) AS hashes
+                        tok -> CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS HUGEINT)
+                               * 4294967296
+                               + CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT)) AS hashes
   FROM documents
 ), sigs AS (
   SELECT doc_id,
-         CAST(list_sum(list_transform(range(0, 32), j ->
+         CAST(list_sum(list_transform(range(0, 63), j ->
               CASE WHEN list_sum(list_transform(hashes, h ->
                          CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-                   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+                   THEN (CAST(1 AS HUGEINT) << j) ELSE 0 END))
+              + CASE WHEN list_sum(list_transform(hashes, h ->
+                         CASE WHEN ((h >> 63) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN -9223372036854775808 ELSE 0 END
+           AS BIGINT) AS simhash
   FROM t
 )
 """
 
 _register("dedup_simhash", dedup.dedup_simhash, _SIMHASH_SQL + "SELECT doc_id, simhash FROM sigs")
 
+# 4 bands × 16 bits; >> is arithmetic on negative BIGINT in both engines
+# and the & 65535 mask drops the sign extension, so keys agree exactly
 _SIMHASH_BANDS = " UNION ALL ".join(
-    f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8*b}) & 255 AS key FROM sigs"
+    f"SELECT doc_id, simhash, {b} AS band, (simhash >> {16*b}) & 65535 AS key FROM sigs"
     for b in range(4)
 )
 

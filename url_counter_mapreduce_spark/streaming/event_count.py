@@ -51,7 +51,10 @@ def _stream_dir_for(sf_dir: str, table: str) -> str:
         if tgt is None or not os.path.exists(link) or (
             os.path.realpath(link) != os.path.realpath(tgt)
         ):
-            os.unlink(link)  # no longer wanted, dangling, or retargeted
+            try:
+                os.unlink(link)  # no longer wanted, dangling, or retargeted
+            except FileNotFoundError:
+                pass  # concurrent pruner already removed it
     for name, tgt in want.items():
         link = os.path.join(d, name)
         if not os.path.lexists(link):

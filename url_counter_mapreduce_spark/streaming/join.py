@@ -21,9 +21,10 @@ from .event_count import _events_stream
 JOIN_WINDOW = "30 minutes"
 
 
-def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """purchase stream ⋈ view stream: (purchase, view) pairs per user with
-    the view in [purchase.ts − 30 min, purchase.ts]."""
+def joined_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformed (un-sunk) stream — shared by the registered query
+    below and the steady-state marginal-drain harness (streaming/steady.py),
+    which attaches its own persistent checkpoint + foreachBatch sink."""
     purchases = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -44,7 +45,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("v_ts", "1 hour")
     )
-    joined = purchases.join(
+    return purchases.join(
         views,
         F.expr(
             f"user_id = v_user AND v_ts BETWEEN p_ts - INTERVAL {JOIN_WINDOW} AND p_ts"
@@ -56,6 +57,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
         F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
     )
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """purchase stream ⋈ view stream: (purchase, view) pairs per user with
+    the view in [purchase.ts − 30 min, purchase.ts]."""
+    joined = joined_stream(spark, sf_dir)
     sink = "stream_stream_join_sink"
     q = (
         joined.writeStream.format("memory")

@@ -30,13 +30,10 @@ from .event_count import _events_stream
 SESSION_GAP = "30 minutes"
 
 
-def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessions as a *streaming* aggregation: session_window
-    merges events within a 30-minute gap; the watermark closes sessions and
-    GCs their state. Append mode emits only watermark-closed sessions, so
-    sessions within 1h of the stream's end stay open (checked as a subset
-    of the batch sessionization in tests)."""
-    windowed = (
+def sessionized_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformed (un-sunk) session stream — shared by the registered
+    query and the steady-state harness (streaming/steady.py)."""
+    return (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
@@ -49,6 +46,15 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions as a *streaming* aggregation: session_window
+    merges events within a 30-minute gap; the watermark closes sessions and
+    GCs their state. Append mode emits only watermark-closed sessions, so
+    sessions within 1h of the stream's end stay open (checked as a subset
+    of the batch sessionization in tests)."""
+    windowed = sessionized_stream(spark, sf_dir)
     sink = "stream_sessionize_sink"
     q = (
         windowed.writeStream.format("memory")

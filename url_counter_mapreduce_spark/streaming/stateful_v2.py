@@ -35,18 +35,24 @@ def _have_transform_with_state() -> bool:
         return False
 
 
-def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents stream → fingerprint → keyed stateful dedup: per-key state
-    records the keeper; a key yields output only on first sight. State
-    lives for the stream's life (a production deployment adds a TTL to
-    bound it — the transformWithState API supports that natively)."""
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformed (un-sunk) first-seen-dedup stream — shared by the
+    registered query and the steady-state harness (streaming/steady.py)."""
     batch_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
     src = (
         spark.readStream.schema(batch_schema)
         .format("parquet")
         .load(_stream_dir_for(sf_dir, "documents"))
     )
-    deduped = first_seen_dedup(src)
+    return first_seen_dedup(src)
+
+
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents stream → fingerprint → keyed stateful dedup: per-key state
+    records the keeper; a key yields output only on first sight. State
+    lives for the stream's life (a production deployment adds a TTL to
+    bound it — the transformWithState API supports that natively)."""
+    deduped = dedup_stream(spark, sf_dir)
     sink = "stream_dedup_stateful_sink"
     q = (
         deduped.writeStream.format("memory")

@@ -52,15 +52,45 @@ def file_fingerprint(path: str) -> str:
     return ";".join(parts)
 
 
+def scratch_base_dir() -> str:
+    """Base directory for every scratch/stored artifact (VERDICT r12 item
+    4). Resolution order:
+
+    1. ``SPARK_GRAFT_SCRATCH_DIR`` environment variable;
+    2. ``spark.graft.scratchDir`` on the active SparkSession, if any;
+    3. the system temp dir (the historical default).
+
+    On local[*] the default is fine; on a real cluster this MUST point at
+    a shared filesystem mount (NFS/FUSE-mounted object store) — the SCC
+    parquet barrier, the stored minhash index, sinks, and stream
+    checkpoints all live under it, and executors re-read what the driver
+    wrote. The value is a directory path as seen by every node."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if env:
+        return env
+    try:
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            conf = active.conf.get("spark.graft.scratchDir", None)
+            if conf:
+                return conf
+    except Exception:
+        pass
+    return tempfile.gettempdir()
+
+
 def tmp_scratch_dir(prefix: str, key: str) -> str:
-    """Deterministic per-(user, key) scratch directory under the system
-    temp dir — the single helper behind every sink/roundtrip/stream scratch
-    location. The uid keeps fixed paths from colliding across users of a
-    shared /tmp; the md5 tag keys the directory to its logical content
-    (e.g. the source sf_dir) so different inputs never share a path."""
+    """Deterministic per-(user, key) scratch directory under
+    :func:`scratch_base_dir` — the single helper behind every
+    sink/roundtrip/stream/index scratch location. The uid keeps fixed
+    paths from colliding across users of a shared base; the md5 tag keys
+    the directory to its logical content (e.g. the source sf_dir) so
+    different inputs never share a path."""
     uid = os.getuid() if hasattr(os, "getuid") else 0
     tag = hashlib.md5(key.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{prefix}_{uid}_{tag}")
+    return os.path.join(scratch_base_dir(), f"spark_graft_{prefix}_{uid}_{tag}")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
