@@ -314,6 +314,8 @@ NORTH_STAR_SURFACE = [
     # probe reads it back in any (fresh) session
     "minhash_index_build",
     "minhash_index_probe",
+    "minhash_index_append",
+    "minhash_index_probe_appended",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

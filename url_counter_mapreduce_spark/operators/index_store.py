@@ -228,6 +228,43 @@ def _band_summary(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def minhash_index_append_roundtrip(
+    spark: SparkSession, sf_dir: str, snapshot_col: str | None = None
+) -> DataFrame:
+    """Registered append-path query (round 13): rebuild the ``roundtrip``
+    variant from HALF the previous snapshot (doc_id parity split — covers
+    every previous doc whatever the snapshot convention), append the
+    other half via :func:`minhash_index_append`, and return the per-band
+    summary read back from the ON-DISK appended artifact. Its oracle is
+    the band summary over the FULL previous snapshot — identical SQL to
+    ``minhash_index_build``'s — so build(A) + append(B) ≡ build(A ∪ B)
+    is checked by the driver's DuckDB gate every round, not only by
+    pytest. Rebuilds from scratch on every call (drop → build → append),
+    so repeated invocations never double-append."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        ~snapshot_is_new(snapshot_col)
+    )
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+    drop_index(sf_dir, snapshot_col, "roundtrip")
+    root = _write_index(spark, sf_dir, snapshot_col, "roundtrip", docs=part_a)
+    minhash_index_append(spark, sf_dir, part_b, snapshot_col, "roundtrip")
+    return _band_summary(spark, root)
+
+
+def minhash_index_probe_appended(
+    spark: SparkSession, sf_dir: str, snapshot_col: str | None = None
+) -> DataFrame:
+    """Probe today's snapshot against the APPENDED index (the
+    ``roundtrip`` variant, built on demand) — must be byte-identical to
+    ``minhash_index_probe`` / ``incremental_minhash_pairs`` (same
+    oracle), closing the loop: append-maintained indexes answer probes
+    exactly like from-scratch rebuilds."""
+    if not index_exists(sf_dir, snapshot_col, "roundtrip"):
+        minhash_index_append_roundtrip(spark, sf_dir, snapshot_col)
+    return minhash_index_probe(spark, sf_dir, snapshot_col, variant="roundtrip")
+
+
 def minhash_index_build(
     spark: SparkSession,
     sf_dir: str,

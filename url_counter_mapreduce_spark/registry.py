@@ -441,6 +441,28 @@ _register(
     _INCREMENTAL_PAIRS_SQL,
 )
 
+# append path (VERDICT r12 item 5): build(A) + append(B) must equal
+# build(A ∪ B) — the append query's oracle IS the full-snapshot build
+# summary, and the appended-probe's oracle IS the incremental replay, so
+# both halves of the equivalence run under the driver's DuckDB gate.
+_register(
+    "minhash_index_append",
+    index_store.minhash_index_append_roundtrip,
+    _SIGS_CTE
+    + ", sigs_old AS (SELECT * FROM sigs WHERE doc_id % 3 <> 0)"
+    + f", bands AS ({_BANDS_SQL.replace('FROM sigs', 'FROM sigs_old')})"
+    + """
+    SELECT band, COUNT(DISTINCT key) AS n_keys, COUNT(*) AS n_postings
+    FROM bands GROUP BY band
+    """,
+)
+
+_register(
+    "minhash_index_probe_appended",
+    index_store.minhash_index_probe_appended,
+    _INCREMENTAL_PAIRS_SQL,
+)
+
 # 64-bit SimHash (Manku/Jain/Das Sarma WWW 2007 layout, VERDICT r12 item
 # 1). Token hash = hi·2³² + lo from the first 16 md5 hex chars, promoted
 # to HUGEINT so bit 63 never overflows; the assembled signature folds bit
