@@ -79,6 +79,97 @@ def test_simhash_invariants(spark):
     assert ham13 <= 12  # 64-bit width: ~2× the old 32-bit bound
 
 
+def _simhash64_ref(text: str) -> int:
+    """Pure-python reference of the 64-bit SimHash (Manku layout as
+    shipped): distinct space-split tokens, token hash = first 16 md5 hex
+    chars as one 64-bit int, bit j set iff the +1/-1 bit-weight sum is
+    positive, two's-complement fold into signed 64-bit."""
+    import hashlib
+
+    toks = list(dict.fromkeys(t for t in text.split(" ") if t != ""))
+    if not toks:
+        return 0
+    sums = [0] * 64
+    for t in toks:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+        for j in range(64):
+            sums[j] += 1 if (h >> j) & 1 else -1
+    sig = 0
+    for j in range(64):
+        if sums[j] > 0:
+            sig |= 1 << j
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+_token_st = st.text(
+    alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(_token_st, min_size=0, max_size=12), min_size=1, max_size=6
+    )
+)
+def test_simhash64_matches_python_reference(spark, docs):
+    """Round-13 cross-engine pin: the Spark 64-bit SimHash (two conv'd
+    32-bit md5 halves, 64 codegen'd bit-sums, bit 63 assembled as
+    +Long.MIN) must equal a direct python reference on arbitrary unicode
+    token multisets — including empty docs (signature 0), duplicate
+    tokens (distinct-set semantics), and signatures with bit 63 set
+    (negative BIGINT)."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in dedup.simhash_signatures(df).collect()}
+    want = {i: _simhash64_ref(t) for i, t in rows}
+    assert got == want
+
+
+def test_simhash_pairs_recall_one_within_hamming_3(spark, tmp_path):
+    """End-to-end pigeonhole recall: on a corpus crafted so some doc
+    pairs sit at Hamming ≤ 3 and others beyond, dedup_simhash_pairs must
+    emit EXACTLY the ≤3 pairs a brute-force python scan finds — banding
+    (4×16-bit blocks over distinct signatures + doc expansion) loses
+    nothing and invents nothing."""
+    import itertools
+    import os
+
+    base = ["alpha bravo charlie delta echo foxtrot golf hotel india juliet"] * 3
+    texts = base + [
+        "alpha bravo charlie delta echo foxtrot golf hotel india kilo",
+        "alpha bravo charlie delta echo foxtrot golf hotel lima mike",
+        "zulu yankee xray whiskey victor uniform tango sierra romeo quebec",
+        "",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sf = str(tmp_path / "sfSim")
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    sigs = {i: _simhash64_ref(t) for i, t in rows}
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        (a, b, ham(sigs[a], sigs[b]))
+        for a, b in itertools.combinations(range(len(texts)), 2)
+        if ham(sigs[a], sigs[b]) <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.dedup_simhash_pairs(spark, sf).collect()
+    }
+    assert got == want
+    assert any(h == 0 for _, _, h in got)  # identical-text family present
+
+
 def test_cosine_self_similarity(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(20)
     vals = emb.select(F.round(F.expr(cosine_expr("embedding", "embedding")), 6).alias("c")).collect()
