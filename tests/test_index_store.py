@@ -209,6 +209,69 @@ def test_append_equals_rebuild(spark, tmp_path):
     assert meta["generations"] == 2
 
 
+def test_compact_preserves_probe_and_consolidates(spark, tmp_path):
+    """minhash_index_compact: after build(A) + append(B), compaction must
+    (a) leave probe output byte-identical, (b) reset generations to 1,
+    and (c) reduce the bands table's data-file count back to one
+    clustered write per partition — without recomputing signatures."""
+    from pyspark.sql import functions as SF
+
+    sf_dir = str(tmp_path / "sfCpt")
+    base = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    base.withColumn(
+        "snap", SF.when(SF.col("doc_id") % 3 == 0, "new").otherwise("old")
+    ).coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    index_store.drop_index(sf_dir, "snap", variant="cpt")
+    index_store.minhash_index_build(
+        spark, sf_dir, "snap", variant="cpt",
+        docs=docs.filter(SF.col("doc_id") % 3 == 1),
+    )
+    index_store.minhash_index_append(
+        spark, sf_dir, docs.filter(SF.col("doc_id") % 3 == 2), "snap", "cpt"
+    )
+    before = _sorted_rows(
+        index_store.minhash_index_probe(spark, sf_dir, "snap", variant="cpt")
+    )
+    root = index_store.index_dir(sf_dir, "snap", "cpt")
+
+    def n_files(table):
+        return sum(
+            1
+            for _dir, _sub, files in os.walk(os.path.join(root, table))
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = n_files("bands")
+    summary = index_store.minhash_index_compact(
+        spark, sf_dir, "snap", variant="cpt"
+    ).collect()
+    assert {r["band"] for r in summary} == {0, 1, 2, 3}
+    assert index_store._read_meta(root)["generations"] == 1
+    assert n_files("bands") < files_before
+    after = _sorted_rows(
+        index_store.minhash_index_probe(spark, sf_dir, "snap", variant="cpt")
+    )
+    assert after == before and len(after) > 0
+
+
+def test_compact_without_index_raises(spark, tmp_path):
+    sf_copy = tmp_path / "sfNoC"
+    sf_copy.mkdir()
+    shutil.copyfile(
+        os.path.join(SF_SMOKE, "documents.parquet"),
+        sf_copy / "documents.parquet",
+    )
+    index_store.drop_index(str(sf_copy))
+    try:
+        index_store.minhash_index_compact(spark, str(sf_copy))
+        raise AssertionError("compact on a missing index must raise")
+    except ValueError as e:
+        assert "nothing to compact" in str(e)
+
+
 def test_append_without_build_raises(spark, tmp_path):
     sf_copy = tmp_path / "sfNoIdx"
     sf_copy.mkdir()

@@ -26,6 +26,11 @@ append-only. This module makes the artifact real:
   band-partitioned layout (never rewriting existing postings), so
   build(A) + append(B) answers probes byte-identically to a from-scratch
   build(A ∪ B) — the tested equivalence contract.
+* :func:`minhash_index_compact` — periodic small-file compaction:
+  re-cluster the append-grown tables back to the single-write build
+  layout (no signature recomputation), crash-safe via marker removal +
+  directory swap. The standard lakehouse maintenance triple:
+  build → append nightly → compact weekly.
 
 100 TB shape: the stored ``bands`` table is what a production pipeline
 keeps in its lakehouse — append-only (each night's verified-new docs
@@ -226,6 +231,50 @@ def _band_summary(spark: SparkSession, root: str) -> DataFrame:
         F.countDistinct("key").cast("long").alias("n_keys"),
         F.count(F.lit(1)).cast("long").alias("n_postings"),
     )
+
+
+def minhash_index_compact(
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_col: str | None = None,
+    variant: str = "",
+) -> DataFrame:
+    """Consolidate an append-grown index back to the build layout — the
+    lakehouse small-file compaction step: after N nightly appends each
+    band partition holds N small file sets, and probe scan/listing cost
+    creeps ∝ N. Compaction re-reads the stored sigs/bands (NO signature
+    recomputation — the expensive aggregation never reruns), rewrites
+    them key-clustered exactly like a fresh build, and resets
+    ``generations`` to 1.
+
+    Crash safety: the new tables land in side directories first; the meta
+    marker is then REMOVED (index momentarily unreadable → a concurrent
+    probe's _ensure_index would rebuild, never misread), directories are
+    swapped, and the marker rewritten last — every crash window leaves
+    either the intact old index or a missing marker."""
+    import shutil
+
+    root = index_dir(sf_dir, snapshot_col, variant)
+    meta = _read_meta(root)
+    if meta is None:
+        raise ValueError(f"no index at {root}; nothing to compact")
+    sigs = spark.read.parquet(os.path.join(root, "sigs"))
+    sigs.write.mode("overwrite").parquet(os.path.join(root, "sigs_new"))
+    stored = spark.read.parquet(os.path.join(root, "sigs_new"))
+    bands = _band_keys(stored, carry=[])
+    (
+        bands.repartition("band", "key")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(os.path.join(root, "bands_new"))
+    )
+    os.remove(_meta_path(root))  # unreadable from here until the new marker
+    for t in ("sigs", "bands"):
+        shutil.rmtree(os.path.join(root, t), ignore_errors=True)
+        os.replace(os.path.join(root, f"{t}_new"), os.path.join(root, t))
+    meta["generations"] = 1
+    _write_meta(root, meta)
+    return _band_summary(spark, root)
 
 
 def minhash_index_append_roundtrip(
