@@ -316,6 +316,7 @@ NORTH_STAR_SURFACE = [
     "minhash_index_probe",
     "minhash_index_append",
     "minhash_index_probe_appended",
+    "minhash_index_compact",
 ]
 
 # ops whose semantics are not SQL-expressible → rows-only by design.

@@ -301,6 +301,20 @@ def minhash_index_append_roundtrip(
     return _band_summary(spark, root)
 
 
+def minhash_index_compact_roundtrip(
+    spark: SparkSession, sf_dir: str, snapshot_col: str | None = None
+) -> DataFrame:
+    """Registered compaction query: ensure the append-grown ``roundtrip``
+    variant exists (build half + append half), compact it, and return the
+    per-band summary read back from the COMPACTED on-disk artifact.
+    Oracle = the full-previous-snapshot build summary — compaction must
+    change the file layout, never the content, and the driver's DuckDB
+    gate now checks that every round."""
+    if not index_exists(sf_dir, snapshot_col, "roundtrip"):
+        minhash_index_append_roundtrip(spark, sf_dir, snapshot_col)
+    return minhash_index_compact(spark, sf_dir, snapshot_col, "roundtrip")
+
+
 def minhash_index_probe_appended(
     spark: SparkSession, sf_dir: str, snapshot_col: str | None = None
 ) -> DataFrame:

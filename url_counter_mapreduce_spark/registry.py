@@ -463,6 +463,14 @@ _register(
     _INCREMENTAL_PAIRS_SQL,
 )
 
+# compaction changes the file layout, never the content: its summary must
+# still equal the full-snapshot build summary
+_register(
+    "minhash_index_compact",
+    index_store.minhash_index_compact_roundtrip,
+    ORACLES["minhash_index_append"],
+)
+
 # 64-bit SimHash (Manku/Jain/Das Sarma WWW 2007 layout, VERDICT r12 item
 # 1). Token hash = hi·2³² + lo from the first 16 md5 hex chars, promoted
 # to HUGEINT so bit 63 never overflows; the assembled signature folds bit
