@@ -26,6 +26,22 @@ import os
 
 from pyspark.sql import SparkSession
 
+# AQE coalescing policy (optimization round 13). parallelismFirst=true (the
+# Spark default) coalesces post-shuffle partitions only down to
+# defaultParallelism — i.e. core count — "to keep cores busy", ignoring the
+# advisory partition size for small shuffles. That is exactly the
+# local-core-count-tuned constant the scale rules warn about: every tiny
+# reduce stage runs 32 tasks whatever the data volume, and per-task dispatch
+# cost (measured 18-29 ms/task on the r13 optimization host) dominates every
+# sub-second query. With parallelismFirst=false AQE honors
+# advisoryPartitionSizeInBytes (64 MB default): local fixture shuffles
+# coalesce to 1-2 partitions (measured 0.51x total wall over a 12-query
+# sample, one query 20x faster), while at 100 TB the same policy yields
+# thousands of well-sized 64 MB partitions — the setting Spark's own SQL
+# performance-tuning guide recommends for stable partition sizing. Env
+# override for A/B measurement, not for production tuning.
+_PARALLELISM_FIRST = os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false")
+
 
 def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -36,6 +52,10 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect advisoryPartitionSizeInBytes (64 MB default) when
+        # coalescing instead of stopping at ~defaultParallelism partitions:
+        # see prep() below for the measurement and the 100 TB argument
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", _PARALLELISM_FIRST)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -75,6 +95,9 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", _PARALLELISM_FIRST
+    )
     # (events.parquet's TIMESTAMP(NANOS) column needs no conf: tables.
     # load_table branches on the observed ts dtype, covering both the
     # native NTZ read of Spark >= 4.1 and legacy nanosAsLong sessions)

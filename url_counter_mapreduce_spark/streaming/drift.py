@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .event_count import _events_stream
+from . import stream_shuffle_partitions
 
 # value buckets: floor(value) clamped to [0, 9] — events values are small
 # nonnegative doubles, so this is a ten-bin histogram with full coverage
@@ -60,14 +61,15 @@ def stream_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("obs")
     )
     sink = "stream_drift_chi2_sink"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     drained = spark.table(sink)
 
     ref = (

@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
+from . import stream_shuffle_partitions
 
 
 def _stream_dir_for(sf_dir: str, table: str) -> str:
@@ -112,14 +113,15 @@ def stream_event_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = "stream_event_count_sink"
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -143,12 +145,13 @@ def stream_sliding_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = "stream_sliding_count_sink"
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)

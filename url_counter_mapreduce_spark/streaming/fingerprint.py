@@ -31,6 +31,7 @@ from ..operators.multimodal import (
     pattern_png_bytes,
 )
 from .url_count import _documents_stream
+from . import stream_shuffle_partitions
 
 
 def _spread_stream(ids: DataFrame) -> DataFrame:
@@ -49,14 +50,15 @@ def _drain(fps: DataFrame, sink: str) -> DataFrame:
     """AvailableNow drain of a stateless fingerprint stream into a memory
     sink; shared by the three modalities so the trigger/sink discipline
     cannot drift between them."""
-    q = (
-        fps.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(fps.sparkSession):
+        q = (
+            fps.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return fps.sparkSession.table(sink)
 
 
@@ -220,12 +222,13 @@ def stream_ingest_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.partner").alias("dup_of"),
     )
     sink = "stream_ingest_dedup_check_sink"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..tables import tmp_scratch_dir
 from .event_count import _stream_dir_for
+from . import stream_shuffle_partitions
 
 
 def _store_dir(sf_dir: str) -> str:
@@ -56,11 +57,12 @@ def stream_foreachbatch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(store)
         )
 
-    q = (
-        src.writeStream.foreachBatch(fold_batch)
-        .option("checkpointLocation", chk)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            src.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(store)

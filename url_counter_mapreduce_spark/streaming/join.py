@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .event_count import _events_stream
+from . import stream_shuffle_partitions
 
 JOIN_WINDOW = "30 minutes"
 
@@ -64,12 +65,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the view in [purchase.ts − 30 min, purchase.ts]."""
     joined = joined_stream(spark, sf_dir)
     sink = "stream_stream_join_sink"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)

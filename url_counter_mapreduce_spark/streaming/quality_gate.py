@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.text import gopher_metrics_arrow
 from .url_count import _documents_stream
+from . import stream_shuffle_partitions
 
 
 def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,12 +40,13 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = "stream_quality_gate_sink"
-    q = (
-        gated.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            gated.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)

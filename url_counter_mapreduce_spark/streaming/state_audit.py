@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..tables import tmp_scratch_dir
 from .event_count import _events_stream
+from . import stream_shuffle_partitions
 
 # bump to invalidate checkpoints if the stream's plan ever changes shape
 # (a resumed checkpoint with a different aggregation layout fails loudly)
@@ -78,15 +79,16 @@ def stream_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     sink = "stream_state_audit_sink"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     state = spark.read.format("statestore").load(ckpt)
     return state.select(
         F.col("key.event_type").alias("event_type"),

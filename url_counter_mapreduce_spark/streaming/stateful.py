@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .event_count import _events_stream
+from . import stream_shuffle_partitions
 
 SESSION_GAP = "30 minutes"
 
@@ -56,14 +57,15 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the batch sessionization in tests)."""
     windowed = sessionized_stream(spark, sf_dir)
     sink = "stream_sessionize_sink"
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -103,14 +105,15 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = "stream_user_stats_sink"
-    q = (
-        stats.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update mode may emit a user several times across micro-batches; the
     # final state per user is the row with the largest n_events
     from pyspark.sql.window import Window

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .event_count import _stream_dir_for
+from . import stream_shuffle_partitions
 
 
 def _have_transform_with_state() -> bool:
@@ -54,14 +55,15 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound it — the transformWithState API supports that natively)."""
     deduped = dedup_stream(spark, sf_dir)
     sink = "stream_dedup_stateful_sink"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -153,12 +155,13 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     sink = "stream_dedup_watermark_sink"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)

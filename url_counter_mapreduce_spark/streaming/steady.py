@@ -34,6 +34,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from . import stream_shuffle_partitions
 
 DELTA_ROWS = 256
 
@@ -92,14 +93,15 @@ def _drain(
     def _materialize(df: DataFrame, _bid: int) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    q = (
-        stream.writeStream.foreachBatch(_materialize)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(_materialize)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     progress = list(q.recentProgress)
     rows = sum(int(p["numInputRows"]) for p in progress)
     return spark.createDataFrame(
