@@ -26,21 +26,20 @@ import os
 
 from pyspark.sql import SparkSession
 
-# AQE coalescing policy (optimization round 13). parallelismFirst=true (the
-# Spark default) coalesces post-shuffle partitions only down to
-# defaultParallelism — i.e. core count — "to keep cores busy", ignoring the
-# advisory partition size for small shuffles. That is exactly the
-# local-core-count-tuned constant the scale rules warn about: every tiny
-# reduce stage runs 32 tasks whatever the data volume, and per-task dispatch
-# cost (measured 18-29 ms/task on the r13 optimization host) dominates every
-# sub-second query. With parallelismFirst=false AQE honors
-# advisoryPartitionSizeInBytes (64 MB default): local fixture shuffles
-# coalesce to 1-2 partitions (measured 0.51x total wall over a 12-query
-# sample, one query 20x faster), while at 100 TB the same policy yields
-# thousands of well-sized 64 MB partitions — the setting Spark's own SQL
-# performance-tuning guide recommends for stable partition sizing. Env
-# override for A/B measurement, not for production tuning.
-_PARALLELISM_FIRST = os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false")
+# AQE coalescing policy (optimization round 13): keep the Spark default,
+# parallelismFirst=true. An earlier commit this round flipped it to false on
+# the strength of a 12-query sf0.01 sample, reasoning that honoring the 64 MB
+# advisory size would kill per-task dispatch overhead on tiny reduce stages.
+# The FULL sf0.1 bench disproved it: coalescing by BYTES serializes shuffles
+# whose cost is CPU per byte, not bytes — dedup_mllib_minhash 7.1→19.9 s,
+# dedup_prefix_filter 5.3→15.9 s, +45 s over the batch set (clean-load,
+# reproduced in a same-session A/B; see OPTIMIZATION_r13.md). The default is
+# also the scale-correct policy: AQE's target size is
+# max(min(advisory, totalBytes/defaultParallelism), minPartitionSize), so at
+# 100 TB (bytes/parallelism >> 64 MB) it honors the advisory exactly as
+# `false` would, and only drops below it for small shuffles where idle cores
+# cost more than dispatch. Env override kept for A/B measurement.
+_PARALLELISM_FIRST = os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true")
 
 
 def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = None) -> SparkSession:
@@ -52,9 +51,8 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # respect advisoryPartitionSizeInBytes (64 MB default) when
-        # coalescing instead of stopping at ~defaultParallelism partitions:
-        # see prep() below for the measurement and the 100 TB argument
+        # Spark-default coalescing policy; see the module comment above for
+        # why the bytes-first variant (false) regressed the full bench
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", _PARALLELISM_FIRST)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
