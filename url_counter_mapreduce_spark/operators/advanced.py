@@ -1142,7 +1142,10 @@ def skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in sorted(sub, key=lambda r: -r["bucket"]):
         hb[r["bucket"]] = run
         run = r["bmax"] if run is None else max(run, r["bmax"])
-    hb_df = spark.createDataFrame(
+    from ..tables import local_rows_df
+
+    hb_df = local_rows_df(
+        spark,
         [(int(b), -1 if m is None else int(m)) for b, m in hb.items()],
         "bucket int, higher_max long",
     )

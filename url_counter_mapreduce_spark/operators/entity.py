@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, local_rows_df
 from .graph import connected_components
 
 # Sorted-neighborhood window: each record is compared with the following
@@ -420,10 +420,9 @@ def er_fellegi_sunter(
         )
         for flags, n, w in weights
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
-        schema=(
-            "name_eq boolean, brand_eq boolean, type_eq boolean, size_close boolean, "
-            "n_pairs long, posterior_e6 long, decision string"
-        ),
+        "name_eq boolean, brand_eq boolean, type_eq boolean, size_close boolean, "
+        "n_pairs long, posterior_e6 long, decision string",
     )

@@ -259,8 +259,10 @@ def bpe_merge_table(
     else:
         rows = _bpe_merges_distributed(words, n_merges)
     schema = "merge_rank long, lhs string, rhs string, merged string, pair_count long"
-    return words.sparkSession.createDataFrame(
-        [(int(a), b, c, d, int(e)) for a, b, c, d, e in rows], schema
+    from ..tables import local_rows_df
+
+    return local_rows_df(
+        words.sparkSession, [(int(a), b, c, d, int(e)) for a, b, c, d, e in rows], schema
     )
 
 
@@ -909,8 +911,13 @@ def _with_prefix_cumsum(
         offsets.append((*g, r["bucket"], seen.get(g, 0)))
         seen[g] = seen.get(g, 0) + r["sub_total"]
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        offsets, [*part_cols, "bucket", "offset"]
+    from ..tables import local_rows_df
+
+    # LocalRelation, not createDataFrame: this frame exists only to be
+    # broadcast, and the pickled-RDD path would spend a 32-python-task job
+    # materializing a few hundred integers (~0.3 s/call; guide §4)
+    off_df = local_rows_df(
+        spark, offsets, [*part_cols, "bucket", "offset"]
     ).withColumn("offset", F.col("offset").cast("long"))
     w = (
         Window.partitionBy(*part_cols, "bucket")

@@ -646,7 +646,9 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("token").alias("n_distinct_urls"),
     )
-    blocked = spark.createDataFrame([(h,) for h in BLOCKED_HOSTS], "host string")
+    from ..tables import local_rows_df
+
+    blocked = local_rows_df(spark, [(h,) for h in BLOCKED_HOSTS], "host string")
     return (
         stats.join(F.broadcast(blocked), "host", "left_anti")
         .orderBy(F.col("n_urls").desc(), F.col("host").asc())

@@ -164,6 +164,90 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     _VIEWS_REGISTERED[spark] = sf_dir
 
 
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v) + "D"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise TypeError(f"unsupported literal type for local_rows_df: {type(v)}")
+
+
+def _split_schema(schema: str) -> list[tuple[str, str]]:
+    """Split 'name type, name type' respecting parens (decimal(38,0))."""
+    cols, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            cols.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    cols.append("".join(cur))
+    return [tuple(c.strip().split(None, 1)) for c in cols]
+
+
+# past this row count a VALUES literal stops being "small driver state"
+# and SQL-parsing cost overtakes the task savings — fall back to the
+# regular distributed createDataFrame path
+LOCAL_ROWS_MAX = 20_000
+
+
+def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Build a DataFrame from a SMALL driver-side row list as a
+    LocalRelation (SQL ``VALUES`` literal) instead of
+    ``spark.createDataFrame`` (guide §4: eliminate the Python boundary).
+
+    Classic PySpark's ``createDataFrame(list)`` always parallelizes the
+    rows into ``defaultParallelism`` pickled-RDD slices, so materializing
+    a few hundred integers costs a 32-task job whose every task is a
+    Python-worker round trip (measured ~240 ms/task, ~0.3 s wall per
+    call on local[32]) — and a ``broadcast()`` over it runs that whole
+    job before the build. A ``VALUES`` literal plans as a LocalRelation:
+    zero tasks, and broadcast builds driver-side. Falls back to
+    ``createDataFrame`` for empty input (VALUES needs ≥1 row) and for
+    row counts past LOCAL_ROWS_MAX (the literal's parse cost grows with
+    text size; bounded offset/label tables never get there).
+
+    ``schema`` is the usual DDL string (values are cast per column, so
+    int/str/bool/float/None literals land with exactly the types
+    ``createDataFrame`` would have inferred against that schema), or a
+    bare list of column names, in which case each column's type is
+    inferred from its first non-None value the way ``createDataFrame``
+    would (int→long, str→string, bool→boolean, float→double; a column
+    with no non-None value falls back to the distributed path)."""
+    rows = list(rows)
+    if not rows or len(rows) > LOCAL_ROWS_MAX:
+        return spark.createDataFrame(rows, schema)
+    if isinstance(schema, (list, tuple)):
+        py2sql = {bool: "boolean", int: "long", float: "double", str: "string"}
+        types = []
+        for i, name in enumerate(schema):
+            sample = next((r[i] for r in rows if r[i] is not None), None)
+            t = py2sql.get(type(sample))
+            if t is None:  # all-NULL or exotic type: let createDataFrame decide
+                return spark.createDataFrame(rows, list(schema))
+            types.append(t)
+        schema = ", ".join(f"{n} {t}" for n, t in zip(schema, types))
+    cols = _split_schema(schema)
+    vals = ",".join(
+        "(" + ",".join(_sql_literal(v) for v in row) + ")" for row in rows
+    )
+    names = ",".join(f"c{i}" for i in range(len(cols)))
+    proj = ", ".join(
+        f"CAST(c{i} AS {typ}) AS {name}" for i, (name, typ) in enumerate(cols)
+    )
+    return spark.sql(f"SELECT {proj} FROM (VALUES {vals}) AS _local_rows({names})")
+
+
 def scalar_join(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
     """Attach a single-row statistics frame (bounds, totals, zmax …) to
     every row of ``df``. Plans as a BroadcastNestedLoopJoin with a 1-row
