@@ -431,7 +431,14 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         + f" ELSE {len(cdf)} END"
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
+    from ..tables import spread
+
+    # spread() before the B× expand: the whole 32-replicate md5 draw is
+    # map-side work fused above the first exchange, and the sf fixture is
+    # ONE parquet split — without the spread the entire 102M-hash expand
+    # ran in a single task (r13 stage profile: st216, 2.8 s CPU, 1 task);
+    # no-op at real scale where the scan already has >=parallelism splits
+    ev = spread(load_table(spark, sf_dir, "events")).select(
         F.coalesce("event_type", F.lit("unknown")).alias("et"),
         "event_id",
         F.expr("CAST(floor(coalesce(value, 0.0) * 1e6 + 0.5) AS BIGINT)").alias("vq"),

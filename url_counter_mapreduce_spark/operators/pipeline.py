@@ -1018,9 +1018,14 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver-side state: two bounded offset collects + one count — all
     O(sources × 64) integers, the same discipline as mix_sources."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..tables import spread
     from .text import classifier_sum_w_expr
 
+    # spread() before the tokenize+classifier pass: the sf fixture arrives
+    # as ONE parquet split, so without it the dominant stage (st22 in the
+    # r13 stage profile: 4.9 s CPU, 1 task) runs single-threaded; at real
+    # scale the scan is already >=parallelism splits and spread is a no-op
+    docs = spread(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         "source",
@@ -1033,6 +1038,23 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
         F.expr(classifier_sum_w_expr("toks")).alias("sum_w"),
     )
+    # nondeterministic zero: `x > 0.0*rand` is value-identical to `x > 0`
+    # (0.0*rand(42) is exactly 0.0 — rand is in [0,1), never NaN) but the
+    # predicate becomes nondeterministic, so Catalyst cannot push it below
+    # the spread exchange. Without this, the gate filter — carrying the
+    # whole inlined tokenize+classifier expression — was pushed under the
+    # roundrobin repartition and re-ran the pass single-threaded on the
+    # one-split scan side (r13 profile st25: 3.8 s CPU, 1 task; the guide
+    # §4.4 duplicated-evaluation trap in SQL-expression form). Each
+    # conjunct needs its own guard: Catalyst splits conjunctions and
+    # pushes deterministic conjuncts independently (an unused
+    # nondeterministic projection column does NOT work — ColumnPruning
+    # strips it and the pushdown fires again). The gate predicates are
+    # computed expressions, so no parquet PushedFilters are lost, and at
+    # real scale (spread a no-op, no exchange) the filter evaluates fused
+    # to the scan stage exactly as before. Casts are exact: |sum_w| <
+    # 2^42 and n_tokens < 2^32 are far inside double's 2^53 integers.
+    _nd_zero = F.lit(0.0) * F.rand(42)
     # the composition is consumed by SIX downstream jobs (two prefix-scan
     # offset collects, the admitted count, the final aggregate — each with
     # gated on both sides of the dedup semi join); without lineage
@@ -1040,7 +1062,10 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 28 s vs ~4 s at sf0.1. Non-eager localCheckpoint at each reuse
     # point: first consumer materializes, the rest read.
     gated = (
-        base.filter((F.col("sum_w") > 0) & (F.col("n_tokens") >= EXPORT_MIN_TOKENS))
+        base.filter(
+            (F.col("sum_w") > _nd_zero)
+            & (F.col("n_tokens") >= F.lit(float(EXPORT_MIN_TOKENS)) + _nd_zero)
+        )
         .withColumn("fp", F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
         .drop("text")
         .localCheckpoint(eager=False)

@@ -41,6 +41,22 @@ from pyspark.sql import SparkSession
 # cost more than dispatch. Env override kept for A/B measurement.
 _PARALLELISM_FIRST = os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true")
 
+# AQE coalescing floor (optimization round 13, guide §2.5's "bytes are a bad
+# proxy for CPU-dense work" in its mildest form). With parallelismFirst=true
+# the coalesce target is max(min(advisory, bytes/defaultParallelism),
+# minPartitionSize); the 1 MB default floor squeezes every 1-8 MB shuffle
+# onto 1-8 cores, which serializes reduce stages whose cost is CPU per byte:
+# MLlib's MinHash join verify ran 62.7 s of CPU on 5 tasks, the PPJoin
+# Jaccard verify 17.4 s on 5 tasks (r13 stage profiles). Interleaved
+# same-session A/B at sf0.1: 256k gives dedup_mllib_minhash 5.6→4.0 s,
+# dedup_prefix_filter 4.0→2.2 s with no measurable loss on shuffle-cheap
+# queries (64k was marginally faster on the winners but cost
+# orders_market_basket +0.33 s). Scale-neutral: at 100 TB the target is the
+# 64 MB advisory (bytes/parallelism >> any floor); the floor only bites when
+# a shuffle is small relative to the cluster — exactly when idle cores cost
+# more than small fetches.
+_AQE_MIN_PARTITION_SIZE = os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k")
+
 
 def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -54,6 +70,7 @@ def get_spark(app_name: str = "spark-graft", shuffle_partitions: int | None = No
         # Spark-default coalescing policy; see the module comment above for
         # why the bytes-first variant (false) regressed the full bench
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", _PARALLELISM_FIRST)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", _AQE_MIN_PARTITION_SIZE)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -95,6 +112,9 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst", _PARALLELISM_FIRST
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", _AQE_MIN_PARTITION_SIZE
     )
     # (events.parquet's TIMESTAMP(NANOS) column needs no conf: tables.
     # load_table branches on the observed ts dtype, covering both the

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table, local_rows_df, tmp_scratch_dir
+from ..tables import load_table, tmp_scratch_dir
 
 
 def _part_dir(sf_dir: str) -> str:
@@ -96,8 +96,12 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.write.mode("overwrite").partitionBy("lang").parquet(path)
         _write_stamp(path, sf_dir)
     fact = spark.read.parquet(path)
-    dim = local_rows_df(
-        spark, list(DPP_DIM_ROWS), "lang string, weight int"
+    # deliberately createDataFrame, NOT local_rows_df: a LocalRelation dim
+    # constant-folds and the PartitionPruning rule no longer injects the
+    # runtime dynamicpruningexpression this operator exists to demonstrate
+    # (tests/test_plans.py::test_dynamic_partition_pruning_injected)
+    dim = spark.createDataFrame(
+        list(DPP_DIM_ROWS), "lang string, weight int"
     ).filter(F.col("weight") < DPP_WEIGHT_CUT)
     return (
         fact.join(dim, "lang")
