@@ -93,10 +93,38 @@ def tmp_scratch_dir(prefix: str, key: str) -> str:
     return os.path.join(scratch_base_dir(), f"spark_graft_{prefix}_{uid}_{tag}")
 
 
+# (session → {(sf_dir, name, fingerprint) → base DataFrame}). Plan cache,
+# NOT data cache: the stored object is the lazy parquet relation (plus the
+# events ts normalization), so every query still scans parquet at execution
+# time — what's skipped on repeat calls is spark.read.parquet's schema
+# inference, which launches a ~100 ms single-task footer-read job per call
+# (measured 96-185 ms at sf0.1; a 283-query gate/bench pays it 300+ times).
+# Keyed weakly on the session object (a dropped session frees its slot,
+# and sibling sessions never share), and on the file's content fingerprint
+# (a regenerated fixture at the same path can never serve a stale schema).
+_TABLE_RELATIONS = None  # set lazily: weakref.WeakKeyDictionary
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    global _TABLE_RELATIONS
+    if _TABLE_RELATIONS is None:
+        import weakref
+
+        _TABLE_RELATIONS = weakref.WeakKeyDictionary()
+    per_session = _TABLE_RELATIONS.setdefault(spark, {})
+    key = (sf_dir, name, file_fingerprint(path) if os.path.exists(path) else None)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, path, name)
+    per_session[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md). How Spark
         # surfaces that column depends on the runtime: Spark >= 4.1 reads it
