@@ -479,6 +479,97 @@ def _paired_main(ref: str, only: list[str] | None = None) -> None:
         cleanup()
 
 
+def _conf_paired_main(key: str, val_a: str, val_b: str, only: list[str] | None = None) -> None:
+    """--conf-paired <conf-key> <valA> <valB>: same-code, per-arm
+    session-conf A/B (VERDICT r13 item 1). ``--paired`` runs both code
+    versions in ONE session, so a SESSION-CONF change applies to both arms
+    identically and is structurally invisible to it — exactly the
+    instrument gap that left the 256 KB AQE coalescing floor's suite-level
+    net unproven in round 13. Here the code is fixed and the conf is
+    flipped around every timed sample, strictly interleaved
+    a/b/a/b/a/b per query, so host-noise windows hit both arms equally
+    and the per-query ratio isolates the conf's effect. Only
+    runtime-settable SQL confs qualify (minPartitionSize,
+    parallelismFirst, advisoryPartitionSizeInBytes are; JVM-startup confs
+    are not — spark.conf.set would raise)."""
+    spark = get_spark("spark-graft-bench-confpaired")
+    spark.sparkContext.setLogLevel("ERROR")
+    # global warmup also runs prep() once (memoized), so its env-derived
+    # conf.set of this key cannot override the per-arm values below
+    QUERIES["url_topk"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES] + STREAM_QUERIES
+    extra = dict(_ship_variants())
+    from url_counter_mapreduce_spark.streaming.steady import steady_variants
+
+    extra.update(steady_variants())
+    names += list(extra)
+    if only:
+        names = [n for n in names if n in only]
+    a_t: dict[str, float] = {}
+    b_t: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES.get(name) or extra[name]
+        spark.conf.set(key, val_a)
+        _run_once(spark, name, fn)  # warmup arm A
+        spark.conf.set(key, val_b)
+        _run_once(spark, name, fn)  # warmup arm B
+        sa: list[float] = []
+        sb: list[float] = []
+        for _ in range(3):  # strict interleave: noise hits both arms
+            spark.conf.set(key, val_a)
+            sa.append(_run_once(spark, name, fn))
+            spark.conf.set(key, val_b)
+            sb.append(_run_once(spark, name, fn))
+        am, bm = sorted(sa)[1], sorted(sb)[1]
+        a_t[name] = round(am, 4)
+        b_t[name] = round(bm, 4)
+        ratios[name] = round(bm / am, 4) if am > 0 else -1.0
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    srt = sorted(ratios.values())
+    out = {
+        "metric": "conf_paired_ab",
+        "conf_key": key,
+        "arm_a": val_a,
+        "arm_b": val_b,
+        "unit": "sec",
+        "sf": sf_val,
+        "protocol": "conf-paired-interleaved+median-of-3",
+        "n": len(ratios),
+        "total_a": round(sum(a_t.values()), 4),
+        "total_b": round(sum(b_t.values()), 4),
+        "median_ratio_b_over_a": srt[len(srt) // 2] if srt else -1.0,
+        "queries_a": a_t,
+        "queries_b": b_t,
+        "ratios_b_over_a": ratios,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_CONF_PAIRED.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                k: out[k]
+                for k in (
+                    "metric",
+                    "conf_key",
+                    "arm_a",
+                    "arm_b",
+                    "sf",
+                    "n",
+                    "total_a",
+                    "total_b",
+                    "median_ratio_b_over_a",
+                )
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     spark = get_spark("spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -626,5 +717,10 @@ if __name__ == "__main__":
         if len(sys.argv) >= 5 and sys.argv[3] == "--queries":
             _only = [q.strip() for q in sys.argv[4].split(",") if q.strip()]
         _paired_main(sys.argv[2], _only)
+    elif len(sys.argv) >= 5 and sys.argv[1] == "--conf-paired":
+        _only = None
+        if len(sys.argv) >= 7 and sys.argv[5] == "--queries":
+            _only = [q.strip() for q in sys.argv[6].split(",") if q.strip()]
+        _conf_paired_main(sys.argv[2], sys.argv[3], sys.argv[4], _only)
     else:
         main()

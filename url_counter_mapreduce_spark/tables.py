@@ -93,58 +93,72 @@ def tmp_scratch_dir(prefix: str, key: str) -> str:
     return os.path.join(scratch_base_dir(), f"spark_graft_{prefix}_{uid}_{tag}")
 
 
-# (session → {(sf_dir, name, fingerprint) → base DataFrame}). Plan cache,
-# NOT data cache: the stored object is the lazy parquet relation (plus the
-# events ts normalization), so every query still scans parquet at execution
-# time — what's skipped on repeat calls is spark.read.parquet's schema
-# inference, which launches a ~100 ms single-task footer-read job per call
-# (measured 96-185 ms at sf0.1; a 283-query gate/bench pays it 300+ times).
-# Keyed weakly on the session object (a dropped session frees its slot,
-# and sibling sessions never share), and on the file's content fingerprint
-# (a regenerated fixture at the same path can never serve a stale schema).
-_TABLE_RELATIONS = None  # set lazily: weakref.WeakKeyDictionary
+# (sf_dir, name) → (fingerprint, inferred StructType). Schema-metadata
+# cache, NOT a data or DataFrame cache: what's skipped on repeat calls is
+# spark.read.parquet's schema inference, which launches a ~100 ms
+# single-task footer-read job per call (measured 96-185 ms at sf0.1; a
+# 283-query gate/bench pays it 300+ times) — spark.read.schema(cached)
+# skips that job identically while the per-call DataFrame is rebuilt lazily
+# (driver-side analysis only, no job). Round 13 cached the lazy DataFrame
+# itself, keyed weakly on the session, but a DataFrame holds a strong
+# reference back to its SparkSession, so the weak key could never die and
+# sessions + stale fingerprints accumulated for process lifetime (ADVICE
+# r13, medium). A StructType is plain data with no session reference, so
+# no weak keying is needed; keeping the fingerprint INSIDE the value (one
+# slot per (sf_dir, name)) evicts superseded fingerprints of a regenerated
+# fixture automatically, and a mismatched fingerprint re-infers — a stale
+# schema is never served.
+_TABLE_SCHEMAS: dict = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    global _TABLE_RELATIONS
-    if _TABLE_RELATIONS is None:
-        import weakref
-
-        _TABLE_RELATIONS = weakref.WeakKeyDictionary()
-    per_session = _TABLE_RELATIONS.setdefault(spark, {})
-    key = (sf_dir, name, file_fingerprint(path) if os.path.exists(path) else None)
-    cached = per_session.get(key)
-    if cached is not None:
-        return cached
-    df = _load_table_uncached(spark, path, name)
-    per_session[key] = df
+    fp = file_fingerprint(path) if os.path.exists(path) else None
+    # Per-session lazy-relation memo, stored ON the session object so its
+    # lifetime is exactly the session's — a dropped session takes its memo
+    # with it, with no module-level registry to leak (ADVICE r13). Repeat
+    # calls return the identical lazy frame (~0 ms vs ~20 ms to rebuild
+    # the reader + driver-side file index). One slot per (sf_dir, name)
+    # with the fingerprint inside: a regenerated fixture at the same path
+    # evicts its predecessor rather than piling up beside it.
+    memo = spark.__dict__.setdefault("_spark_graft_table_memo", {})
+    hit = memo.get((sf_dir, name))
+    if hit is not None and hit[0] == fp and fp is not None:
+        return hit[1]
+    cached = _TABLE_SCHEMAS.get((sf_dir, name))
+    if fp is not None and cached is not None and cached[0] == fp:
+        df = spark.read.schema(cached[1]).parquet(path)
+    else:
+        df = spark.read.parquet(path)  # infers schema: one footer-read job
+        if fp is not None:
+            _TABLE_SCHEMAS[(sf_dir, name)] = (fp, df.schema)
+    if name == "events":
+        df = _normalize_events_ts(df)
+    if fp is not None:
+        memo[(sf_dir, name)] = (fp, df)
     return df
 
 
-def _load_table_uncached(spark: SparkSession, path: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md). How Spark
-        # surfaces that column depends on the runtime: Spark >= 4.1 reads it
-        # natively as TIMESTAMP_NTZ truncated to micros (verified identical
-        # to DuckDB's NANOS → TIMESTAMP(us) truncation); older runtimes — or
-        # any externally-created session with the static
-        # spark.sql.legacy.parquet.nanosAsLong conf — surface the raw int64
-        # nanos. Branch on the OBSERVED dtype rather than on session conf so
-        # every caller (driver harness included) gets the same TimestampType
-        # (LTZ; session tz is pinned UTC) whatever its session settings.
-        from pyspark.sql.types import LongType, TimestampNTZType
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md). How Spark
+    # surfaces that column depends on the runtime: Spark >= 4.1 reads it
+    # natively as TIMESTAMP_NTZ truncated to micros (verified identical
+    # to DuckDB's NANOS → TIMESTAMP(us) truncation); older runtimes — or
+    # any externally-created session with the static
+    # spark.sql.legacy.parquet.nanosAsLong conf — surface the raw int64
+    # nanos. Branch on the OBSERVED dtype rather than on session conf so
+    # every caller (driver harness included) gets the same TimestampType
+    # (LTZ; session tz is pinned UTC) whatever its session settings.
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = spark.read.parquet(path)
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, LongType):
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        if isinstance(ts_type, TimestampNTZType):
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -192,6 +206,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     _VIEWS_REGISTERED[spark] = sf_dir
 
 
+class _LocalRowsFallback(Exception):
+    """Internal signal: this input can't be rendered as a VALUES literal
+    with createDataFrame-identical semantics — use createDataFrame."""
+
+
 def _sql_literal(v) -> str:
     if v is None:
         return "NULL"
@@ -200,19 +219,28 @@ def _sql_literal(v) -> str:
     if isinstance(v, int):
         return str(v)
     if isinstance(v, float):
+        import math
+
+        if not math.isfinite(v):
+            # repr() would render 'nanD'/'infD' — a parse error, where
+            # createDataFrame produces a valid NaN/Infinity double
+            # (ADVICE r13). Rare enough that the fallback is the fix.
+            raise _LocalRowsFallback("non-finite float")
         return repr(v) + "D"
     if isinstance(v, str):
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    raise TypeError(f"unsupported literal type for local_rows_df: {type(v)}")
+    # dict/list/Decimal/datetime...: createDataFrame handles these natively
+    raise _LocalRowsFallback(f"non-scalar literal type {type(v).__name__}")
 
 
 def _split_schema(schema: str) -> list[tuple[str, str]]:
-    """Split 'name type, name type' respecting parens (decimal(38,0))."""
+    """Split 'name type, name type' respecting parens (decimal(38,0)) and
+    angle brackets (map<string,int>, array<struct<...>>) — ADVICE r13."""
     cols, depth, cur = [], 0, []
     for ch in schema:
-        if ch == "(":
+        if ch in "(<":
             depth += 1
-        elif ch == ")":
+        elif ch in ")>":
             depth -= 1
         if ch == "," and depth == 0:
             cols.append("".join(cur))
@@ -220,7 +248,27 @@ def _split_schema(schema: str) -> list[tuple[str, str]]:
         else:
             cur.append(ch)
     cols.append("".join(cur))
-    return [tuple(c.strip().split(None, 1)) for c in cols]
+    out = []
+    for c in cols:
+        c = c.strip()
+        if c.startswith("`"):
+            # backtick-quoted name (may contain spaces; `` = literal `):
+            # find the closing quote, then the type is the remainder
+            i = 1
+            while i < len(c):
+                if c[i] == "`":
+                    if i + 1 < len(c) and c[i + 1] == "`":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            parts = (c[: i + 1], c[i + 1 :].strip()) if i < len(c) else (c,)
+        else:
+            parts = tuple(c.split(None, 1))
+        if len(parts) != 2 or not parts[1]:  # malformed entry: don't guess
+            raise _LocalRowsFallback(f"unsplittable schema entry {c!r}")
+        out.append(parts)
+    return out
 
 
 # past this row count a VALUES literal stops being "small driver state"
@@ -249,31 +297,67 @@ def local_rows_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     int/str/bool/float/None literals land with exactly the types
     ``createDataFrame`` would have inferred against that schema), or a
     bare list of column names, in which case each column's type is
-    inferred from its first non-None value the way ``createDataFrame``
-    would (int→long, str→string, bool→boolean, float→double; a column
-    with no non-None value falls back to the distributed path)."""
+    inferred by scanning ALL its non-None values the way
+    ``createDataFrame`` merges them (int→long, str→string, bool→boolean,
+    float or int+float mix→double — ADVICE r13: a first-value-only probe
+    silently CAST a mixed int/float column to long). A column whose
+    values don't fit those combinations (all-NULL, exotic or mixed types),
+    a non-finite float anywhere, a malformed schema entry, or any string
+    value under ``spark.sql.parser.escapedStringLiterals=true`` (which
+    reads the generated backslash escapes literally) falls back to
+    ``createDataFrame``."""
     rows = list(rows)
     if not rows or len(rows) > LOCAL_ROWS_MAX:
         return spark.createDataFrame(rows, schema)
-    if isinstance(schema, (list, tuple)):
-        py2sql = {bool: "boolean", int: "long", float: "double", str: "string"}
-        types = []
-        for i, name in enumerate(schema):
-            sample = next((r[i] for r in rows if r[i] is not None), None)
-            t = py2sql.get(type(sample))
-            if t is None:  # all-NULL or exotic type: let createDataFrame decide
-                return spark.createDataFrame(rows, list(schema))
-            types.append(t)
-        schema = ", ".join(f"{n} {t}" for n, t in zip(schema, types))
-    cols = _split_schema(schema)
-    vals = ",".join(
-        "(" + ",".join(_sql_literal(v) for v in row) + ")" for row in rows
-    )
-    names = ",".join(f"c{i}" for i in range(len(cols)))
+    names_only = isinstance(schema, (list, tuple))
+    try:
+        ddl = schema
+        if names_only:
+            types = []
+            for i in range(len(schema)):
+                seen = {type(r[i]) for r in rows if r[i] is not None}
+                if seen == {int}:
+                    t = "long"
+                elif seen == {str}:
+                    t = "string"
+                elif seen == {bool}:
+                    t = "boolean"
+                elif seen == {float}:
+                    t = "double"
+                else:
+                    # all-NULL, exotic, or mixed (incl. int+float, which
+                    # PySpark's createDataFrame REFUSES to merge —
+                    # CANNOT_MERGE_TYPE): fall back so the caller gets
+                    # createDataFrame's exact behavior, error included,
+                    # instead of r13's silent CAST-to-first-type (ADVICE)
+                    raise _LocalRowsFallback("unmergeable column types")
+                types.append(t)
+            ddl = ", ".join(f"{n} {t}" for n, t in zip(schema, types))
+        cols = _split_schema(ddl)
+        if any(
+            isinstance(v, str) for row in rows for v in row
+        ) and spark.conf.get("spark.sql.parser.escapedStringLiterals", "false") == "true":
+            raise _LocalRowsFallback("escapedStringLiterals session")
+        vals = ",".join(
+            "(" + ",".join(_sql_literal(v) for v in row) + ")" for row in rows
+        )
+    except _LocalRowsFallback:
+        return spark.createDataFrame(rows, list(schema) if names_only else schema)
+    anon = ",".join(f"c{i}" for i in range(len(cols)))
+    # re-quote every output name (reserved words, spaces — ADVICE r13);
+    # a DDL name that arrived already backtick-quoted is unwrapped first
+    # so it isn't double-wrapped
+    raw = [
+        name[1:-1].replace("``", "`")
+        if len(name) >= 2 and name.startswith("`") and name.endswith("`")
+        else name
+        for name, _typ in cols
+    ]
+    bq = [name.replace("`", "``") for name in raw]
     proj = ", ".join(
-        f"CAST(c{i} AS {typ}) AS {name}" for i, (name, typ) in enumerate(cols)
+        f"CAST(c{i} AS {typ}) AS `{bq[i]}`" for i, (_name, typ) in enumerate(cols)
     )
-    return spark.sql(f"SELECT {proj} FROM (VALUES {vals}) AS _local_rows({names})")
+    return spark.sql(f"SELECT {proj} FROM (VALUES {vals}) AS _local_rows({anon})")
 
 
 def scalar_join(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
