@@ -143,6 +143,40 @@ def test_prefix_scan_ops_avoid_single_partition_window(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, f"{name} should broadcast its offset table"
 
 
+def test_training_export_gate_not_pushed_below_spread(spark, sf_dir):
+    """VERDICT r13 item 5: the export gate's classifier aggregate must be
+    evaluated exactly ONCE, in a projection ABOVE the spread exchange —
+    Catalyst's filter pushdown would otherwise inline the whole
+    tokenize+classifier expression below the RoundRobin repartition and
+    re-run it single-threaded on the one-split scan side (guide §4.4's
+    duplicated-evaluation trap), and even an above-exchange pushdown
+    substitution evaluates it twice (Filter + Project). The guard is the
+    nondeterministic-zero tag on the projected columns (pipeline.
+    _export_base); this pins that a Spark upgrade or an innocent
+    'simplify 0.0*rand to 0.0' refactor can't silently undo it."""
+    from url_counter_mapreduce_spark.operators.pipeline import (
+        _export_base,
+        _export_gated,
+    )
+    from url_counter_mapreduce_spark.tables import load_table, spread
+
+    gated = _export_gated(_export_base(spread(load_table(spark, sf_dir, "documents"))))
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    (xchg_i,) = [
+        i for i, l in enumerate(lines) if "Exchange RoundRobinPartitioning" in l
+    ]
+    # nothing below the exchange (scan side) evaluates the classifier
+    below = "\n".join(lines[xchg_i:])
+    assert "qw:" not in below and "rand(" not in below
+    # the classifier aggregate ('qw:' is its salt) is evaluated exactly once,
+    # in the Project — the Filter compares the projected ATTRIBUTE instead
+    # of re-inlining the expression
+    assert plan.count("qw:") == 1
+    (filter_line,) = [l for l in lines if "+- Filter " in l]
+    assert "qw:" not in filter_line and "sum_w#" in filter_line
+
+
 def test_quality_classifier_is_scan_only(spark, sf_dir):
     """fastText-style inference is a pure map: the plan must contain no
     Exchange at all (per-row folds over the token array, no explode, no

@@ -997,6 +997,66 @@ EXPORT_SHARDS = 8
 EXPORT_MIN_TOKENS = 10
 
 
+def _export_base(docs: DataFrame) -> DataFrame:
+    """training_export's spread tokenize+classifier pass, with each
+    computed column guarded by a nondeterministic zero — exposed so
+    tests/test_plans.py can pin the shape (VERDICT r13 item 5).
+
+    nondeterministic zero: ``expr + CAST(0.0*rand(42) AS BIGINT)`` is
+    value-identical to ``expr`` (0.0*rand is exactly 0.0 — rand ∈ [0,1),
+    never NaN — and casts to 0L) but tags the PROJECTION nondeterministic,
+    which stops two Catalyst rewrites that each re-evaluate the classifier
+    aggregate (the guide §4.4 duplicated-evaluation trap in SQL-expression
+    form):
+
+    1. predicate pushdown THROUGH the projection: the r13 shape guarded
+       only the gate filter, so the filter could not sink below the spread
+       exchange (r13 profile st25: the unguarded filter re-ran the whole
+       pass single-threaded on the one-split scan side, 3.8 s CPU / 1
+       task) — but the filter's substituted condition still INLINED the
+       full aggregate, evaluating it once in the Filter and again in the
+       Project: 2× per surviving row;
+    2. CollapseProject/inlining itself: with the definition
+       nondeterministic, the gate filter references the projected column
+       by attribute, so the aggregate is evaluated exactly once per row.
+
+    A filter-side-only guard can't do (2), and an unused nondeterministic
+    projection column does neither (ColumnPruning strips it). The gate
+    predicates are computed expressions, so no parquet PushedFilters are
+    lost, and at real scale (spread a no-op, no exchange) the single
+    evaluation still fuses into the scan stage."""
+    from .text import classifier_sum_w_expr
+
+    _nd_zero_long = (F.lit(0.0) * F.rand(42)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(_TOKS_SAFE).alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        (F.expr("CAST(size(toks) AS BIGINT)") + _nd_zero_long).alias("n_tokens"),
+        (F.expr(classifier_sum_w_expr("toks")) + _nd_zero_long).alias("sum_w"),
+    )
+
+
+def _export_gated(base: DataFrame) -> DataFrame:
+    """The quality-gate filter over :func:`_export_base`. Plain
+    deterministic comparisons: the nondeterministic column DEFINITIONS in
+    the base projection are what pin this filter above the projection and
+    above the spread exchange (see _export_base)."""
+    return (
+        base.filter(
+            (F.col("sum_w") > 0)
+            & (F.col("n_tokens") >= F.lit(EXPORT_MIN_TOKENS).cast("bigint"))
+        )
+        .withColumn("fp", F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+        .drop("text")
+    )
+
+
 def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone: the raw-corpus → training-shards export as one composed
     pipeline — classifier quality gate → exact dedup → per-source token
@@ -1019,57 +1079,19 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-side state: two bounded offset collects + one count — all
     O(sources × 64) integers, the same discipline as mix_sources."""
     from ..tables import spread
-    from .text import classifier_sum_w_expr
 
     # spread() before the tokenize+classifier pass: the sf fixture arrives
     # as ONE parquet split, so without it the dominant stage (st22 in the
     # r13 stage profile: 4.9 s CPU, 1 task) runs single-threaded; at real
     # scale the scan is already >=parallelism splits and spread is a no-op
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    base = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        F.expr(_TOKS_SAFE).alias("toks"),
-    ).select(
-        "doc_id",
-        "source",
-        "text",
-        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
-        F.expr(classifier_sum_w_expr("toks")).alias("sum_w"),
-    )
-    # nondeterministic zero: `x > 0.0*rand` is value-identical to `x > 0`
-    # (0.0*rand(42) is exactly 0.0 — rand is in [0,1), never NaN) but the
-    # predicate becomes nondeterministic, so Catalyst cannot push it below
-    # the spread exchange. Without this, the gate filter — carrying the
-    # whole inlined tokenize+classifier expression — was pushed under the
-    # roundrobin repartition and re-ran the pass single-threaded on the
-    # one-split scan side (r13 profile st25: 3.8 s CPU, 1 task; the guide
-    # §4.4 duplicated-evaluation trap in SQL-expression form). Each
-    # conjunct needs its own guard: Catalyst splits conjunctions and
-    # pushes deterministic conjuncts independently (an unused
-    # nondeterministic projection column does NOT work — ColumnPruning
-    # strips it and the pushdown fires again). The gate predicates are
-    # computed expressions, so no parquet PushedFilters are lost, and at
-    # real scale (spread a no-op, no exchange) the filter evaluates fused
-    # to the scan stage exactly as before. Casts are exact: |sum_w| <
-    # 2^42 and n_tokens < 2^32 are far inside double's 2^53 integers.
-    _nd_zero = F.lit(0.0) * F.rand(42)
+    base = _export_base(spread(load_table(spark, sf_dir, "documents")))
     # the composition is consumed by SIX downstream jobs (two prefix-scan
     # offset collects, the admitted count, the final aggregate — each with
     # gated on both sides of the dedup semi join); without lineage
     # truncation the tokenize+classifier scan re-executes ~8×, measured
     # 28 s vs ~4 s at sf0.1. Non-eager localCheckpoint at each reuse
     # point: first consumer materializes, the rest read.
-    gated = (
-        base.filter(
-            (F.col("sum_w") > _nd_zero)
-            & (F.col("n_tokens") >= F.lit(float(EXPORT_MIN_TOKENS)) + _nd_zero)
-        )
-        .withColumn("fp", F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
-        .drop("text")
-        .localCheckpoint(eager=False)
-    )
+    gated = _export_gated(base).localCheckpoint(eager=False)
     keepers = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     survivors = (
         gated.join(keepers.select("doc_id"), "doc_id", "left_semi")

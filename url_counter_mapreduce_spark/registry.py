@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import ckpt_tracker
 from .operators import core, dedup, index_store, multimodal, relational, similarity, text
 from .session import prep
 from .streaming import event_count
@@ -28,9 +29,16 @@ ORACLES: dict[str, str | None] = {}
 
 
 def _register(name: str, fn: QueryFn, sql: str | None) -> None:
-    def wrapped(spark: SparkSession, sf_dir: str, _fn: QueryFn = fn) -> DataFrame:
+    def wrapped(
+        spark: SparkSession, sf_dir: str, _fn: QueryFn = fn, _name: str = name
+    ) -> DataFrame:
         prep(spark)
-        return _fn(spark, sf_dir)
+        # releases the PREVIOUS same-(query, sf_dir) invocation's
+        # localCheckpoint blocks, then records this invocation's — repeat
+        # calls in one session stay flat instead of accumulating dead
+        # checkpoint storage (r13 "Not yet optimized"; guide §5)
+        with ckpt_tracker.track_invocation(spark, (_name, sf_dir)):
+            return _fn(spark, sf_dir)
 
     wrapped.__name__ = name
     wrapped.__doc__ = fn.__doc__
