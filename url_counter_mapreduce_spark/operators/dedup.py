@@ -1739,6 +1739,14 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
     )
     dfx = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # NOTE (r14, measured non-fix): posting fans into two consumers (the
+    # rank-window prefix leg and the candidate join's destination side),
+    # so the explode+df-join subtree runs twice per call — but
+    # checkpointing posting to share it was MEASURED WORSE (1.95 → 2.20 s
+    # at sf0.1): storing the exploded per-shingle rows costs more than the
+    # 32-way-parallel recompute, unlike dedup_chunk_reuse's small
+    # aggregated posting where the same fix wins. Left duplicated on
+    # purpose.
     posting = ex.join(dfx, "s").filter(F.col("df") >= 2)
     ranked = posting.withColumn(
         "r",
@@ -1946,6 +1954,13 @@ def dedup_chunk_reuse(
     from ..functions.vector import stable_round
 
     chunks = _chunk_index_for(spark, sf_dir)
+    # NOTE (r14, measured non-fix): per_doc fans into doc_bytes +
+    # ndocs_per_h + posting and posting feeds both sides of the pair
+    # self-join, so these aggregates re-run per consumer — but
+    # checkpointing either frame was MEASURED no better than the
+    # 32-way-parallel recompute over the persisted chunk index (5-sample
+    # medians 3.04 s without vs 3.78 s with at sf0.1, spreads
+    # overlapping). Same verdict as dedup_containment_pairs' posting.
     per_doc = chunks.groupBy("doc_id", "h").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"), F.min("nb").alias("nb")
     )

@@ -25,12 +25,48 @@ oracle via a recursive CTE over the same edge set.
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .dedup import _verified_pairs_for
 from ..session_cache import SessionFrameCache
+
+
+@contextlib.contextmanager
+def _fixed_plan_loop(spark: SparkSession, anchor: DataFrame):
+    """Disable AQE around a fixed-size iteration loop (optimization r14,
+    guide §2.2: AQE is per-stage-job overhead on tiny iterations).
+
+    Each eagerly-checkpointed round under AQE runs one scheduler JOB per
+    adaptive stage materialization — host_hits spent 49 jobs/call, ~50-70 ms
+    of fixed driver cost each, on ~1 s of executor work. With AQE off the
+    same rounds plan statically: 19 jobs/call, measured 3.08 → 2.22 s
+    (host_hits) and 2.18 → 1.55 s (host_pagerank) at sf0.1 in an
+    interleaved same-session A/B.
+
+    The static shuffle partition count for the loop's joins/aggregates is
+    derived from ``anchor`` — the loop's eagerly-checkpointed edge frame,
+    whose partition count IS AQE's bytes-derived coalescing decision for
+    this graph (1 at sf0.1, ~bytes/64MB at 100 TB) — floored by
+    SPARK_GRAFT_GRAPH_LOOP_PARTITIONS (default 4; a local-mode idle-cores
+    floor that is irrelevant at scale where the derived count dominates).
+    Conf-only and restored on exit: the loop's arithmetic, and therefore
+    every oracle hash, is untouched."""
+    floor = int(os.environ.get("SPARK_GRAFT_GRAPH_LOOP_PARTITIONS", "4"))
+    parts = max(anchor.rdd.getNumPartitions(), floor, 1)
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
 # with pointer halving each round roughly halves remaining path lengths:
 # 50 rounds covers components of astronomically large diameter; hitting the
@@ -381,27 +417,33 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_nano = (1.0 - PR_DAMPING) / n_nodes * 1e9
     r0 = int(math.floor(1e9 / n_nodes + 0.5))
     ranks = nodes.withColumn("R", F.lit(r0).cast("long"))
-    for it in range(PR_ITERS):
-        contrib = (
-            e.join(ranks.withColumnRenamed("host", "src"), "src")
-            .select("dst", F.expr("CAST(w * (R * 1000L DIV outw) AS DECIMAL(38,0))").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = nodes.join(contrib.withColumnRenamed("dst", "host"), "host", "left").select(
-            "host",
-            F.expr(
-                f"CAST(floor({base_nano!r}D + {PR_DAMPING!r}D"
-                " * (CAST(coalesce(s, CAST(0 AS DECIMAL(38,0))) AS DOUBLE) / 1e3)"
-                " + 0.5) AS BIGINT)"
-            ).alias("R"),
-        )
-        # checkpoint every SECOND round: two joins+aggregates per job keeps
-        # the plan shallow while halving the fixed per-job cost that
-        # dominates iterative graph passes (identical arithmetic — the
-        # checkpoint cadence is physical only)
-        if it % 2 == 1 or it == PR_ITERS - 1:
-            ranks = ranks.localCheckpoint()
+    with _fixed_plan_loop(spark, e):
+        for it in range(PR_ITERS):
+            contrib = (
+                e.join(ranks.withColumnRenamed("host", "src"), "src")
+                .select(
+                    "dst",
+                    F.expr("CAST(w * (R * 1000L DIV outw) AS DECIMAL(38,0))").alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = nodes.join(
+                contrib.withColumnRenamed("dst", "host"), "host", "left"
+            ).select(
+                "host",
+                F.expr(
+                    f"CAST(floor({base_nano!r}D + {PR_DAMPING!r}D"
+                    " * (CAST(coalesce(s, CAST(0 AS DECIMAL(38,0))) AS DOUBLE) / 1e3)"
+                    " + 0.5) AS BIGINT)"
+                ).alias("R"),
+            )
+            # checkpoint every SECOND round: two joins+aggregates per job
+            # keeps the plan shallow while halving the fixed per-job cost
+            # that dominates iterative graph passes (identical arithmetic —
+            # the checkpoint cadence is physical only)
+            if it % 2 == 1 or it == PR_ITERS - 1:
+                ranks = ranks.localCheckpoint()
     return (
         ranks.select(
             "host", F.expr(stable_round("CAST(R AS DOUBLE) / 1e9", 6)).alias("rank")
@@ -1007,34 +1049,35 @@ def host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CAST(coalesce(s, CAST(0 AS DECIMAL(38,0))) AS DECIMAL(38,0))"
         " * 1000000000L DIV mx AS BIGINT)"
     )
-    for it in range(HITS_ITERS):
-        a_raw = (
-            edges.join(
-                scores.select(F.col("host").alias("src"), "hub"), "src"
+    with _fixed_plan_loop(spark, edges):
+        for it in range(HITS_ITERS):
+            a_raw = (
+                edges.join(
+                    scores.select(F.col("host").alias("src"), "hub"), "src"
+                )
+                .select("dst", F.expr("CAST(w AS DECIMAL(38,0)) * hub").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
             )
-            .select("dst", F.expr("CAST(w AS DECIMAL(38,0)) * hub").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        scores = (
-            scores.join(a_raw.withColumnRenamed("dst", "host"), "host", "left")
-            .withColumn("mx", F.max("s").over(allw))
-            .select("host", "hub", F.expr(renorm).alias("auth"))
-        )
-        h_raw = (
-            edges.join(
-                scores.select(F.col("host").alias("dst"), "auth"), "dst"
+            scores = (
+                scores.join(a_raw.withColumnRenamed("dst", "host"), "host", "left")
+                .withColumn("mx", F.max("s").over(allw))
+                .select("host", "hub", F.expr(renorm).alias("auth"))
             )
-            .select("src", F.expr("CAST(w AS DECIMAL(38,0)) * auth").alias("c"))
-            .groupBy("src")
-            .agg(F.sum("c").alias("s"))
-        )
-        scores = (
-            scores.join(h_raw.withColumnRenamed("src", "host"), "host", "left")
-            .withColumn("mx", F.max("s").over(allw))
-            .select("host", F.expr(renorm).alias("hub"), "auth")
-            .localCheckpoint()
-        )
+            h_raw = (
+                edges.join(
+                    scores.select(F.col("host").alias("dst"), "auth"), "dst"
+                )
+                .select("src", F.expr("CAST(w AS DECIMAL(38,0)) * auth").alias("c"))
+                .groupBy("src")
+                .agg(F.sum("c").alias("s"))
+            )
+            scores = (
+                scores.join(h_raw.withColumnRenamed("src", "host"), "host", "left")
+                .withColumn("mx", F.max("s").over(allw))
+                .select("host", F.expr(renorm).alias("hub"), "auth")
+                .localCheckpoint()
+            )
     return (
         scores.select(
             "host",

@@ -131,13 +131,20 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate's measuring stick — at 100 TB you'd ship the sketch alone (see
     hll_sketch_rollup for the mergeable-pre-aggregate posture) and run
     this gate on a sampled slice."""
-    agg = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.countDistinct("user_id").cast("long").alias("exact_users"),
-        )
+    # distinct-first (optimization r14): countDistinct beside another
+    # aggregate plans an Expand that doubles every event row and runs the
+    # HLL++ partial update over the raw-row copy; pre-distincting the
+    # (type, user) pairs removes the Expand and feeds both aggregates the
+    # already-deduplicated set. Value-identical: HLL++ is a pure function
+    # of the SET of values (duplicate updates hit the same register), and
+    # count over distinct pairs IS countDistinct. Measured 2.56 → 0.84 s
+    # at sf0.1 (5-sample medians, same session).
+    pairs = (
+        load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count("user_id").cast("long").alias("exact_users"),
     )
     return agg.select(
         "event_type",
@@ -192,8 +199,14 @@ def approx_distinct_users_sketch(
     ev = load_table(spark, sf_dir, "events")
     if not gate:
         return ev.groupBy("event_type").agg(est)
-    agg = ev.groupBy("event_type").agg(
-        est, F.countDistinct("user_id").cast("long").alias("exact_users")
+    # distinct-first, same rationale and value-identity as
+    # approx_distinct_users (DataSketches HLL updates are idempotent per
+    # value); the gate=False ship path above stays strictly one-pass
+    agg = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(est, F.count("user_id").cast("long").alias("exact_users"))
     )
     return agg.select(
         "event_type",

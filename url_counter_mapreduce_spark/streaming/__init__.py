@@ -37,6 +37,9 @@ def stream_shuffle_partitions(spark):
 
     Restores the previous session value on exit so surrounding BATCH
     queries keep their AQE initial-partition setting.
+
+    Deployment sizing formula and first-start caveats: docs/USAGE.md §4
+    ("Production MUST-SET").
     """
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
