@@ -555,6 +555,11 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin), so the bucket assignment is fully deterministic — no
     sampled range boundaries — and the DuckDB oracle replays it exactly;
     the interleave itself is pure integer bit math, JVM-side."""
+    # NOTE (r14, measured non-fix): the scale+interleave pass runs on the
+    # scan's 3 fixture splits (1.24 s CPU on 3 tasks), but spread()ing the
+    # projected keys did NOT move the wall (1.87 → 2.00 s) — the row's
+    # remaining cost is driver/planning time, and the extra exchange feeds
+    # TWO consumers (bounds aggregate + z pass) that each re-read it.
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bounds = li.agg(
         F.min("l_partkey").alias("minp"),
@@ -877,7 +882,13 @@ def variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip to the source column value, and the double survives the
     JSON round trip exactly (shortest-repr printing parses back to the
     identical IEEE value)."""
-    ev = load_table(spark, sf_dir, "events")
+    from ..tables import spread
+
+    # the whole query is one map pass (parse_json + typed extraction) over
+    # events — a single parquet split at fixture scale ran it on ONE task
+    # (r14 profile st15: 1.25 s CPU, 1 task); spread() buys full
+    # parallelism and is a no-op once the scan has >= parallelism splits
+    ev = spread(load_table(spark, sf_dir, "events"))
     payload = (
         "to_json(named_struct("
         "  'meta', named_struct('etype', event_type, 'k', CAST(get_json_object(props, '$.k') AS INT)),"
